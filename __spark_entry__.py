@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over the engine's declared-query catalog
+(energi_data_etl_spark/queries/catalog.py). The driver's verify runs
+``entry(spark)`` as a smoke check, runs each ``queries()[name]`` at
+sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
+DuckDB (row-count + schema + order-insensitive value-hash).
 """
 
 from __future__ import annotations
@@ -14,25 +14,38 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _prepare(spark: SparkSession) -> SparkSession:
+    from energi_data_etl_spark.session import apply_engine_conf
+
+    return apply_engine_conf(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (reference's daily-avg transform + month slicer,
+    SURVEY.md §3.3) on /root/testdata/sf0.001; driver checks rows>0."""
+    from energi_data_etl_spark.queries import QUERIES
+
+    _prepare(spark)
+    return QUERIES["flagship_daily_avg"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from energi_data_etl_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(q.fn) for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twin for each SQL-expressible query; omitted entries are
+    rows-only checks (LSH / streaming-state ops, SURVEY.md §5.2)."""
+    from energi_data_etl_spark.queries import oracle_sqls
+
+    return oracle_sqls()

@@ -1,0 +1,98 @@
+"""Differential-testing harness: Spark result vs DuckDB oracle.
+
+Mirrors the driver's t2 check (row-count + schema + order-insensitive
+value comparison) so every declared query is validated locally before
+the driver runs it (SURVEY.md §5.2 item 1).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from ..sources.tables import TABLES
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the corpus tables as DuckDB views, like the driver does."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _temporal_str(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+        return None
+    s = v.isoformat()
+    return s[:-9] if s.endswith("T00:00:00") else s  # DATE vs midnight-TIMESTAMP parity
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: columns sorted by name, rows
+    sorted by all columns, values normalized to comparable primitives."""
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.map(_temporal_str)
+        elif pd.api.types.is_float_dtype(s):
+            # queries round explicitly; this guards representation noise only
+            out[c] = s.round(9)
+        elif s.dtype == object:
+            out[c] = s.map(
+                lambda v: _temporal_str(v)
+                if hasattr(v, "isoformat")
+                else (tuple(v) if isinstance(v, (list, tuple)) else v)
+            )
+    out = out.sort_values(by=list(out.columns), kind="mergesort", na_position="last").reset_index(drop=True)
+    return out
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    except (TypeError, ValueError):
+        pass
+    if (a is None or (isinstance(a, float) and math.isnan(a))) != (b is None or (isinstance(b, float) and math.isnan(b))):
+        return False
+    return a == b
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return ParityResult(name, False, f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}")
+    if len(spark_pdf) != len(oracle_pdf):
+        return ParityResult(name, False, f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s, o = _canon(spark_pdf), _canon(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            a = None if (a is pd.NA or (isinstance(a, float) and pd.isna(a))) else a
+            b = None if (b is pd.NA or (isinstance(b, float) and pd.isna(b))) else b
+            if not _values_equal(a, b):
+                return ParityResult(name, False, f"value mismatch col={c} row={i}: spark={a!r} oracle={b!r}")
+    return ParityResult(name, True, f"{len(s)} rows")
+
+
+def check_query(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, fn, oracle: str, sf_dir: str) -> ParityResult:
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    oracle_pdf = con.execute(oracle).df()
+    return compare_frames(name, spark_pdf, oracle_pdf)

@@ -1,0 +1,79 @@
+"""SparkSession construction with the engine's defaults.
+
+Scale notes (100 TB mandate): every setting here is chosen so the same
+code runs unchanged on a 1000-executor cluster — local[] is only the
+test harness. AQE handles runtime re-planning (partition coalescing,
+skew-join splitting, SMJ→broadcast demotion); shuffle partition count is
+only the *initial* value under AQE, so an over-estimate is cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "cpu_count", "apply_engine_conf"]
+
+
+def cpu_count() -> int:
+    """Worker-thread count for local mode (driver contract: SPARK_GRAFT_CPUS)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+#: Configs that must hold on ANY session running engine queries — applied
+#: both when we build the session ourselves and (where possible) when the
+#: driver hands us one.
+ENGINE_CONF: dict[str, str] = {
+    # Deterministic wall-clock semantics: the reference stores UTC audit
+    # timestamps (energy_etl.py:100 uses utcnow()); all engine timestamp
+    # arithmetic is UTC so results don't depend on host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # The events fixture stores TIMESTAMP(NANOS) which vanilla Spark
+    # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as int64 and convert to
+    # timestamp_ntz in the loader (sources/tables.py) — a pure projection,
+    # scales linearly, no driver round-trip.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without timezone → TimestampNTZ (matches DuckDB's
+    # naive-µs reading of the same files, so oracle schemas line up).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Runtime re-planning: partition coalescing, skew-join handling,
+    # SMJ→BHJ demotion when runtime stats show a small side.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF exchange (the slow path, but when used it
+    # must be batched, never per-row).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine configs to an existing session.
+
+    Static configs (nanosAsLong is runtime-settable in 4.x; timezone and
+    AQE are runtime) — anything that fails to set is skipped, the loader
+    compensates where it can.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "energi-data-etl-spark", cpus: int | None = None) -> SparkSession:
+    n = cpus or cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        # Initial shuffle parallelism = core count; AQE coalesces down.
+        # On a real cluster this would be ~2-3× total cores instead.
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
