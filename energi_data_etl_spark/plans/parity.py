@@ -39,6 +39,22 @@ def _temporal_str(v):
     return s[:-9] if s.endswith("T00:00:00") else s  # DATE vs midnight-TIMESTAMP parity
 
 
+def _canon_value(v):
+    if v is None:
+        return None
+    if hasattr(v, "isoformat"):
+        return _temporal_str(v)
+    if hasattr(v, "tolist"):  # numpy array / scalar
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """Order-insensitive canonical form: columns sorted by name, rows
     sorted by all columns, values normalized to comparable primitives."""
@@ -51,11 +67,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             # queries round explicitly; this guards representation noise only
             out[c] = s.round(9)
         elif s.dtype == object:
-            out[c] = s.map(
-                lambda v: _temporal_str(v)
-                if hasattr(v, "isoformat")
-                else (tuple(v) if isinstance(v, (list, tuple)) else v)
-            )
+            out[c] = s.map(_canon_value)
     out = out.sort_values(by=list(out.columns), kind="mergesort", na_position="last").reset_index(drop=True)
     return out
 

@@ -1,1 +1,255 @@
-"""Placeholder — queries land in Phase 2+."""
+"""Scalar-function surface (SURVEY.md §2.8 F1-F9): date/time, string,
+JSON, array, map, casts. All JVM-side built-ins — no Python UDFs in any
+of these paths (whole-stage codegen keeps them vectorized at scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "date_parts",
+    tier="F1+F4 (year/quarter/month/day/dow extraction)",
+    oracle="""
+        SELECT YEAR(o_orderdate)                 AS yr,
+               QUARTER(o_orderdate)              AS qtr,
+               MONTH(o_orderdate)                AS mo,
+               DAYOFWEEK(o_orderdate)            AS dow,
+               COUNT(*)                          AS n,
+               ROUND(SUM(o_totalprice), 2)       AS revenue
+        FROM orders
+        WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1998
+        GROUP BY 1, 2, 3, 4
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction (the Power BI month slicer, SURVEY P5/F4).
+    DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 → shift by 1."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "date_arithmetic",
+    tier="F1 (date add/diff/trunc/last_day)",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 30                                   AS ship_by,
+               CAST(DATE_TRUNC('month', o_orderdate) AS DATE)                   AS order_month,
+               LAST_DAY(CAST(o_orderdate AS DATE))                              AS month_end,
+               DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))    AS days_since_epoch
+        FROM orders
+        WHERE o_orderkey < 500
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    od = F.to_date("o_orderdate")
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.date_add(od, 30).alias("ship_by"),
+        F.trunc(od, "month").alias("order_month"),
+        F.last_day(od).alias("month_end"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+    )
+
+
+@query(
+    "string_surface",
+    tier="F2 (string functions: case, substr, pad, concat, regexp, split)",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name)                                    AS name_upper,
+               LENGTH(p_name)                                   AS name_len,
+               SUBSTRING(p_name, 1, 5)                          AS name_pfx,
+               CONCAT_WS('|', p_brand, p_type)                  AS brand_type,
+               LPAD(CAST(p_size AS VARCHAR), 4, '0')            AS size_padded,
+               REPLACE(p_type, ' ', '_')                        AS type_snake,
+               CAST(REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+               STRING_SPLIT(p_name, ' ')[1]                     AS first_word
+        FROM part
+        WHERE p_partkey < 300
+    """,
+)
+def string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression surface incl. the reference's zero-padded URL
+    formatting (energy_etl.py:19,56 → lpad/concat_ws/format)."""
+    p = load_table(spark, "part", sf_dir)
+    return p.filter(F.col("p_partkey") < 300).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+    )
+
+
+@query(
+    "json_extraction",
+    tier="F5 (JSON parse/extract — events.props)",
+    oracle="""
+        SELECT event_type,
+               COUNT(*)                                               AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS INT))    AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (the reference parses API JSON,
+    energy_etl.py:67-69; fixture: events.props like '{"k": 87}')."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
+
+
+@query(
+    "cast_matrix",
+    tier="F9 (cast surface: int↔string, double→decimal, bool→int, date→string)",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR)                   AS key_str,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec2,
+               CAST(FLOOR(o_totalprice) AS BIGINT)           AS price_floor,
+               CAST(CEIL(o_totalprice) AS BIGINT)            AS price_ceil,
+               CAST(o_totalprice > 200000 AS INT)            AS is_big,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)    AS date_str
+        FROM orders
+        WHERE o_orderkey < 400
+    """,
+)
+def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate-cast matrix. double→int is avoided cross-engine (Spark
+    truncates, DuckDB rounds) — FLOOR/CEIL first, then cast."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.filter(F.col("o_orderkey") < 400).select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_dec2"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
+        (F.col("o_totalprice") > 200000).cast("int").alias("is_big"),
+        F.to_date("o_orderdate").cast("string").alias("date_str"),
+    )
+
+
+@query(
+    "array_surface",
+    tier="F6+L5 (array size/element/slice/transform/aggregate on embeddings)",
+    oracle="""
+        SELECT vec_id,
+               label,
+               LEN(embedding)                                                        AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6)                                AS first_val,
+               ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_norm,
+               LIST_TRANSFORM(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4))      AS head3
+        FROM embeddings
+        WHERE vec_id < 50
+    """,
+)
+def array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    vector column type of the LLM tier (SURVEY L5), all JVM-side."""
+    e = load_table(spark, "embeddings", sf_dir)
+    xd = lambda x: x.cast("double")  # noqa: E731 — float32→double before arithmetic, both engines
+    return e.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + xd(x) * xd(x)), 6).alias("sq_norm"),
+        F.transform(F.slice("embedding", 1, 3), lambda x: F.round(xd(x), 4)).alias("head3"),
+    )
+
+
+@query(
+    "explode_word_counts",
+    tier="F6 (explode/unnest) + L4 (token analysis)",
+    oracle="""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) t
+        WHERE LENGTH(word) > 0
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 50
+    """,
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array expansion → word frequencies: explode is the engine's
+    UNNEST; generation (split) stays in codegen, only the agg shuffles."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "map_functions",
+    tier="F5+F7 (from_json to map, map_keys/map_values)",
+    oracle="""
+        SELECT event_id,
+               json_keys(props)                                        AS ks,
+               [CAST(json_extract_string(props, '$.k') AS INT)]        AS vs
+        FROM events
+        WHERE event_id < 200
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType, then map_keys/map_values (SURVEY F7). The
+    DuckDB twin reads the same structure via json_keys/extract."""
+    ev = load_table(spark, "events", sf_dir)
+    m = F.from_json("props", "map<string,int>")
+    return ev.filter(F.col("event_id") < 200).select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+    )
+
+
+@query(
+    "format_strings",
+    tier="F2 (format_string — the reference's URL builder)",
+    oracle="""
+        SELECT n_nationkey,
+               PRINTF('%02d/%s_%d.json', n_regionkey, n_name, n_nationkey) AS url_path
+        FROM nation
+    """,
+)
+def format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-padded path construction — the reference builds per-zone-day
+    URLs with '{:02d}' formatting (energy_etl.py:19,56)."""
+    n = load_table(spark, "nation", sf_dir)
+    return n.select(
+        "n_nationkey",
+        F.format_string("%02d/%s_%d.json", "n_regionkey", "n_name", "n_nationkey").alias("url_path"),
+    )

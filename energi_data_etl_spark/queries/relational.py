@@ -1,1 +1,347 @@
-"""Placeholder — queries land in Phase 2+."""
+"""Relational core (SURVEY.md §2.2 P1-P6, §2.3 A1-A8, §2.6 sorts/top-k,
+§2.7 set ops). Each query certifies one operator family with a DuckDB
+oracle twin.
+
+Scale notes: every query here is a single declarative plan — filters and
+projections reach the parquet scan (Catalyst pushdown, verified in
+tests/test_plans.py), aggregations get map-side partial combine before
+the shuffle, and top-k plans as TakeOrderedAndProject (no total sort).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "pricing_summary",
+    tier="A1+A5+P3 (TPC-H Q1 shape)",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+               ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+               COUNT(*)                                                         AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scan→filter→agg pipeline (reference transform shape
+    generalized to TPC-H Q1): partial+final hash aggregate, pushed filter."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_projection",
+    tier="P1+P2+P3+P4+P6 (projection & predicate surface)",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_totalprice BETWEEN 100000 AND 150000
+          AND o_orderpriority LIKE '1%'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    """,
+)
+def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + conjunctive predicates (=, BETWEEN, LIKE, date >=)
+    — all pushed to the parquet scan (reference P3/P4 generalized)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.filter(
+        (F.col("o_orderstatus") == "F")
+        & F.col("o_totalprice").between(100000, 150000)
+        & F.col("o_orderpriority").like("1%")
+        & (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "predicate_membership",
+    tier="P4+P6 (isin / IN, boolean combinators, negation)",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        WHERE CAST(l_quantity AS INT) IN (1, 2, 3, 5, 8, 13, 21, 34)
+          AND (l_linestatus = 'F' OR l_returnflag <> 'N')
+          AND NOT (l_discount > 0.08)
+        GROUP BY l_returnflag
+    """,
+)
+def predicate_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            F.col("l_quantity").cast("int").isin(1, 2, 3, 5, 8, 13, 21, 34)
+            & ((F.col("l_linestatus") == "F") | (F.col("l_returnflag") != "N"))
+            & ~(F.col("l_discount") > 0.08)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "agg_surface",
+    tier="A5+A8 (sum/min/max/avg/stddev/var/count/count-distinct)",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice), 2)      AS sum_price,
+               ROUND(MIN(l_extendedprice), 2)      AS min_price,
+               ROUND(MAX(l_extendedprice), 2)      AS max_price,
+               ROUND(AVG(l_extendedprice), 4)      AS avg_price,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+               ROUND(VAR_SAMP(l_discount), 6)      AS var_disc,
+               COUNT(*)                            AS n_rows,
+               COUNT(DISTINCT l_suppkey)           AS n_suppliers,
+               COUNT(DISTINCT l_partkey)           AS n_parts
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full aggregate surface over one grouping (SURVEY A5); two
+    count-distincts in one agg → Spark plans expand + partial aggs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query(
+    "approx_count_distinct",
+    tier="A6 (HLL sketch; approximate → rows-only check)",
+    oracle=None,
+    doc="approx_count_distinct(rsd=0.01) vs exact, asserted within 5% in tests/test_relational.py",
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketch for 100 TB-scale distinct counts: one pass, no
+    shuffle of distinct keys (HyperLogLog++, mergeable partial sketches)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "distinct_values",
+    tier="A8 (distinct)",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer WHERE c_nationkey < 10",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.filter(F.col("c_nationkey") < 10).select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "dropdup_subset",
+    tier="A8 (dropDuplicates on key subset)",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def dropdup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates(subset) keeps an arbitrary survivor, so only the key
+    columns are returned (deterministic cross-engine)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.dropDuplicates(["o_orderstatus", "o_orderpriority"]).select("o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "topk_orders",
+    tier="§2.6 top-k (TakeOrderedAndProject — no total sort)",
+    oracle="""
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit: Spark plans TakeOrderedAndProject — per-partition
+    heaps, no global sort/shuffle; the tiebreak key makes it deterministic."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "sort_multi_key",
+    tier="§2.6 total sort (range partitioning)",
+    oracle="""
+        SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey
+        LIMIT 200
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .orderBy(F.col("c_nationkey").asc(), F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(200)
+        .select("c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+@query(
+    "set_operations",
+    tier="§2.7 union / intersect / except",
+    oracle="""
+        SELECT 'both' AS src, n FROM
+            (SELECT DISTINCT c_nationkey AS n FROM customer
+             INTERSECT
+             SELECT DISTINCT s_nationkey FROM supplier) t1
+        UNION ALL
+        SELECT 'customer_only' AS src, n FROM
+            (SELECT DISTINCT c_nationkey AS n FROM customer
+             EXCEPT
+             SELECT DISTINCT s_nationkey FROM supplier) t2
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / subtract(except) / unionByName — set semantics match
+    ANSI INTERSECT/EXCEPT (distinct)."""
+    cust_n = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("n"))
+    supp_n = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("n"))
+    both = cust_n.intersect(supp_n).withColumn("src", F.lit("both"))
+    only = cust_n.subtract(supp_n).withColumn("src", F.lit("customer_only"))
+    return both.unionByName(only).select("src", "n")
+
+
+@query(
+    "rollup_events",
+    tier="A7 (rollup / grouping sets)",
+    oracle="""
+        SELECT event_type,
+               CAST(FLOOR((DAY(CAST(ts AS DATE)) - 1) / 7) AS INT) AS wk,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY ROLLUP(event_type, CAST(FLOOR((DAY(CAST(ts AS DATE)) - 1) / 7) AS INT))
+    """,
+)
+def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level totals (per type+week, per type, grand total) — the
+    dashboard drill-down (SURVEY A7) in one pass: Spark plans an Expand."""
+    ev = load_table(spark, "events", sf_dir)
+    wk = F.floor((F.dayofmonth(F.to_date("ts")) - 1) / 7).cast("int").alias("wk")
+    return (
+        ev.select("event_type", wk, "value")
+        .rollup("event_type", "wk")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cube_lineitem",
+    tier="A7 (cube)",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "conditional_buckets",
+    tier="F8 (when/otherwise, coalesce, nullif)",
+    oracle="""
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS bucket,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(other)') AS segment,
+               COUNT(*) AS n,
+               ROUND(AVG(c_acctbal), 4) AS avg_bal
+        FROM customer
+        GROUP BY 1, 2
+    """,
+)
+def conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative").when(F.col("c_acctbal") < 5000, "low").otherwise("high")
+    ).alias("bucket")
+    segment = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(other)")).alias("segment")
+    return (
+        cust.select(bucket, segment, "c_acctbal")
+        .groupBy("bucket", "segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+@query(
+    "watermark_incremental",
+    tier="A2+T1 (high-watermark incremental read — the reference's signature pattern)",
+    oracle="""
+        SELECT CAST(MAX(CAST(ts AS DATE)) AS DATE) AS watermark,
+               COUNT(*) AS total_rows,
+               SUM(CASE WHEN CAST(ts AS DATE) > (SELECT MAX(CAST(ts AS DATE)) - 7 FROM events)
+                        THEN 1 ELSE 0 END) AS rows_since_watermark
+        FROM events
+    """,
+)
+def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MAX(date) watermark + incremental window
+    (energy_etl.py:22-48) as one plan with a scalar subquery; on a
+    date-partitioned table the CASE filter becomes partition pruning."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("events_wm")
+    return spark.sql(
+        """
+        SELECT CAST(MAX(CAST(ts AS DATE)) AS DATE) AS watermark,
+               COUNT(*) AS total_rows,
+               SUM(CASE WHEN CAST(ts AS DATE) > (SELECT date_sub(MAX(CAST(ts AS DATE)), 7) FROM events_wm)
+                        THEN 1 ELSE 0 END) AS rows_since_watermark
+        FROM events_wm
+        """
+    )
