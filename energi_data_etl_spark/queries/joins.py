@@ -1,1 +1,226 @@
-"""Placeholder — queries land in Phase 2+."""
+"""Join surface (SURVEY.md §2.4 J1-J7). The reference is single-table;
+all joins are tier EXT over the star-schema corpus.
+
+Scale notes: dimension tables (region/nation/supplier) are broadcast
+(explicit hint → BroadcastHashJoin, no shuffle of the fact side);
+fact-fact joins shuffle on the join key (sort-merge, AQE may demote);
+the as-of join uses the union+window rewrite (operators/joins.py) —
+one shuffle, no pairwise blowup.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.joins import asof_join
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "join_star_revenue",
+    tier="J1 (inner equi, broadcast dims)",
+    oracle="""
+        SELECT r_name, n_name,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim⋈dim with explicit broadcast of the small sides —
+    the fact table never shuffles for the joins, only for the final agg."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer_histogram",
+    tier="J2 (left outer, null semantics)",
+    oracle="""
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) t
+        GROUP BY n_orders
+    """,
+)
+def join_left_outer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN preserving order-less customers (COUNT of the null key
+    → 0), then order-count histogram."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "join_full_outer",
+    tier="J2 (full outer)",
+    oracle="""
+        SELECT COALESCE(cn.k, sn.k) AS nationkey,
+               COALESCE(cn.n_cust, 0) AS n_cust,
+               COALESCE(sn.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) cn
+        FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) sn
+          ON cn.k = sn.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = load_table(spark, "supplier", sf_dir).groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, "k", "full").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    tier="J3 (left semi ≡ EXISTS)",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: probe side streams, no row multiplication, only the
+    matching keys shuffle."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_big_spenders"))
+    )
+
+
+@query(
+    "join_anti",
+    tier="J3 (left anti ≡ NOT EXISTS)",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_without_big_order
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        GROUP BY c_mktsegment
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_big_order"))
+    )
+
+
+@query(
+    "join_theta_pairs",
+    tier="J4 (non-equi theta join → BroadcastNestedLoop on small sides)",
+    oracle="""
+        SELECT a.n_name AS nation_a, b.n_name AS nation_b
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with inequality residual — unordered same-region pairs."""
+    n = load_table(spark, "nation", sf_dir)
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey")) & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+@query(
+    "join_cross",
+    tier="J7 (cross join)",
+    oracle="""
+        SELECT a.r_name AS region_a, b.r_name AS region_b
+        FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, "region", sf_dir)
+    a, b = r.alias("a"), r.alias("b")
+    return a.crossJoin(b).select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
+
+
+@query(
+    "join_range",
+    tier="J5 (equi + range residual: ship within 90 days of order)",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         AND CAST(l_shipdate AS DATE) BETWEEN CAST(o_orderdate AS DATE)
+                                          AND CAST(o_orderdate AS DATE) + 90
+        GROUP BY o_orderpriority
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join anchored on an equi key: the equi part drives the
+    shuffle/hash strategy; the range condition evaluates as a residual
+    filter inside the join — no quadratic pair expansion."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    od, sd = F.to_date(o.o_orderdate), F.to_date(li.l_shipdate)
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & sd.between(od, F.date_add(od, 90)))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "join_asof",
+    tier="J6 (as-of join via union+window rewrite)",
+    oracle="""
+        SELECT p.event_id, p.user_id, c.value AS asof_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest click value at-or-before each purchase, per user — the
+    natural energy-data join ('price in effect at time t', SURVEY J6).
+    Implemented as one shuffle on user_id (operators/joins.py), checked
+    against DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"])
+    return joined.select("event_id", "user_id", F.col("asof_value"))
