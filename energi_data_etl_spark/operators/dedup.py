@@ -1,0 +1,221 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.10
+L1/L2; north star: exact + near-dup dedup at 100 TB).
+
+Design for scale (the whole point of these formulations):
+
+* exact dedup          — hash-groupBy: one shuffle on the fingerprint.
+* MinHash + LSH        — signatures are a pure map stage (xxhash64,
+  JVM-side); banding turns O(n²) pair search into a groupBy on
+  (band, band_hash) buckets; only bucket-mates generate candidate
+  pairs, then exact Jaccard verifies. No cartesian product anywhere.
+* SimHash              — 64-bit signature via explode + bitwise agg;
+  Hamming-≤k matching via the band-exact-match trick (pigeonhole):
+  split the 64 bits into k+1 chunks, at least one chunk equal → same
+  bucket, verify Hamming inside buckets only.
+* n-gram Jaccard       — exact pairwise, but only inside cheap blocks
+  (lang × length bucket) — the blocking key is the scale lever.
+
+All hashing is Spark's xxhash64 (deterministic, seedable via literal
+prefix) — signatures are reproducible run-to-run, satisfying the
+"fix seeds" requirement (SURVEY §7 watch list).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "exact_jaccard",
+    "near_dup_minhash",
+    "simhash_signature",
+    "simhash_candidate_pairs",
+    "hamming64",
+]
+
+
+# --------------------------------------------------------------------------
+# exact (L1)
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact key — deterministic
+    survivor (dropDuplicates keeps an arbitrary row; groupBy+min is
+    reproducible and costs the same single shuffle)."""
+    return df.withColumn("__fp", key).groupBy("__fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (L2)
+# --------------------------------------------------------------------------
+
+
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(i, shingle). Pure expression — map stage, no shuffle."""
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", sig_col: str = "sig", bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of ≥1 band become a
+    candidate pair. Returns distinct (a, b) with a < b.
+
+    Plan shape: explode to (doc, band, band_hash) → self-equi-join on
+    (band, band_hash) → distinct. The join key is the bucket, so only
+    true bucket collisions shuffle together — the O(n²) pair space is
+    never materialized. Skewed mega-buckets (near-identical boilerplate
+    floods) would show up as AQE skew-join splits at scale.
+    """
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(F.slice(sig_col, b * rows + 1, rows), lambda x: x.cast("string")))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", set_col: str = "sh") -> DataFrame:
+    """Attach exact Jaccard over the shingle sets to candidate pairs —
+    two broadcast-able (or shuffled) equi-joins + array intersect math."""
+    left = docs.select(F.col(id_col).alias("a"), F.col(set_col).alias("__sa"))
+    right = docs.select(F.col(id_col).alias("b"), F.col(set_col).alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return (
+        pairs.join(left, "a")
+        .join(right, "b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .drop("__sa", "__sb")
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash near-dup detector: shingle → sign → band →
+    candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    With b=16 bands × r=4 rows, the LSH S-curve crosses ~50% capture at
+    j ≈ (1/b)^(1/r) ≈ 0.5 — matched to the default threshold.
+    """
+    base = df.select(id_col, shingles(text_col, shingle_n).alias("sh"))
+    sigs = base.select(id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=num_hashes // bands)
+    verified = exact_jaccard(cands, base, id_col=id_col, set_col="sh")
+    return verified.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash (L2 variant)
+# --------------------------------------------------------------------------
+
+
+def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 → for each bit position sum
+    ±1 → sign bit. Explode + one groupBy(id): two stages, linear.
+
+    The per-bit tally is expressed as 64 conditional sums over the
+    exploded token hashes — wide but flat aggregation, all codegen.
+    """
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    tallies = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+    return tallies.select(id_col, sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤k pair search via the pigeonhole band trick: split 64
+    bits into k+1 chunks; any pair within distance k agrees exactly on
+    ≥1 chunk → equi-join per chunk, verify Hamming on candidates."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    banded = sig_df.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select(id_col, "simhash", "cb.chunk", "cb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -70,6 +70,47 @@ def daily_average(
     return out.groupBy("date", key_col).agg(F.avg(value_col).alias(value_alias))
 
 
+def run_incremental(
+    spark,
+    table_path: str,
+    fetcher,
+    landing_dir: str,
+    today,
+    zones: Sequence[str] = ("SE1", "SE2", "SE3", "SE4"),
+    cold_start_days: int = 10,
+) -> bool:
+    """The reference's full lifecycle (energy_etl.py:39-84), Spark-first:
+
+    1. watermark = MAX(date) on the fact table (:22-37), cold-start
+       fallback to today-10d (:45-46);
+    2. fetch plan for (watermark, today] × zones — distributed, not the
+       reference's serial loop;
+    3. land JSON → schema-explicit read → daily per-zone average (A1);
+    4. append to the date-partitioned fact table with audit column +
+       skip-empty guard (:82, :100, :105).
+
+    Returns True iff new rows were appended.
+    """
+    import datetime
+
+    from ..sources.http_json import fetch_plan, fetch_to_landing, read_landing
+    from ..sources.sinks import latest_watermark, write_fact_table
+
+    wm = latest_watermark(spark, table_path, "date")
+    start = (wm + datetime.timedelta(days=1)) if wm else (today - datetime.timedelta(days=cold_start_days))
+    if start > today:
+        return False  # nothing new — the reference's early-exit path
+    plan = fetch_plan(spark, start, today, zones)
+    fetch_to_landing(plan, landing_dir, fetcher=fetcher)
+    landed = read_landing(spark, landing_dir)
+    daily = (
+        landed.groupBy("date", "zone")
+        .agg(F.avg("SEK_per_kWh").alias("avg_price"))
+        .filter((F.col("date") >= F.lit(start.isoformat()).cast("date")))
+    )
+    return write_fact_table(daily, table_path, partition_by=("date",))
+
+
 def zone_summary(daily: DataFrame, key_col: str = "zone", value_col: str = "avg_value", months: Sequence[int] | None = None) -> DataFrame:
     """The Power BI dashboard cards (A4+P5): per-key average over the
     month-filtered period (reference: images/Powerbi.png, 4 zone cards)."""

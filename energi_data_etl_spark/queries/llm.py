@@ -1,1 +1,363 @@
-"""Placeholder — queries land in Phase 2+."""
+"""LLM-data-pipeline query tier (SURVEY.md §2.10, BASELINE.json north
+star): dedup, similarity search, text analysis, multimodal columns —
+each declared with a DuckDB oracle where ANSI-SQL-expressible, rows-only
+otherwise (LSH machinery is verified against exact methods in
+tests/test_llm_ops.py instead).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.tables import load_table
+from .catalog import query
+
+# --------------------------------------------------------------------------
+# L1 exact dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    tier="L1 (exact dedup via content fingerprint groupBy)",
+    oracle="""
+        SELECT MD5(LOWER(TRIM(text))) AS fp,
+               MIN(doc_id) AS doc_id,
+               COUNT(*)    AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id survivor per md5 fingerprint — ONE shuffle on
+    the hash, the only formulation that holds at 100 TB (no sort, no
+    pairwise compare). md5 (not xxhash) so both engines agree."""
+    d = load_table(spark, "documents", sf_dir)
+    return D.exact_dedup(d, X.fingerprint("text")).withColumnRenamed("__fp", "fp")
+
+
+@query(
+    "dedup_bag_exact",
+    tier="L1 (order-insensitive dedup: sorted token-set fingerprint)",
+    oracle="""
+        SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (
+            SELECT doc_id,
+                   MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                       LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))), ' ')) AS fp
+            FROM documents
+        ) t
+        GROUP BY fp
+        HAVING COUNT(*) > 1
+    """,
+)
+def dedup_bag_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-copy detection: same token SET ⇒ same fingerprint (the
+    fixture contains bag-identical docs with different word order —
+    classic shuffled-boilerplate near-dups caught exactly)."""
+    d = load_table(spark, "documents", sf_dir)
+    groups = D.exact_dedup(d, X.bag_fingerprint("text")).withColumnRenamed("__fp", "fp")
+    return groups.filter(F.col("n_copies") > 1)
+
+
+# --------------------------------------------------------------------------
+# L2 near-dup dedup (MinHash LSH, SimHash) — rows-only, exact-verified in tests
+# --------------------------------------------------------------------------
+
+
+@query(
+    "neardup_minhash",
+    tier="L2 (MinHash+LSH near-dup; approx → rows-only, exact-verified in tests)",
+    oracle=None,
+    doc="shingle→minhash(64)→band(16×4)→bucket-join→exact-Jaccard≥0.5; recall vs brute-force checked at sf0.001 in tests/test_llm_ops.py",
+    bench=True,
+)
+def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return D.near_dup_minhash(d, threshold=0.5).orderBy("a", "b")
+
+
+@query(
+    "neardup_simhash",
+    tier="L2 (SimHash Hamming-≤3 near-dup; rows-only)",
+    oracle=None,
+    doc="64-bit simhash, pigeonhole chunk buckets, Hamming verify",
+)
+def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sigs = D.simhash_signature(d)
+    return D.simhash_candidate_pairs(sigs, max_hamming=3).orderBy("a", "b")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    tier="L2 (blocked exact n-gram Jaccard join)",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+                   LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               ROUND(LEN(LIST_INTERSECT(a.toks, b.toks)) * 1.0 /
+                     GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.toks, b.toks)) * 1.0 /
+              GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥0.8 inside (lang × length-bucket) blocks
+    — the blocking key turns O(n²) into sum of small block quadratics;
+    at 100 TB the block sizes, not the corpus size, bound the work."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.array_distinct(X.tokens("text"))
+    base = d.select(
+        "doc_id", "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket"), toks.alias("toks")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.greatest(
+        F.size(F.array_union("a.toks", "b.toks")), F.lit(1)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_exact_cosine",
+    tier="L3 (brute-force cosine top-k — the exact baseline)",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   LIST_COSINE_SIMILARITY(q.v, c.v) AS cos_raw
+            FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank,
+               ROUND(cos_raw, 4) AS cos_sim
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for 10 query vectors: broadcast queries,
+    JVM-side fold for the dot product, per-query window top-k."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.exact_knn(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@query(
+    "embedding_neardup_exact",
+    tier="L2/L3 (embedding-cosine near-dup pairs, exact)",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.v, b.v) > 0.4
+    """,
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine > 0.4 (fixture max ≈ 0.51, so sparse output).
+    Exact tier for correctness; the LSH route below is the scale path."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"), cos.alias("__cos"))
+        .filter(F.col("__cos") > 0.4)
+        .select("a", "b", F.round("__cos", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    tier="L3 (LSH-bucketed ANN — the 100 TB path; rows-only, recall-tested)",
+    oracle=None,
+    doc="random-hyperplane buckets (seed 42), join within bucket, top-5; recall vs exact_knn asserted ≥0.4 in tests/test_llm_ops.py",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.ann_lsh_knn(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+# --------------------------------------------------------------------------
+# L4 text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_stats_by_lang",
+    tier="L4 (token/length stats per language)",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               ROUND(AVG(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))), 4) AS avg_tokens,
+               ROUND(AVG(LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)))), 4) AS avg_distinct_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = X.tokens("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+        F.round(F.avg(F.size(F.array_distinct(toks))), 4).alias("avg_distinct_tokens"),
+    )
+
+
+@query(
+    "lang_id_scores",
+    tier="L4 (heuristic language ID: stopword-hit scores + argmax)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS toks
+            FROM documents WHERE doc_id < 200
+        ), s AS (
+            SELECT doc_id, lang,
+                   ROUND(LEN(LIST_FILTER(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) * 1.0 / GREATEST(LEN(toks), 1), 6) AS score_en,
+                   ROUND(LEN(LIST_FILTER(toks, x -> x IN ('le','la','les','de','et','un','une','des','que','pour'))) * 1.0 / GREATEST(LEN(toks), 1), 6) AS score_fr,
+                   ROUND(LEN(LIST_FILTER(toks, x -> x IN ('el','la','los','de','y','un','una','que','en','por'))) * 1.0 / GREATEST(LEN(toks), 1), 6) AS score_es,
+                   ROUND(LEN(LIST_FILTER(toks, x -> x IN ('der','die','das','und','ein','eine','von','zu','mit','ist'))) * 1.0 / GREATEST(LEN(toks), 1), 6) AS score_de
+            FROM t
+        )
+        SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+               CASE WHEN GREATEST(score_en, score_fr, score_es, score_de) = 0 THEN 'und'
+                    WHEN score_en = GREATEST(score_en, score_fr, score_es, score_de) THEN 'en'
+                    WHEN score_fr = GREATEST(score_en, score_fr, score_es, score_de) THEN 'fr'
+                    WHEN score_es = GREATEST(score_en, score_fr, score_es, score_de) THEN 'es'
+                    ELSE 'de' END AS predicted_lang
+        FROM s
+    """,
+)
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language scores, argmax prediction (earlier
+    language wins ties — mirrored in the CASE ordering)."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    scored = X.language_scores(d)
+    return scored.select("doc_id", "lang", "score_en", "score_fr", "score_es", "score_de", "predicted_lang")
+
+
+@query(
+    "quality_scores",
+    tier="L4 (document quality scoring)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id, lang,
+                   LEN(toks) AS n,
+                   LIST_AGGREGATE(LIST_TRANSFORM(toks, x -> LENGTH(x) * 1.0), 'sum') / GREATEST(LEN(toks), 1) AS awl,
+                   LEN(LIST_FILTER(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) * 1.0 / GREATEST(LEN(toks), 1) AS sw
+            FROM t
+        )
+        SELECT lang,
+               ROUND(AVG(ROUND(0.4 * LEAST(n / 50.0, 1.0)
+                             + 0.3 * LEAST(awl / 6.0, 1.0)
+                             + 0.3 * LEAST(sw * 5, 1.0), 6)), 6) AS avg_quality,
+               COUNT(*) AS n_docs
+        FROM m
+        GROUP BY lang
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("q", X.quality_score("text"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "token_counts_per_doc",
+    tier="L4 (per-doc token counting: whitespace + BPE-ish word-piece regex)",
+    oracle="""
+        SELECT doc_id,
+               LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)) AS n_ws_tokens,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))     AS n_bpeish_tokens,
+               LENGTH(text) AS n_chars
+        FROM documents
+        WHERE doc_id < 300
+    """,
+)
+def token_counts_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tokenizers: whitespace and a BPE-ish regex segmentation
+    (letters / digits / other) — the token-budget accounting every
+    LLM-data pipeline needs."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.size(X.tokens("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias("n_bpeish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L5 multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_meta",
+    tier="L5 (binary payload + typed metadata struct)",
+    oracle="""
+        SELECT doc_id,
+               OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+               MD5(text)                  AS checksum,
+               'application/octet-stream' AS media_type
+        FROM documents
+        WHERE doc_id < 100
+    """,
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal column contract: opaque binary + metadata struct
+    (flattened here for the SQL oracle)."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    p = M.attach_payload(d)
+    return p.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.checksum").alias("checksum"),
+        F.col("payload_meta.media_type").alias("media_type"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    tier="L5+U1 (Arrow-batched decode via mapInPandas; stub kernel → rows-only)",
+    oracle=None,
+    doc="mapInPandas feature extraction over binary payloads; deterministic stub decode (no codec libs in container), schema+batching real",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return M.decode_features(M.attach_payload(d))

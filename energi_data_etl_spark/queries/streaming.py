@@ -1,1 +1,95 @@
-"""Placeholder — queries land in Phase 2+."""
+"""Streaming-tier declared queries (SURVEY.md §2.9). Each runs a REAL
+Structured Streaming job (file-source replay, Trigger.AvailableNow,
+memory sink) and is checked against a batch-SQL oracle where the
+semantics are deterministic (tumbling/sliding windows drained in one
+run), rows-only otherwise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.ops import (
+    dedup_within_watermark,
+    events_stream,
+    run_to_memory,
+    session_window_stats,
+    sliding_window_avg,
+    tumbling_window_avg,
+)
+from .catalog import query
+
+
+def _events_path(sf_dir: str) -> str:
+    return f"{sf_dir}/events.parquet"
+
+
+@query(
+    "streaming_tumbling_daily",
+    tier="T3 (tumbling 1-day window agg — the reference transform as a stream)",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS date,
+               event_type,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs an actual stream (AvailableNow drain, complete mode) — the
+    batch SQL twin certifies stream/batch equivalence (SURVEY §5.2.6)."""
+    stream = events_stream(spark, _events_path(sf_dir))
+    return run_to_memory(tumbling_window_avg(stream), output_mode="complete")
+
+
+@query(
+    "streaming_sliding_2d_1d",
+    tier="T4 (sliding 2-day window, 1-day slide)",
+    oracle="""
+        WITH buckets AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS win_start, event_type, value FROM events
+            UNION ALL
+            SELECT CAST(DATE_TRUNC('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) AS win_start, event_type, value FROM events
+        )
+        SELECT win_start, event_type,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(*) AS n
+        FROM buckets
+        GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event belongs to width/slide = 2 windows; the oracle derives
+    the same assignment with an explicit two-bucket union."""
+    stream = events_stream(spark, _events_path(sf_dir))
+    return run_to_memory(sliding_window_avg(stream), output_mode="complete")
+
+
+@query(
+    "streaming_session_windows",
+    tier="T5 (session windows, 30-min gap; rows-only — gap-merge oracle is fragile in SQL)",
+    oracle=None,
+    doc="per-user session windows; batch-equivalence (lag-gap derivation) asserted in tests/test_streaming.py",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, _events_path(sf_dir))
+    return run_to_memory(session_window_stats(stream, gap="30 minutes"), output_mode="complete")
+
+
+@query(
+    "streaming_dedup_count",
+    tier="T6 (stateful dedup within watermark)",
+    oracle="""
+        SELECT COUNT(*) AS n_unique
+        FROM (SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) FROM events) t
+    """,
+)
+def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type, day): the
+    drained stream's survivor count equals batch COUNT(DISTINCT ...)."""
+    stream = events_stream(spark, _events_path(sf_dir)).withColumn("day", F.col("ts").cast("date"))
+    deduped = dedup_within_watermark(stream, ["user_id", "event_type", "day"], watermark="40 days")
+    drained = run_to_memory(deduped, output_mode="append")
+    return drained.agg(F.count(F.lit(1)).alias("n_unique"))

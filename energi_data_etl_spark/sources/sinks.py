@@ -1,0 +1,62 @@
+"""Durable-table sinks (SURVEY.md §2.1 S5/S6).
+
+The reference loads a pandas frame into BigQuery with a declared
+schema, WRITE_APPEND, and a utcnow() audit column
+(scripts/energy_etl.py:86-111). The engine's durable store is
+date-partitioned Parquet: append mode gives the same incremental
+semantics, the partition column makes the watermark query (A2/T1) a
+metadata operation, and downstream date filters become partition
+pruning — the layout decision that matters most at 100 TB (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_fact_table", "latest_watermark"]
+
+
+def write_fact_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("date",),
+    mode: str = "append",
+    audit: bool = True,
+    target_files_per_partition: int = 1,
+) -> bool:
+    """Append rows to a partitioned Parquet fact table.
+
+    * skip-empty guard — the reference's `if all_data:` (:82);
+    * audit column — load_timestamp=current_timestamp (UTC session),
+      the reference's :100;
+    * repartition before write → bounded file counts per partition
+      (file-sizing, SURVEY §4.3; small-file explosions are the classic
+      append-pipeline failure at scale).
+
+    Returns True iff something was written.
+    """
+    if df.isEmpty():
+        return False
+    out = df
+    if audit:
+        out = out.withColumn("load_timestamp", F.current_timestamp())
+    out = out.repartition(target_files_per_partition, *[F.col(c) for c in partition_by])
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    return True
+
+
+def latest_watermark(spark: SparkSession, path: str, col: str = "date"):
+    """MAX(partition column) — the reference's watermark query (:22-37).
+    On a partitioned table this reads ONLY partition metadata (partition
+    pruning gives an empty scan per partition), not the data files.
+    Returns None on empty/missing table (reference's cold-start fallback
+    path, :42-46)."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — table does not exist yet
+        return None
+    row = df.agg(F.max(col).alias("wm")).first()
+    return row["wm"] if row else None

@@ -1,0 +1,152 @@
+"""Structured Streaming operators (SURVEY.md §2.9 T1-T7).
+
+The reference approximates streaming with scheduled incremental batch
+(MAX(date) watermark + resume, energy_etl.py:22-48); the engine provides
+both that batch pattern (queries/relational.py::watermark_incremental)
+and true Structured Streaming: file-source replay of the events table,
+event-time watermarks, tumbling/sliding/session windows, stateful dedup,
+exactly-once parquet sink.
+
+Correctness strategy (SURVEY §5.2 item 6): every streaming op is
+asserted equal to its batch re-derivation on the same fixture — run
+with Trigger.AvailableNow so the stream drains deterministically.
+
+Scale notes: windowed aggs keep state per (window × key) — bounded by
+the watermark horizon; dedup state is bounded by
+dropDuplicatesWithinWatermark. File-source at 100 TB shards by file;
+checkpointing gives exactly-once into the parquet sink.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "events_stream",
+    "run_to_memory",
+    "tumbling_window_avg",
+    "sliding_window_avg",
+    "session_window_stats",
+    "dedup_within_watermark",
+    "stream_to_parquet",
+]
+
+#: Raw parquet schema of the events fixture (ts is int64 NANOS — read as
+#: long via nanosAsLong, normalized below like sources/tables.py).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source replay of the events table as a stream (T1/T7: the
+    engine's 'kafka stand-in' — at scale swap for a real bus; the
+    downstream plan is identical)."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # the file source only accepts directories: point at the parent
+        # and glob-filter down to the one table file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    # NB: watermarks require TimestampType (not NTZ); the session runs in
+    # UTC so values match the batch loader's NTZ reading bit-for-bit.
+    # Final projections cast to NTZ where oracle parity needs it.
+    return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a stream with Trigger.AvailableNow into an in-memory table
+    and return it as a DataFrame (deterministic: blocks until done)."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_window_avg(stream: DataFrame, width: str = "1 day", watermark: str = "1 day") -> DataFrame:
+    """T3: the reference's daily average IS a 1-day tumbling window
+    (energy_etl.py:69-70). State per (window × event_type), expired past
+    the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("date").alias("date"), "event_type", "avg_value", "n")
+    )
+
+
+def sliding_window_avg(stream: DataFrame, width: str = "2 days", slide: str = "1 day") -> DataFrame:
+    """T4: overlapping windows — each event lands in width/slide windows."""
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "avg_value",
+            "n",
+        )
+    )
+
+
+def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T5: per-user session windows (gap-merged). State is open sessions
+    only — the watermark closes them."""
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = "1 day") -> DataFrame:
+    """T6: stateful dedup with bounded state — duplicates arriving within
+    the watermark horizon are dropped; state older than it is evicted."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_to_parquet(stream: DataFrame, path: str, checkpoint: str) -> None:
+    """T7: exactly-once append sink (the reference's WRITE_APPEND,
+    energy_etl.py:105, with checkpointed idempotence instead of hope)."""
+    (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

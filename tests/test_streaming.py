@@ -1,0 +1,144 @@
+"""Streaming-tier tests (SURVEY.md §5.2 item 6): batch equivalence for
+every streaming op, plus true late-data semantics with multi-batch
+replay (watermark actually dropping rows)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from energi_data_etl_spark.sources.tables import load_table
+from energi_data_etl_spark.streaming.ops import (
+    EVENTS_SCHEMA,
+    dedup_within_watermark,
+    events_stream,
+    run_to_memory,
+    session_window_stats,
+    stream_to_parquet,
+    tumbling_window_avg,
+)
+
+
+def test_session_windows_match_batch_gap_derivation(spark, sf_dir):
+    """Sessionization: streaming session_window == batch lag-gap islands."""
+    out = run_to_memory(
+        session_window_stats(events_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes"),
+        output_mode="complete",
+    )
+    got = {(r.user_id, r.session_start, r.n_events) for r in out.collect()}
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts").cast("timestamp").cast("long") - F.col("prev").cast("timestamp").cast("long") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r.user_id, r.session_start, r.n_events) for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """T2: with maxFilesPerTrigger=1 the watermark advances between
+    micro-batches; a row arriving in batch 2 that is older than
+    (max_ts_batch1 - delay) must be dropped from the aggregation."""
+    import time
+
+    d = str(tmp_path / "late_src")
+    os.makedirs(d)
+    base = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ns(dt):
+        return int(dt.timestamp() * 1e9)
+
+    # NB (measured): the late-event filter uses the watermark committed
+    # BEFORE the previous batch, so the late row must arrive two batches
+    # after the data that advanced the watermark.
+    files = [
+        [(1, ns(base), 1, "click", 10.0, "{}"), (2, ns(base + datetime.timedelta(hours=1)), 1, "click", 20.0, "{}")],
+        [(3, ns(base + datetime.timedelta(days=2)), 1, "click", 30.0, "{}")],
+        [(4, ns(base - datetime.timedelta(days=3)), 1, "click", 999.0, "{}")],  # 3 days late
+    ]
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+        for f in os.listdir(f"{d}/f{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{d}/f{i}/{f}", f"{flat}/{i:02d}_{f}")
+                os.utime(f"{flat}/{i:02d}_{f}", (time.time() + i * 30, time.time() + i * 30))
+
+    stream = events_stream(spark, flat, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("win.start").cast("date").alias("date"), "total")
+    )
+    got = {(str(r.date), r.total) for r in run_to_memory(agg, output_mode="append").collect()}
+    # late row's window (Jan 7) was below the watermark when it arrived → dropped
+    assert ("2024-01-07", 999.0) not in got
+    # the Jan 10 window closed once the watermark passed it → emitted
+    assert ("2024-01-10", 30.0) in got
+
+
+def test_streaming_dedup_drops_in_batch_duplicates(spark, tmp_path):
+    d = str(tmp_path / "dup_src")
+    os.makedirs(d)
+    base = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    ns = lambda dt: int(dt.timestamp() * 1e9)  # noqa: E731
+    rows = [
+        (1, ns(base), 7, "click", 1.0, "{}"),
+        (1, ns(base + datetime.timedelta(minutes=5)), 7, "click", 1.0, "{}"),  # dup event_id
+        (2, ns(base), 7, "view", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string, value double, props string").coalesce(1).write.parquet(d + "/f")
+    flat = str(tmp_path / "dflat")
+    os.makedirs(flat)
+    for f in os.listdir(f"{d}/f"):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{d}/f/{f}", f"{flat}/{f}")
+    stream = events_stream(spark, flat)
+    out = run_to_memory(dedup_within_watermark(stream, ["event_id"], watermark="1 hour"), output_mode="append")
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
+
+def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path):
+    """T7: drain → parquet sink; re-running with the same checkpoint
+    must be a no-op (exactly-once), not a duplicate append."""
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    src = f"{sf_dir}/events.parquet"
+    stream_to_parquet(events_stream(spark, src), out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    stream_to_parquet(events_stream(spark, src), out_dir, ckpt)  # replay: checkpoint says done
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 == load_table(spark, "events", sf_dir).count()
+
+
+def test_tumbling_matches_flagship_batch(spark, sf_dir):
+    """T3 ≡ A1: the streaming tumbling daily average equals the batch
+    daily_average (the reference's core transform) exactly."""
+    stream_out = run_to_memory(
+        tumbling_window_avg(events_stream(spark, f"{sf_dir}/events.parquet")), output_mode="complete"
+    )
+    got = {(str(r.date), r.event_type): (r.avg_value, r.n) for r in stream_out.collect()}
+    ev = load_table(spark, "events", sf_dir)
+    batch = ev.groupBy(F.col("ts").cast("date").alias("date"), "event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n")
+    )
+    want = {(str(r.date), r.event_type): (r.avg_value, r.n) for r in batch.collect()}
+    assert got == want
