@@ -1,0 +1,55 @@
+"""Iterative graph operators (SURVEY.md §2.10 extension): connected
+components over near-dup pair graphs — the dedup endgame (pairs →
+clusters → one representative per cluster).
+
+Label propagation with DataFrame ops only: each iteration joins labels
+across edges and takes the min — O(diameter) rounds, each one shuffle
+on the vertex id. Near-dup graphs are unions of small cliques/chains,
+so convergence is fast; `localCheckpoint` truncates lineage so plans
+don't grow with iterations (the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["connected_components"]
+
+
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (id, component) where component = min vertex id reachable.
+    Deterministic. Each iteration: label(v) ← min(label(v),
+    min_{u∈N(v)} label(u)); stop when no label changed (or max_iter,
+    which bounds cost on adversarial chains — 2^max_iter diameter
+    coverage is ample for dedup graphs).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("component", F.coalesce("nmin", "component")).alias("component"),
+                    (F.col("nmin") < F.col("component")).alias("__changed"))
+        )
+        changed = updated.filter(F.col("__changed")).limit(1).count() > 0
+        labels = updated.select("id", "component").localCheckpoint()
+        if not changed:
+            break
+    return labels

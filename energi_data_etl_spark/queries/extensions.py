@@ -1,0 +1,141 @@
+"""Extension-tier queries (SURVEY.md §2.10 U2/U3 + §4.3 skew + graph):
+custom UDAF via applyInPandas, Python UDTF, salted aggregation, and
+iterative connected-components dedup clustering.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators import text as X
+from ..operators.graph import connected_components
+from ..operators.skew import salted_agg
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "grouped_median_udaf",
+    tier="U2 (custom UDAF via applyInPandas — Arrow-batched grouped kernel)",
+    oracle="""
+        SELECT event_type, ROUND(MEDIAN(value), 4) AS median_value, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def grouped_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median through applyInPandas: each group arrives as
+    one Arrow batch in pandas. (Spark 3.4+ has a native F.median — used
+    in production; this query certifies the custom-UDAF path itself.)
+    Scale note: a group must fit in one executor's memory — medians over
+    mega-groups want percentile_approx or two-pass selection instead."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+
+    def med(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [round(float(pdf["value"].median()), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(med, "event_type string, median_value double, n long")
+
+
+@query(
+    "tokenize_udtf",
+    tier="U3 (Python UDTF — one row in, N rows out with position)",
+    oracle="""
+        SELECT doc_id,
+               GENERATE_SUBSCRIPTS(l, 1) - 1 AS pos,
+               UNNEST(l) AS token
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id < 30) t
+    """,
+)
+def tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued tokenizer via a real Python UDTF (Spark 3.5+ / 4.x),
+    joined laterally per document. The built-in equivalent is
+    posexplode(split(...)) — kept JVM-side in the other queries; this
+    query certifies the UDTF extension point for logic that genuinely
+    needs Python per-row generation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, tok in enumerate((text or "").split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf_fn", Tokenize)
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 30)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM docs_for_udtf d, LATERAL tokenize_udtf_fn(d.text) t"
+    )
+
+
+@query(
+    "salted_aggregation",
+    tier="§4.3 (two-stage salted agg — hot-key skew mitigation)",
+    oracle="""
+        SELECT event_type,
+               ROUND(SUM(value), 2)  AS sum_value,
+               COUNT(value)          AS n,
+               ROUND(MIN(value), 4)  AS min_value,
+               ROUND(MAX(value), 4)  AS max_value,
+               ROUND(AVG(value), 4)  AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation MUST equal the direct groupBy — the
+    oracle is the direct form; the Spark side runs the salted plan."""
+    ev = load_table(spark, "events", sf_dir)
+    out = salted_agg(ev, ["event_type"], "value", salt_buckets=16)
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        "n",
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+    )
+
+
+@query(
+    "dedup_clusters",
+    tier="L2+graph (near-dup pairs → connected components → cluster reps)",
+    oracle="""
+        WITH fps AS (
+            SELECT doc_id,
+                   MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                       LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))), ' ')) AS fp
+            FROM documents
+        ), dup_groups AS (
+            SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1
+        )
+        SELECT f.doc_id AS id,
+               MIN(f.doc_id) OVER (PARTITION BY f.fp) AS component
+        FROM fps f JOIN dup_groups g ON f.fp = g.fp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: bag-identical pair graph → iterative
+    min-label connected components → (doc, cluster representative).
+    On this fixture components coincide with fingerprint groups, which
+    is exactly what makes the iterative result SQL-checkable; the chain
+    topology (where one groupBy would NOT suffice) is covered in
+    tests/test_graph_ops.py."""
+    d = load_table(spark, "documents", sf_dir)
+    fps = d.select("doc_id", X.bag_fingerprint("text").alias("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+        F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+    )
+    return connected_components(pairs).select("id", "component")
