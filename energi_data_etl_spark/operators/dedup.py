@@ -68,12 +68,27 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
     )
 
 
+def hashed_shingles(sh: Column) -> Column:
+    """Shingle strings → distinct int64 hashes (xxhash64), ONE string
+    hash per shingle. All downstream MinHash/Jaccard work runs on longs:
+    the signature permutations become integer arithmetic and the verify
+    join ships ~8-byte elements instead of shingle strings."""
+    return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+
+
 def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(i, shingle). Pure expression — map stage, no shuffle."""
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
-    )
+    """MinHash signature over HASHED shingles (array<long>): permutation
+    i is xxhash64(i, h) — re-hashing an int64 is a fixed two-word mix,
+    far cheaper than the naive 64× full-string hashing, and avoids the
+    two traps of a linear a·h+b family under ANSI mode: wrap-multiply
+    throws ARITHMETIC_OVERFLOW, and without wrap the map is monotone
+    (every "permutation" would pick the same min shingle).
+    Pure expression — map stage, no shuffle."""
+
+    def perm(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    return F.array(*[F.array_min(F.transform(sh, perm(i))) for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(
@@ -143,8 +158,23 @@ def near_dup_minhash(
 
     With b=16 bands × r=4 rows, the LSH S-curve crosses ~50% capture at
     j ≈ (1/b)^(1/r) ≈ 0.5 — matched to the default threshold.
+
+    The whole pipeline runs on hashed shingles (int64): Jaccard over the
+    hash sets equals Jaccard over the shingle sets up to xxhash64
+    collisions (~n²/2⁶⁴ — vanishing), and both the signature map stage
+    and the verify join get severalfold cheaper.
     """
-    base = df.select(id_col, shingles(text_col, shingle_n).alias("sh"))
+    # A small-file corpus arrives as ONE input partition — spread the
+    # compute-heavy shingle/signature map stage across the cluster, and
+    # persist it: the plan consumes it three times (signatures + both
+    # sides of the verify join), and without the cache Spark recomputes
+    # the shingling each time.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(parallelism, id_col)
+        .select(id_col, hashed_shingles(shingles(text_col, shingle_n)).alias("sh"))
+        .persist()
+    )
     sigs = base.select(id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=num_hashes // bands)
     verified = exact_jaccard(cands, base, id_col=id_col, set_col="sh")
@@ -163,7 +193,8 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     The per-bit tally is expressed as 64 conditional sums over the
     exploded token hashes — wide but flat aggregation, all codegen.
     """
-    tok = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(parallelism, id_col).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     h = F.xxhash64("tok")
     bit_sums = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")

@@ -115,11 +115,19 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard ≥0.8 inside (lang × length-bucket) blocks
     — the blocking key turns O(n²) into sum of small block quadratics;
-    at 100 TB the block sizes, not the corpus size, bound the work."""
+    at 100 TB the block sizes, not the corpus size, bound the work.
+    Token sets are hashed to int64 before the pair join (same Jaccard
+    values, 8-byte elements through the 2.5M-pair intersect instead of
+    strings)."""
     d = load_table(spark, "documents", sf_dir)
-    toks = F.array_distinct(X.tokens("text"))
-    base = d.select(
-        "doc_id", "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket"), toks.alias("toks")
+    toks = F.array_distinct(F.transform(X.tokens("text"), lambda t: F.xxhash64(t)))
+    # small-file corpus = 1 input partition: spread the tokenize map
+    # stage, and persist — both sides of the self-join consume it
+    parallelism = spark.sparkContext.defaultParallelism
+    base = (
+        d.repartition(parallelism, "doc_id")
+        .select("doc_id", "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket"), toks.alias("toks"))
+        .persist()
     )
     a, b = base.alias("a"), base.alias("b")
     jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.greatest(
