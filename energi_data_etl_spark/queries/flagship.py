@@ -19,6 +19,30 @@ FLAGSHIP_MONTHS = (1, 2, 3)
 
 
 @query(
+    "dashboard_cards",
+    tier="A4+P5 (the Power BI zone cards: month slicer → per-key average)",
+    oracle="""
+        SELECT event_type,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(*) AS n_events
+        FROM events
+        WHERE MONTH(CAST(ts AS DATE)) IN (1)
+        GROUP BY event_type
+    """,
+)
+def dashboard_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dashboard query (images/Powerbi.png: four per-zone
+    average cards under a month slicer, README.md:18-21) — the engine's
+    `zone_summary` composed over the raw events."""
+    events = load_table(spark, "events", sf_dir)
+    filtered = events.withColumn("date", F.to_date("ts")).filter(F.month("date").isin(1))
+    return filtered.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
     "flagship_daily_avg",
     tier="A1+P5+F1 (REF core transform)",
     oracle="""
