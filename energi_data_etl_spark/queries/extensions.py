@@ -75,7 +75,7 @@ def tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 30)
     d.createOrReplaceTempView("docs_for_udtf")
     return spark.sql(
-        "SELECT d.doc_id, t.pos, t.token FROM docs_for_udtf d, LATERAL tokenize_udtf_fn(d.text) t"
+        "SELECT d.doc_id, CAST(t.pos AS BIGINT) AS pos, t.token FROM docs_for_udtf d, LATERAL tokenize_udtf_fn(d.text) t"
     )
 
 

@@ -34,10 +34,10 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.filter(F.year("o_orderdate").between(1996, 1998))
         .groupBy(
-            F.year("o_orderdate").alias("yr"),
-            F.quarter("o_orderdate").alias("qtr"),
-            F.month("o_orderdate").alias("mo"),
-            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
@@ -64,7 +64,7 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(od, 30).alias("ship_by"),
         F.trunc(od, "month").alias("order_month"),
         F.last_day(od).alias("month_end"),
-        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch"),
     )
 
 
@@ -92,7 +92,7 @@ def string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(F.col("p_partkey") < 300).select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_pfx"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
@@ -108,7 +108,7 @@ def string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*)                                               AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS INT))    AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
                COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k
         FROM events
@@ -186,7 +186,7 @@ def array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(F.col("vec_id") < 50).select(
         "vec_id",
         "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + xd(x) * xd(x)), 6).alias("sq_norm"),
         F.transform(F.slice("embedding", 1, 3), lambda x: F.round(xd(x), 4)).alias("head3"),

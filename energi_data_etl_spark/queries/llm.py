@@ -320,9 +320,9 @@ def token_counts_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
     return d.select(
         "doc_id",
-        F.size(X.tokens("text")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias("n_bpeish_tokens"),
-        F.length("text").alias("n_chars"),
+        F.size(X.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast("long").alias("n_bpeish_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 

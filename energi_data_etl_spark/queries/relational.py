@@ -325,8 +325,8 @@ def conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(MAX(CAST(ts AS DATE)) AS DATE) AS watermark,
                COUNT(*) AS total_rows,
-               SUM(CASE WHEN CAST(ts AS DATE) > (SELECT MAX(CAST(ts AS DATE)) - 7 FROM events)
-                        THEN 1 ELSE 0 END) AS rows_since_watermark
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) > (SELECT MAX(CAST(ts AS DATE)) - 7 FROM events)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rows_since_watermark
         FROM events
     """,
 )

@@ -49,9 +49,9 @@ def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="T4 (sliding 2-day window, 1-day slide)",
     oracle="""
         WITH buckets AS (
-            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS win_start, event_type, value FROM events
+            SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS win_start, event_type, value FROM events
             UNION ALL
-            SELECT CAST(DATE_TRUNC('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) AS win_start, event_type, value FROM events
+            SELECT CAST(DATE_TRUNC('day', ts) - INTERVAL 1 DAY AS DATE) AS win_start, event_type, value FROM events
         )
         SELECT win_start, event_type,
                ROUND(AVG(value), 4) AS avg_value,

@@ -112,7 +112,7 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     return (
-        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "c_custkey", "rn", F.round("c_acctbal", 2).alias("c_acctbal"))
     )
@@ -140,8 +140,8 @@ def window_ranking_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_mktsegment",
         "c_custkey",
-        F.rank().over(by_nation).alias("rnk"),
-        F.dense_rank().over(by_nation).alias("drnk"),
+        F.rank().over(by_nation).cast("long").alias("rnk"),
+        F.dense_rank().over(by_nation).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(by_nation), 6).alias("prnk"),
-        F.ntile(4).over(by_key).alias("quartile"),
+        F.ntile(4).over(by_key).cast("long").alias("quartile"),
     )

@@ -107,7 +107,7 @@ def sliding_window_avg(stream: DataFrame, width: str = "2 days", slide: str = "1
         .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
         .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("win.start").cast("date").alias("win_start"),
             "event_type",
             "avg_value",
             "n",
