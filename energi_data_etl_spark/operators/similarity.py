@@ -128,6 +128,84 @@ def neardup_pairs_matmul(
     return df.select(id_col, vec_col).mapInPandas(score, "a long, b long, cos_sim double")
 
 
+def ann_ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse k-means quantizer → inverted lists per
+    centroid cell → queries probe their `nprobe` nearest cells only.
+
+    Fit is driver-side Lloyd iterations on a deterministic sample
+    (ordered limit + seeded init) — the standard IVF recipe: the
+    quantizer is tiny and global, the assignment is a broadcast map
+    stage, and search joins on the cell id (shuffle by cell, never a
+    cross join). recall/cost dial = n_centroids × nprobe.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ C.T, axis=1)  # spherical k-means: cosine assignment
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / (np.linalg.norm(c) or 1.0)
+    b_C = spark.sparkContext.broadcast(C)
+
+    def cells(nearest: int):
+        def assign_batches(batches):
+            import pandas as pd
+
+            Cm = b_C.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
+                v = v / np.linalg.norm(v, axis=1, keepdims=True)
+                sims = v @ Cm.T
+                top = np.argsort(-sims, axis=1)[:, :nearest]  # (n, nearest)
+                out = {
+                    pdf.columns[0]: np.repeat(pdf.iloc[:, 0].to_numpy(), nearest),
+                    pdf.columns[1]: [row for row in pdf.iloc[:, 1] for _ in range(nearest)],
+                    "cell": top.ravel().astype(np.int32),
+                }
+                yield pd.DataFrame(out)
+
+        return assign_batches
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qc = q.mapInPandas(cells(nprobe), "query_id long, __qv array<float>, cell int")
+    cc = c.mapInPandas(cells(1), "neighbor_id long, __cv array<float>, cell int")
+    scored = (
+        qc.join(cc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("__cos").alias("__cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cos_sim"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (Box–Muller on seeded PRNG) —
     no numpy dependency on executors; planes ship as literals."""

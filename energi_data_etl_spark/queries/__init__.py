@@ -9,3 +9,4 @@ from . import windows  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import streaming  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402

@@ -129,7 +129,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket"), toks.alias("toks"))
         .persist()
     )
-    a, b = base.alias("a"), base.alias("b")
+    # the block key (lang × len_bucket) has ~25 distinct values — a
+    # shuffled join on it is inherently skewed; broadcasting one side
+    # keeps every probe partition busy and makes the plan stable
+    a, b = base.alias("a"), F.broadcast(base.alias("b"))
     jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.greatest(
         F.size(F.array_union("a.toks", "b.toks")), F.lit(1)
     )
@@ -193,6 +196,17 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold) → ~2 s (matmul kernel) at sf0.1."""
     e = load_table(spark, "embeddings", sf_dir)
     return S.neardup_pairs_matmul(e, threshold=0.4)
+
+
+@query(
+    "ann_ivf_topk",
+    tier="L3 (IVF coarse-quantizer ANN — the clustered-data scale path; rows-only)",
+    oracle=None,
+    doc="spherical k-means (16 cells, seeded) inverted lists, nprobe=4; recall vs exact_knn asserted in tests/test_llm_ops.py",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.ann_ivf_knn(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
 @query(

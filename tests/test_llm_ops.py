@@ -101,6 +101,17 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.75, f"ANN recall {recall}"
 
 
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.ann_ivf_knn(q, e, k=5).collect()}
+    recall = len(approx & exact) / len(exact)
+    # near-orthogonal vectors spread true neighbors across cells; with
+    # 16 cells × nprobe 4 (1/4 of the corpus scanned) expect ≥0.4
+    assert recall >= 0.4, f"IVF recall {recall}"
+
+
 def test_ann_is_deterministic(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < 5)
