@@ -1,0 +1,136 @@
+"""Null-safety, percentile, collection-aggregate, and regex surfaces —
+rounding out F8/F9/A5/F2 (SURVEY.md §2.8/§2.3) with the error-tolerant
+(`try_*`) and order-statistic functions a production pipeline leans on.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+@query(
+    "null_safety_surface",
+    tier="F8+F9 (try_cast/try_divide, ifnull/nullif — error-tolerant exprs)",
+    oracle="""
+        SELECT o_orderkey,
+               TRY_CAST(o_orderpriority AS INT)                                  AS prio_as_int,
+               TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT)                 AS prio_num,
+               CASE WHEN MOD(o_orderkey, 7) = 0 THEN NULL
+                    ELSE ROUND(o_totalprice / MOD(o_orderkey, 7), 4) END         AS price_per,
+               IFNULL(NULLIF(o_orderstatus, 'O'), 'open')                        AS status_or_open
+        FROM orders
+        WHERE o_orderkey < 300
+    """,
+)
+def null_safety_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI mode makes bad casts/zero-division ERRORS (the right default
+    at scale: fail loud); try_* opt back into null-tolerance per
+    expression — certified against DuckDB's TRY_CAST/CASE forms."""
+    o = load_table(spark, "orders", sf_dir)
+    denom = F.col("o_orderkey") % 7
+    return o.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("int").alias("prio_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.round(F.try_divide(F.col("o_totalprice"), F.when(denom == 0, None).otherwise(denom)), 4).alias("price_per"),
+        F.ifnull(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_or_open"),
+    )
+
+
+@query(
+    "percentile_surface",
+    tier="A5 (exact interpolated percentiles / order statistics)",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def percentile_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). Exact percentiles need the full group —
+    at 100 TB prefer approx_percentile (sketched, mergeable); the
+    sketch variant is covered rows-only in approx_percentile_sketch."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+        ]
+    )
+
+
+@query(
+    "approx_percentile_sketch",
+    tier="A6 (KLL/GK percentile sketch — the 100 TB path; rows-only)",
+    oracle=None,
+    doc="approx_percentile vs exact percentile, asserted within 1% relative in tests/test_relational_extras.py",
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+    )
+
+
+@query(
+    "collect_aggregates",
+    tier="A5+F6 (collect_set/collect_list → sorted arrays)",
+    oracle="""
+        SELECT c_nationkey,
+               LIST_SORT(LIST(DISTINCT c_mktsegment)) AS segments,
+               CAST(LEN(LIST(DISTINCT c_mktsegment)) AS BIGINT) AS n_segments,
+               COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_nationkey < 5
+        GROUP BY c_nationkey
+    """,
+)
+def collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates; results sorted so the set semantics
+    compare deterministically across engines."""
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        c.filter(F.col("c_nationkey") < 5)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "regex_surface",
+    tier="F2 (regexp_replace/extract_all/count, rlike)",
+    oracle="""
+        SELECT p_partkey,
+               REGEXP_REPLACE(p_brand, '[0-9]+', '#', 'g')                     AS brand_masked,
+               CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS BIGINT)      AS n_vowels,
+               REGEXP_MATCHES(p_type, '^(ECONOMY|PROMO)')                      AS is_cheap_tier,
+               REGEXP_EXTRACT(p_name, '([a-z]+)$', 1)                          AS last_word
+        FROM part
+        WHERE p_partkey < 200
+    """,
+)
+def regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex expression family (patterns kept in the Java∩RE2 common
+    subset so both engines agree)."""
+    p = load_table(spark, "part", sf_dir)
+    return p.filter(F.col("p_partkey") < 200).select(
+        "p_partkey",
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_tier"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+    )

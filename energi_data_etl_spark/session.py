@@ -73,6 +73,9 @@ def get_spark(app_name: str = "energi-data-etl-spark", cpus: int | None = None) 
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table storage (sources/sinks.py write_bucketed_table)
+        # lives outside the repo checkout
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/energi_warehouse"))
     )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)

@@ -1,0 +1,16 @@
+"""Accuracy gates for the sketch-tier aggregates (SURVEY A6): declared
+rows-only for the driver, so these tests are their correctness bound."""
+
+from __future__ import annotations
+
+from energi_data_etl_spark.queries import QUERIES
+
+
+def test_approx_count_distinct_within_5pct(spark, oracle_sf_dir):
+    row = QUERIES["approx_count_distinct"].fn(spark, oracle_sf_dir).first()
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05, row
+
+
+def test_approx_percentile_within_1pct(spark, oracle_sf_dir):
+    for row in QUERIES["approx_percentile_sketch"].fn(spark, oracle_sf_dir).collect():
+        assert abs(row.p50_approx - row.p50_exact) / abs(row.p50_exact) < 0.01, row
