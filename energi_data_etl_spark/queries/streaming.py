@@ -16,6 +16,7 @@ from ..streaming.ops import (
     run_to_memory,
     session_window_stats,
     sliding_window_avg,
+    stateful_user_totals,
     tumbling_window_avg,
 )
 from .catalog import query
@@ -76,6 +77,31 @@ def streaming_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, _events_path(sf_dir))
     return run_to_memory(session_window_stats(stream, gap="30 minutes"), output_mode="complete")
+
+
+@query(
+    "streaming_stateful_totals",
+    tier="T-series+U2 (applyInPandasWithState custom stateful operator)",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        WHERE user_id < 50
+        GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals held in explicit GroupState; after the
+    drain, the final state row per user equals the batch aggregate —
+    certified by the SQL oracle (update-mode memory sink keeps the last
+    emission per key)."""
+    stream = events_stream(spark, _events_path(sf_dir)).filter(F.col("user_id") < 50)
+    drained = run_to_memory(stateful_user_totals(stream), output_mode="update")
+    # single-file replay ⇒ one micro-batch ⇒ exactly one (final) emission
+    # per user in the update-mode sink; a multi-batch replay would keep
+    # max(n_events) per user here instead
+    return drained.select("user_id", "n_events", "total_value")
 
 
 @query(

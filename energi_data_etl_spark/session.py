@@ -54,8 +54,13 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     Static configs (nanosAsLong is runtime-settable in 4.x; timezone and
     AQE are runtime) — anything that fails to set is skipped, the loader
     compensates where it can.
+
+    Also rightsizes shuffle partitions: a foreign session arrives with
+    the 200 default, which AQE coalesces for batch but CANNOT for
+    stateful streaming (AQE is disabled there) — 200 near-empty state
+    tasks per micro-batch otherwise.
     """
-    for k, v in ENGINE_CONF.items():
+    for k, v in {**ENGINE_CONF, "spark.sql.shuffle.partitions": str(cpu_count())}.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -138,6 +138,39 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = 
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (U2×T-series:
+    the extension point for state machines Spark's built-ins can't
+    express). Keeps a running (n_events, total_value) per user across
+    micro-batches; emits the updated running totals for users seen in
+    each batch.
+
+    State is one small tuple per key — bounded by |users|, partitioned
+    by the groupBy key like any agg; this is the scale shape for
+    sessionization/attribution logic beyond session_window's gap rule.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]})
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )
+
+
 def stream_to_parquet(stream: DataFrame, path: str, checkpoint: str) -> None:
     """T7: exactly-once append sink (the reference's WRITE_APPEND,
     energy_etl.py:105, with checkpointed idempotence instead of hope)."""

@@ -129,6 +129,42 @@ def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path):
     assert n1 == n2 == load_table(spark, "events", sf_dir).count()
 
 
+def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a user appearing in two micro-batches must
+    have CUMULATIVE totals in the second emission (explicit GroupState,
+    not per-batch aggregation)."""
+    import time
+
+    from energi_data_etl_spark.streaming.ops import stateful_user_totals
+
+    base = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    ns = lambda dt: int(dt.timestamp() * 1e9)  # noqa: E731
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    flat = str(tmp_path / "sflat")
+    os.makedirs(flat)
+    files = [
+        [(1, ns(base), 7, "click", 10.0, "{}"), (2, ns(base), 8, "view", 5.0, "{}")],
+        [(3, ns(base + datetime.timedelta(hours=1)), 7, "click", 30.0, "{}")],
+    ]
+    for i, rows in enumerate(files):
+        d = str(tmp_path / f"sf{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{d}/{f}", f"{flat}/{i:02d}_{f}")
+                os.utime(f"{flat}/{i:02d}_{f}", (time.time() + i * 30, time.time() + i * 30))
+
+    stream = events_stream(spark, flat, max_files_per_trigger=1)
+    out = run_to_memory(stateful_user_totals(stream), output_mode="update").collect()
+    by_user = {}
+    for r in out:  # update mode: keep the row with the largest n_events per user
+        cur = by_user.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            by_user[r.user_id] = r
+    assert by_user[7].n_events == 2 and by_user[7].total_value == 40.0  # state carried batch 1 → 2
+    assert by_user[8].n_events == 1 and by_user[8].total_value == 5.0
+
+
 def test_tumbling_matches_flagship_batch(spark, sf_dir):
     """T3 ≡ A1: the streaming tumbling daily average equals the batch
     daily_average (the reference's core transform) exactly."""
