@@ -18,13 +18,22 @@ results are reproducible across engines (and DuckDB's list functions).
 
 from __future__ import annotations
 
-import math
 import random
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-__all__ = ["dot", "l2_norm", "cosine", "exact_knn", "hyperplane_buckets", "ann_lsh_knn"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "unit_vector",
+    "exact_knn",
+    "neardup_pairs_matmul",
+    "hyperplane_buckets",
+    "ann_lsh_knn",
+    "ann_ivf_knn",
+]
 
 
 def dot(a: Column, b: Column) -> Column:

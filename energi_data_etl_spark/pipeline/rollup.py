@@ -18,7 +18,6 @@ append, energy_etl.py:22-108). Generalized here into engine operators:
 
 from __future__ import annotations
 
-import datetime
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession

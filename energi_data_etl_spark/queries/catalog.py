@@ -18,7 +18,7 @@ same parquet tables. Contract requirements (SURVEY.md §5.2):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.graph import connected_components
 from ..operators.skew import salted_agg

@@ -92,6 +92,35 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_1h",
+    tier="W3 (time-based RANGE frame — trailing 1-hour window per event)",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT)      AS n_last_hour,
+               ROUND(SUM(value) OVER w, 4)          AS sum_last_hour
+        FROM events
+        WHERE user_id < 25
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (not row counts): every event sees
+    the events of the SAME user in its trailing hour — dense or sparse.
+    Spark range frames need a numeric order key → seconds since epoch;
+    bounds are inclusive in both engines."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 25)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(secs.alias("secs")).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )
+
+
+@query(
     "window_rank_topk",
     tier="W1+§2.6 (per-group top-k via row_number)",
     oracle="""
