@@ -81,6 +81,26 @@ def quality_score(text_col: str = "text") -> Column:
     return F.round(0.4 * len_component + 0.3 * word_len_component + 0.3 * F.least(sw * 5, F.lit(1.0)), 6)
 
 
+def normalize_text_udf():
+    """Scalar pandas UDF (SURVEY U1): Arrow-vectorized text
+    normalization — lowercase, trim, collapse whitespace runs.
+
+    Exists to certify the @pandas_udf extension point; the same
+    semantics ARE expressible with built-ins (lower/trim/
+    regexp_replace, which is what the DuckDB oracle uses) — prefer the
+    built-ins in hot paths, reach for the pandas UDF when the kernel
+    needs a Python library (tokenizers, unicode normalization, ...).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def normalize(s):  # s: pd.Series → pd.Series (hints omitted: the
+        # stringified-annotation form isn't accepted by the UDF resolver)
+        return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+    return normalize
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Exact-content fingerprint: md5 of the lowercased, trimmed text.
     (md5 builtin → identical across engines, unlike xxhash64.)"""

@@ -340,6 +340,26 @@ def token_counts_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udf_text_normalize",
+    tier="U1 (scalar pandas UDF, Arrow-vectorized)",
+    oracle="""
+        SELECT doc_id,
+               REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g') AS norm_text,
+               LENGTH(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS norm_len
+        FROM documents
+        WHERE doc_id < 150
+    """,
+)
+def udf_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U1 extension point: a scalar @pandas_udf normalizer whose
+    output is certified against the built-in lower/trim/regexp pipeline
+    (the oracle) — proving the Arrow batch path is value-identical."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    norm = X.normalize_text_udf()(F.col("text"))
+    return d.select("doc_id", norm.alias("norm_text"), F.length(norm).cast("long").alias("norm_len"))
+
+
 # --------------------------------------------------------------------------
 # L5 multimodal columns
 # --------------------------------------------------------------------------
