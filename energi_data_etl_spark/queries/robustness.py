@@ -111,6 +111,57 @@ def collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_quality_report",
+    tier="engine utility (declarative validation: nulls/ranges/sets/FK in one pass)",
+    oracle="""
+        SELECT 'orderdate_in_range' AS rule, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL
+                              OR CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                              OR CAST(o_orderdate AS DATE) > DATE '2005-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_positive', COUNT(*),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_domain', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_fk_valid', COUNT(*),
+               CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders: range / positivity / domain
+    rules in one aggregate pass (operators/validation.py) + FK
+    integrity via broadcast anti-join — the validation suite an LLM
+    training-data pipeline runs before every ingest."""
+    from ..operators.validation import Rule, fk_violations, validate
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    od = F.to_date("o_orderdate")
+    report = validate(
+        o,
+        [
+            Rule("orderdate_in_range", od.between(F.lit("1990-01-01").cast("date"), F.lit("2005-01-01").cast("date"))),
+            Rule("totalprice_positive", F.col("o_totalprice") > 0),
+            Rule("status_in_domain", F.col("o_orderstatus").isin("F", "O", "P")),
+        ],
+    ).select("rule", "n_rows", "n_violations")
+    n_orders = o.count()
+    fk_bad = fk_violations(o, "o_custkey", c, "c_custkey").count()
+    fk_row = spark.createDataFrame(
+        [("custkey_fk_valid", n_orders, fk_bad)], "rule string, n_rows long, n_violations long"
+    )
+    return report.unionByName(fk_row)
+
+
+@query(
     "regex_surface",
     tier="F2 (regexp_replace/extract_all/count, rlike)",
     oracle="""
