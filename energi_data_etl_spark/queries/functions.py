@@ -243,6 +243,42 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "calendar_coverage",
+    tier="F1 (sequence+explode calendar generation ⋈ facts — gap detection)",
+    oracle="""
+        WITH cal AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-01-01', DATE '2024-02-10', INTERVAL 1 DAY)) AS DATE) AS day
+        ), daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+        )
+        SELECT cal.day,
+               CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events,
+               COALESCE(daily.n, 0) = 0 AS is_gap
+        FROM cal LEFT JOIN daily USING (day)
+    """,
+)
+def calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar (sequence→explode, the reference's backfill
+    day-loop energy_etl.py:54-79 as data) LEFT JOINed to daily counts —
+    the gap-detection query every incremental pipeline needs (the
+    events fixture ends Jan 30, so February days report as gaps)."""
+    ev = load_table(spark, "events", sf_dir)
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-02-10").cast("date"), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        (F.coalesce("n", F.lit(0)) == 0).alias("is_gap"),
+    )
+
+
+@query(
     "format_strings",
     tier="F2 (format_string — the reference's URL builder)",
     oracle="""
