@@ -11,3 +11,4 @@ from . import streaming  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import robustness  # noqa: F401,E402
+from . import tpch  # noqa: F401,E402
