@@ -107,6 +107,27 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.lower(F.trim(F.col(text_col))))
 
 
+def winnowing_fingerprint(text_col: str = "text", k: int = 3, w: int = 4) -> Column:
+    """Rolling-hash document fingerprint (winnowing): hash every k-gram
+    shingle, slide a w-wide window over the hash sequence, keep each
+    window's minimum, dedupe+sort. The standard plagiarism/near-dup
+    fingerprint: robust to local edits (an edit perturbs only nearby
+    windows), ~|tokens|/w selected hashes per doc.
+
+    md5 (not xxhash) as the k-gram hash so the fingerprint is
+    reproducible across engines; lexicographic min over hex digests is
+    a valid uniform selector. Pure expression — map stage.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    kgram_hashes = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    n_h = F.size(kgram_hashes)
+    win_idx = F.sequence(F.lit(1), F.greatest(n_h - w + 1, F.lit(1)))
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(kgram_hashes, i, w)))
+    return F.array_sort(F.array_distinct(mins))
+
+
 def bag_fingerprint(text_col: str = "text") -> Column:
     """Order-insensitive fingerprint: md5 over the sorted distinct token
     set — catches shuffled/reordered near-copies exactly."""

@@ -341,6 +341,44 @@ def token_counts_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnowing_fingerprints",
+    tier="L4 (rolling-hash winnowing document fingerprints)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS toks
+            FROM documents WHERE doc_id < 120
+        ), h AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(
+                       GENERATE_SERIES(0, GREATEST(LEN(toks) - 3, 0)),
+                       i -> MD5(ARRAY_TO_STRING(toks[i + 1 : i + 3], ' '))
+                   ) AS kh
+            FROM t
+        )
+        SELECT doc_id,
+               LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(kh) - 4 + 1, 1)),
+                   i -> LIST_AGGREGATE(kh[i : i + 3], 'min')
+               ))) AS fp,
+               CAST(LEN(LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(kh) - 4 + 1, 1)),
+                   i -> LIST_AGGREGATE(kh[i : i + 3], 'min')
+               )))) AS BIGINT) AS n_fp
+        FROM h
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, window-min selection) per doc —
+    the edit-robust fingerprint family. DuckDB list slicing a[i:j] is
+    END-INCLUSIVE, so the oracle's i+2 / i+3 bounds equal Spark's
+    slice(_, i, 3) / slice(_, i, 4)."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 120)
+    fp = X.winnowing_fingerprint("text", k=3, w=4)
+    return d.select("doc_id", fp.alias("fp"), F.size(fp).cast("long").alias("n_fp"))
+
+
+@query(
     "udf_text_normalize",
     tier="U1 (scalar pandas UDF, Arrow-vectorized)",
     oracle="""

@@ -193,6 +193,21 @@ def test_quality_score_orders_garbage_below_prose(spark):
     assert q[1] > q[2]
 
 
+def test_winnowing_is_edit_robust(spark):
+    """A one-word edit perturbs only nearby windows: the winnowing
+    fingerprint sets overlap heavily for near-dups, not at all for
+    unrelated docs."""
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = base.replace("w30", "CHANGED")
+    other = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, edited), (3, other)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fp) for r in df.select("doc_id", X.winnowing_fingerprint("text").alias("fp")).collect()}
+    sim_near = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    sim_far = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert sim_near > 0.6, sim_near
+    assert sim_far == 0.0
+
+
 def test_fingerprints_detect_reorder(spark):
     rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta delta")]
     df = spark.createDataFrame(rows, "doc_id long, text string").select(
