@@ -87,7 +87,7 @@ def tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(value)          AS n,
                ROUND(MIN(value), 4)  AS min_value,
                ROUND(MAX(value), 4)  AS max_value,
-               ROUND(AVG(value), 4)  AS avg_value
+               ROUND(AVG(value), 6)  AS avg_value
         FROM events
         GROUP BY event_type
     """,
@@ -103,7 +103,7 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
-        F.round("avg_value", 4).alias("avg_value"),
+        F.round("avg_value", 6).alias("avg_value"),
     )
 
 

@@ -23,7 +23,7 @@ FLAGSHIP_MONTHS = (1, 2, 3)
     tier="A4+P5 (the Power BI zone cards: month slicer → per-key average)",
     oracle="""
         SELECT event_type,
-               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(AVG(value), 6) AS avg_value,
                COUNT(*) AS n_events
         FROM events
         WHERE MONTH(CAST(ts AS DATE)) IN (1)
@@ -37,7 +37,7 @@ def dashboard_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     filtered = events.withColumn("date", F.to_date("ts")).filter(F.month("date").isin(1))
     return filtered.groupBy("event_type").agg(
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -48,7 +48,7 @@ def dashboard_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(ts AS DATE) AS date,
                event_type,
-               ROUND(AVG(value), 4) AS avg_value
+               ROUND(AVG(value), 6) AS avg_value
         FROM events
         WHERE MONTH(CAST(ts AS DATE)) IN (1, 2, 3)
         GROUP BY 1, 2
@@ -59,4 +59,4 @@ def flagship_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy_etl.py:69-70 + Power BI month slicer)."""
     events = load_table(spark, "events", sf_dir)
     daily = daily_average(events, ts_col="ts", key_col="event_type", value_col="value", months=FLAGSHIP_MONTHS)
-    return daily.select("date", "event_type", F.round("avg_value", 4).alias("avg_value"))
+    return daily.select("date", "event_type", F.round("avg_value", 6).alias("avg_value"))

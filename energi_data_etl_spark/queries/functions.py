@@ -109,7 +109,7 @@ def string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*)                                               AS n,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
                COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k
         FROM events
         GROUP BY event_type
@@ -128,7 +128,7 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
             F.countDistinct("k").alias("distinct_k"),
         )
     )

@@ -256,7 +256,7 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(FLOOR((DAY(CAST(ts AS DATE)) - 1) / 7) AS INT) AS wk,
-               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(AVG(value), 6) AS avg_value,
                COUNT(*) AS n
         FROM events
         GROUP BY ROLLUP(event_type, CAST(FLOOR((DAY(CAST(ts AS DATE)) - 1) / 7) AS INT))
@@ -270,7 +270,7 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_type", wk, "value")
         .rollup("event_type", "wk")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
     )
 
 

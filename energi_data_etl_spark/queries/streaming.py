@@ -32,7 +32,7 @@ def _events_path(sf_dir: str) -> str:
     oracle="""
         SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS date,
                event_type,
-               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(AVG(value), 6) AS avg_value,
                COUNT(*) AS n
         FROM events
         GROUP BY 1, 2
@@ -55,7 +55,7 @@ def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(DATE_TRUNC('day', ts) - INTERVAL 1 DAY AS DATE) AS win_start, event_type, value FROM events
         )
         SELECT win_start, event_type,
-               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(AVG(value), 6) AS avg_value,
                COUNT(*) AS n
         FROM buckets
         GROUP BY 1, 2

@@ -36,8 +36,8 @@ _DAILY_CTE = """
     oracle=_DAILY_CTE
     + """
         SELECT date, event_type,
-               ROUND(avg_value, 4) AS avg_value,
-               ROUND(avg_value - LAG(avg_value, 1) OVER (PARTITION BY event_type ORDER BY date), 4) AS delta
+               ROUND(avg_value, 6) AS avg_value,
+               ROUND(avg_value - LAG(avg_value, 1) OVER (PARTITION BY event_type ORDER BY date), 6) AS delta
         FROM daily
     """,
 )
@@ -46,8 +46,8 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _daily(spark, sf_dir).select(
         "date",
         "event_type",
-        F.round("avg_value", 4).alias("avg_value"),
-        F.round(F.col("avg_value") - F.lag("avg_value", 1).over(w), 4).alias("delta"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round(F.col("avg_value") - F.lag("avg_value", 1).over(w), 6).alias("delta"),
     )
 
 
@@ -58,14 +58,14 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
         SELECT date, event_type,
                ROUND(AVG(avg_value) OVER (PARTITION BY event_type ORDER BY date
-                                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_7d
+                                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_7d
         FROM daily
     """,
 )
 def window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("date").rowsBetween(-6, 0)
     return _daily(spark, sf_dir).select(
-        "date", "event_type", F.round(F.avg("avg_value").over(w), 4).alias("rolling_7d")
+        "date", "event_type", F.round(F.avg("avg_value").over(w), 6).alias("rolling_7d")
     )
 
 
@@ -76,7 +76,7 @@ def window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
         SELECT date, event_type,
                ROUND(SUM(avg_value) OVER (PARTITION BY event_type ORDER BY date
-                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value,
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
                FIRST_VALUE(date) OVER (PARTITION BY event_type ORDER BY date) AS first_date
         FROM daily
     """,
@@ -86,7 +86,7 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _daily(spark, sf_dir).select(
         "date",
         "event_type",
-        F.round(F.sum("avg_value").over(w), 4).alias("cum_value"),
+        F.round(F.sum("avg_value").over(w), 6).alias("cum_value"),
         F.first("date").over(w).alias("first_date"),
     )
 

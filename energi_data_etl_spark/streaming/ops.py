@@ -95,7 +95,7 @@ def tumbling_window_avg(stream: DataFrame, width: str = "1 day", watermark: str 
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("win"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").cast("date").alias("date"), "event_type", "avg_value", "n")
     )
 
@@ -105,7 +105,7 @@ def sliding_window_avg(stream: DataFrame, width: str = "2 days", slide: str = "1
     return (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
         .select(
             F.col("win.start").cast("date").alias("win_start"),
             "event_type",

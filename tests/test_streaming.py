@@ -174,7 +174,7 @@ def test_tumbling_matches_flagship_batch(spark, sf_dir):
     got = {(str(r.date), r.event_type): (r.avg_value, r.n) for r in stream_out.collect()}
     ev = load_table(spark, "events", sf_dir)
     batch = ev.groupBy(F.col("ts").cast("date").alias("date"), "event_type").agg(
-        F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n")
+        F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n")
     )
     want = {(str(r.date), r.event_type): (r.avg_value, r.n) for r in batch.collect()}
     assert got == want
