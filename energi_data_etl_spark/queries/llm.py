@@ -231,9 +231,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               ROUND(AVG(n_chars), 4) AS avg_chars,
-               ROUND(AVG(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))), 4) AS avg_tokens,
-               ROUND(AVG(LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)))), 4) AS avg_distinct_tokens
+               ROUND(AVG(n_chars), 6) AS avg_chars,
+               ROUND(AVG(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))), 6) AS avg_tokens,
+               ROUND(AVG(LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)))), 6) AS avg_distinct_tokens
         FROM documents
         GROUP BY lang
     """,
@@ -243,9 +243,9 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokens("text")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
-        F.round(F.avg(F.size(F.array_distinct(toks))), 4).alias("avg_distinct_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(toks)), 6).alias("avg_tokens"),
+        F.round(F.avg(F.size(F.array_distinct(toks))), 6).alias("avg_distinct_tokens"),
     )
 
 

@@ -27,9 +27,9 @@ from .catalog import query
                ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
                ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-               ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+               ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+               ROUND(AVG(l_discount), 6)                                        AS avg_disc,
                COUNT(*)                                                         AS count_order
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
@@ -49,9 +49,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -118,7 +118,7 @@ def predicate_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM(l_extendedprice), 2)      AS sum_price,
                ROUND(MIN(l_extendedprice), 2)      AS min_price,
                ROUND(MAX(l_extendedprice), 2)      AS max_price,
-               ROUND(AVG(l_extendedprice), 4)      AS avg_price,
+               ROUND(AVG(l_extendedprice), 6)      AS avg_price,
                ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
                ROUND(VAR_SAMP(l_discount), 6)      AS var_disc,
                COUNT(*)                            AS n_rows,
@@ -136,7 +136,7 @@ def agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -275,6 +275,40 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_events",
+    tier="A7 (explicit GROUPING SETS + grouping flags)",
+    oracle="""
+        SELECT event_type,
+               CAST(ts AS DATE) AS date,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_date,
+               ROUND(AVG(value), 6) AS avg_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical sibling of rollup
+    (per-type totals, per-date totals, grand total; NOT the cross
+    product). One Expand + one aggregate exchange; GROUPING() flags
+    disambiguate real NULLs from subtotal rows on both engines."""
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(ts AS DATE) AS date,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_date,
+               ROUND(AVG(value), 6) AS avg_value,
+               COUNT(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )
+
+
+@query(
     "cube_lineitem",
     tier="A7 (cube)",
     oracle="""
@@ -301,7 +335,7 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'high' END AS bucket,
                COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(other)') AS segment,
                COUNT(*) AS n,
-               ROUND(AVG(c_acctbal), 4) AS avg_bal
+               ROUND(AVG(c_acctbal), 6) AS avg_bal
         FROM customer
         GROUP BY 1, 2
     """,
@@ -315,7 +349,7 @@ def conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.select(bucket, segment, "c_acctbal")
         .groupBy("bucket", "segment")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
     )
 
 

@@ -144,6 +144,207 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_order_priority",
+    tier="§3 planner (TPC-H Q4 shape: correlated EXISTS → left semi join)",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst rewrites it to a LEFT SEMI join (one
+    shuffle; a naive engine's per-row subquery loop disappears). TPC-H Q4
+    with the fixture's l_returnflag standing in for the spec's missing
+    commit/receipt dates."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_q4")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4 o
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem_q4
+                      WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q12_priority_lines",
+    tier="A2 conditional agg (TPC-H Q12 shape: CASE-sum counts per group)",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum pivot (TPC-H Q12 with o_orderpriority standing in
+    for the fixture's missing l_shipmode): CASE folds into the partial
+    aggregate, so the join output is consumed map-side."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_ratio",
+    tier="A2 (TPC-H Q14 shape: ratio of conditional to total aggregate)",
+    oracle="""
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-07-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+    """,
+)
+def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-revenue share for one quarter: global (no-key) aggregate of
+    two sums; part is the broadcast side, lineitem's date filter is pushed
+    to the parquet scan."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-07-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    tier="§3 planner (TPC-H Q16 shape: NOT IN subquery → null-aware anti join + distinct agg)",
+    oracle="""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) — planned as a null-aware anti join against the
+    tiny negative-balance supplier set (broadcast), then COUNT(DISTINCT)
+    per part group. Lineitem stands in for the fixture's missing
+    partsupp."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_q16")
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part_q16")
+    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("supplier_q16")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem_q16 JOIN part_q16 ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    tier="§3 planner (TPC-H Q18 shape: IN subquery with HAVING, deterministic top-k)",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               ROUND(o_totalprice, 2) AS totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE), ROUND(o_totalprice, 2)
+        ORDER BY totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (aggregating subquery) — a left semi join against the HAVING
+    output; top-20 via TakeOrderedAndProject (no total sort), o_orderkey
+    tie-break for determinism."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer_q18")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_q18")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_q18")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               ROUND(o_totalprice, 2) AS totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM customer_q18 JOIN orders_q18 ON c_custkey = o_custkey
+                          JOIN lineitem_q18 ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_q18
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE), ROUND(o_totalprice, 2)
+        ORDER BY totalprice DESC, o_orderkey ASC
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    tier="P2 (TPC-H Q19 shape: OR-of-ANDs residual over a join)",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive residual predicate (TPC-H Q19 minus the fixture's
+    missing container/shipmode columns). Catalyst extracts the common
+    join key so the OR stays a post-join filter on the broadcast join;
+    per-branch min/max bounds still prune the part side."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#2") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#4") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#19") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
     "correlated_scalar_subquery",
     tier="§3 planner (correlated scalar subquery → decorrelated join)",
     oracle="""
