@@ -35,19 +35,17 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         for i, r in enumerate(rules)
     ]
     row = df.agg(*aggs)
-    reports = [
-        row.select(
-            F.lit(r.name).alias("rule"),
-            F.col("n_rows"),
-            F.col(f"__v_{i}").alias("n_violations"),
-            F.round((F.col("n_rows") - F.col(f"__v_{i}")) / F.greatest(F.col("n_rows"), F.lit(1)), 6).alias("pct_ok"),
-        )
-        for i, r in enumerate(rules)
-    ]
-    out = reports[0]
-    for rep in reports[1:]:
-        out = out.unionByName(rep)
-    return out
+    # unpivot the single agg row with stack() — one scan, one plan, no
+    # N-way self-union of the aggregate subtree
+    pairs = ", ".join(f"'{r.name}', __v_{i}" for i, r in enumerate(rules))
+    return row.select(
+        F.expr(f"stack({len(rules)}, {pairs})").alias("rule", "n_violations"), "n_rows"
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round((F.col("n_rows") - F.col("n_violations")) / F.greatest(F.col("n_rows"), F.lit(1)), 6).alias("pct_ok"),
+    )
 
 
 def fk_violations(fact: DataFrame, fk_col: str, dim: DataFrame, pk_col: str) -> DataFrame:

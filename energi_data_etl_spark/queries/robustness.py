@@ -140,7 +140,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules in one aggregate pass (operators/validation.py) + FK
     integrity via broadcast anti-join — the validation suite an LLM
     training-data pipeline runs before every ingest."""
-    from ..operators.validation import Rule, fk_violations, validate
+    from ..operators.validation import Rule, validate
 
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
@@ -153,10 +153,17 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             Rule("status_in_domain", F.col("o_orderstatus").isin("F", "O", "P")),
         ],
     ).select("rule", "n_rows", "n_violations")
-    n_orders = o.count()
-    fk_bad = fk_violations(o, "o_custkey", c, "c_custkey").count()
-    fk_row = spark.createDataFrame(
-        [("custkey_fk_valid", n_orders, fk_bad)], "rule string, n_rows long, n_violations long"
+    # FK integrity folded into the same lazy plan: broadcast left join +
+    # conditional sum (no eager .count() jobs — the whole report is one
+    # collect at the consumer)
+    fk_row = (
+        o.select("o_custkey")
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).cast("long").alias("n_violations"),
+        )
+        .select(F.lit("custkey_fk_valid").alias("rule"), "n_rows", "n_violations")
     )
     return report.unionByName(fk_row)
 
