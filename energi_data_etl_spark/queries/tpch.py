@@ -345,6 +345,195 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q7_volume_shipping",
+    tier="J1 (TPC-H Q7 shape: nation-pair trade volume by year)",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(YEAR(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                            JOIN orders ON o_orderkey = l_orderkey
+                            JOIN customer ON c_custkey = o_custkey
+                            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+                  OR (n1.n_name = 'NATION_9'  AND n2.n_name = 'NATION_11'))
+                AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+             ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7): the nation dim joins twice
+    under different roles — both broadcast — and the pair disjunction is
+    a residual the optimizer pushes below the aggregate."""
+    s = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.to_date("l_shipdate").between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
+        | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_11"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year(F.to_date("l_shipdate")).alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    tier="J1+A2 (TPC-H Q8 shape: 7-way join, share-of-total per year)",
+    oracle="""
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_19' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM part JOIN lineitem ON p_partkey = l_partkey
+                        JOIN supplier ON s_suppkey = l_suppkey
+                        JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+                        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                        JOIN region ON n1.n_regionkey = r_regionkey
+                        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+             ) all_nations
+        GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of a region's part-type market per year
+    (TPC-H Q8): a 7-way join where every dimension broadcasts; only the
+    two fact tables shuffle. The share is a conditional-sum ratio inside
+    one aggregate."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_19", vol).otherwise(0.0)) / F.sum(vol), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    tier="§3 planner (TPC-H Q15 shape: CTE + scalar MAX subquery over it)",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15). The SQL form
+    references the CTE twice (join input + scalar MAX), which the static
+    plan computes twice; the engine formulation instead ranks the
+    aggregated revenue table — post-agg it's one row per supplier, so
+    the single-partition window is tiny — one lineitem scan total, and
+    rank()=1 keeps MAX-equality tie semantics."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = (
+        rev.withColumn("rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc())))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    return (
+        F.broadcast(top)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    tier="§3 planner (TPC-H Q22 shape: scalar AVG subquery + qualified NOT EXISTS)",
+    oracle="""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey AND o_totalprice > 450000)
+        GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no large orders (TPC-H Q22 with
+    o_totalprice standing in for the fixture's missing phone country
+    codes): an uncorrelated scalar AVG subquery feeds the filter, and
+    the qualified NOT EXISTS plans as a broadcast anti join against the
+    pre-filtered orders side."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer_q22")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer_q22 c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_q22 WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_q22
+                          WHERE o_custkey = c.c_custkey AND o_totalprice > 450000)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@query(
     "correlated_scalar_subquery",
     tier="§3 planner (correlated scalar subquery → decorrelated join)",
     oracle="""
