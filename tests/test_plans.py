@@ -58,3 +58,40 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     plan = explain_str(QUERIES["join_asof"].fn(spark, sf_dir), mode="simple")
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_exists_plans_semi_join(spark, sf_dir):
+    """Correlated EXISTS (Q4) must decorrelate to a semi join, not a
+    per-row subquery."""
+    plan = explain_str(QUERIES["tpch_q4_order_priority"].fn(spark, sf_dir), mode="simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN (subquery) (Q16) must plan as a (null-aware) anti join."""
+    plan = explain_str(QUERIES["tpch_q16_supplier_cnt"].fn(spark, sf_dir), mode="simple")
+    assert "LeftAnti" in plan, plan
+
+
+def test_q18_semi_join_and_topk(spark, sf_dir):
+    """IN-with-HAVING (Q18): semi join + TakeOrderedAndProject (top-20
+    without a total sort)."""
+    plan = explain_str(QUERIES["tpch_q18_large_volume"].fn(spark, sf_dir), mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q8_dims_all_broadcast(spark, sf_dir):
+    """The 7-way join (Q8) must broadcast every dimension — only the two
+    fact tables may shuffle."""
+    df = QUERIES["tpch_q8_market_share"].fn(spark, sf_dir)
+    assert_broadcast_join(df, n_expected=5)
+    plan = explain_str(df, mode="simple")
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 2, plan
+
+
+def test_q15_single_lineitem_scan(spark, sf_dir):
+    """Q15's rank-for-max formulation must scan lineitem once (the SQL
+    CTE form computes the revenue aggregate twice)."""
+    plan = explain_str(QUERIES["tpch_q15_top_supplier"].fn(spark, sf_dir), mode="formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
