@@ -173,14 +173,19 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEN(embedding)                                                        AS dim,
                ROUND(CAST(embedding[1] AS DOUBLE), 6)                                AS first_val,
                ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_norm,
-               LIST_TRANSFORM(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4))      AS head3
+               ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3], x -> PRINTF('%.4f', CAST(x AS DOUBLE))), ',') AS head3
         FROM embeddings
         WHERE vec_id < 50
     """,
 )
 def array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column — the
-    vector column type of the LLM tier (SURVEY L5), all JVM-side."""
+    vector column type of the LLM tier (SURVEY L5), all JVM-side.
+
+    The array-valued `head3` column is emitted as a printf-formatted
+    comma-joined STRING on both engines: raw array columns are not
+    hashable/sortable by the driver's canonicalizer (CORRECTNESS_r01
+    err), and '%.4f' has identical C semantics in Spark and DuckDB."""
     e = load_table(spark, "embeddings", sf_dir)
     xd = lambda x: x.cast("double")  # noqa: E731 — float32→double before arithmetic, both engines
     return e.filter(F.col("vec_id") < 50).select(
@@ -189,7 +194,9 @@ def array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + xd(x) * xd(x)), 6).alias("sq_norm"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: F.round(xd(x), 4)).alias("head3"),
+        F.concat_ws(
+            ",", F.transform(F.slice("embedding", 1, 3), lambda x: F.format_string("%.4f", xd(x)))
+        ).alias("head3"),
     )
 
 
@@ -224,21 +231,25 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="F5+F7 (from_json to map, map_keys/map_values)",
     oracle="""
         SELECT event_id,
-               json_keys(props)                                        AS ks,
-               [CAST(json_extract_string(props, '$.k') AS INT)]        AS vs
+               ARRAY_TO_STRING(json_keys(props), ',')                  AS ks,
+               CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR) AS vs
         FROM events
         WHERE event_id < 200
     """,
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props JSON → MapType, then map_keys/map_values (SURVEY F7). The
-    DuckDB twin reads the same structure via json_keys/extract."""
+    DuckDB twin reads the same structure via json_keys/extract.
+
+    Key/value arrays are emitted comma-joined as STRING columns — raw
+    array/map columns break the driver canonicalizer's sort+hash
+    (CORRECTNESS_r01 err); the string encoding is lossless here."""
     ev = load_table(spark, "events", sf_dir)
     m = F.from_json("props", "map<string,int>")
     return ev.filter(F.col("event_id") < 200).select(
         "event_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.concat_ws(",", F.map_keys(m)).alias("ks"),
+        F.concat_ws(",", F.transform(F.map_values(m), lambda v: v.cast("string"))).alias("vs"),
     )
 
 

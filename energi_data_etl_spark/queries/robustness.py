@@ -87,7 +87,7 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="A5+F6 (collect_set/collect_list → sorted arrays)",
     oracle="""
         SELECT c_nationkey,
-               LIST_SORT(LIST(DISTINCT c_mktsegment)) AS segments,
+               ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_mktsegment)), ',') AS segments,
                CAST(LEN(LIST(DISTINCT c_mktsegment)) AS BIGINT) AS n_segments,
                COUNT(*) AS n_customers
         FROM customer
@@ -96,14 +96,15 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-building aggregates; results sorted so the set semantics
-    compare deterministically across engines."""
+    """Array-building aggregates; results sorted then comma-joined so the
+    set semantics compare deterministically across engines (raw array
+    columns break the driver canonicalizer's sort+hash)."""
     c = load_table(spark, "customer", sf_dir)
     return (
         c.filter(F.col("c_nationkey") < 5)
         .groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
             F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
             F.count(F.lit(1)).alias("n_customers"),
         )
