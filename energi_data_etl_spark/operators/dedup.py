@@ -32,6 +32,7 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "lsh_bucket_stats",
     "exact_jaccard",
     "near_dup_minhash",
     "simhash_signature",
@@ -91,19 +92,28 @@ def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
     return F.array(*[F.array_min(F.transform(sh, perm(i))) for i in range(num_hashes)])
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", sig_col: str = "sig", bands: int = 16, rows: int = 4
+def lsh_bucket_stats(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of ≥1 band become a
-    candidate pair. Returns distinct (a, b) with a < b.
+    """Observability twin of `lsh_candidate_pairs`: per-(band, bucket)
+    member counts with the `dropped` verdict the guardrail would apply.
+    Run this (cheap: one groupBy) to see what a cap is discarding before
+    committing to a threshold on a new corpus."""
+    banded = _banded(sig_df, id_col, sig_col, bands, rows)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("dropped", F.col("n_members") > max_bucket_size)
+    )
 
-    Plan shape: explode to (doc, band, band_hash) → self-equi-join on
-    (band, band_hash) → distinct. The join key is the bucket, so only
-    true bucket collisions shuffle together — the O(n²) pair space is
-    never materialized. Skewed mega-buckets (near-identical boilerplate
-    floods) would show up as AQE skew-join splits at scale.
-    """
-    banded = sig_df.select(
+
+def _banded(sig_df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -> DataFrame:
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -115,6 +125,53 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket_size: int | None = 256,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of ≥1 band become a
+    candidate pair. Returns distinct (a, b) with a < b.
+
+    Plan shape: explode to (doc, band, band_hash) → self-equi-join on
+    (band, band_hash) → distinct. The join key is the bucket, so only
+    true bucket collisions shuffle together — the O(n²) pair space is
+    never materialized.
+
+    Mega-bucket guardrail: a boilerplate flood (k near-identical docs)
+    puts all k in one bucket of every band → k²·bands/2 candidate pairs
+    — the quadratic blowup that kills a 100 TB dedup run. Buckets with
+    more than `max_bucket_size` members are dropped before the pair
+    join (one extra groupBy + same-key join). That is the standard
+    big-corpus recipe: a flood that large is *exact-or-bag-duplicate*
+    territory, which `exact_dedup` catches in one linear shuffle —
+    capping here loses nothing the cheap pass doesn't already find.
+    `max_bucket_size=None` disables the cap; `log_dropped=True` runs an
+    eager count of discarded buckets (a deliberate extra action — keep
+    it off in lazy pipelines, use `lsh_bucket_stats` for audits).
+    """
+    banded = _banded(sig_df, id_col, sig_col, bands, rows)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        if log_dropped:
+            import logging
+
+            dropped = sizes.filter(F.col("__n") > max_bucket_size).agg(
+                F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("__n"), F.lit(0)).alias("members")
+            ).first()
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping %d mega-buckets (%d member rows) over cap %d",
+                dropped["buckets"], dropped["members"], max_bucket_size,
+            )
+        banded = banded.join(
+            sizes.filter(F.col("__n") <= max_bucket_size), ["band", "bucket"]
+        ).drop("__n")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -152,6 +209,7 @@ def near_dup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """End-to-end MinHash near-dup detector: shingle → sign → band →
     candidate pairs → exact-Jaccard verify ≥ threshold.
@@ -176,7 +234,9 @@ def near_dup_minhash(
         .persist()
     )
     sigs = base.select(id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=num_hashes // bands)
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows=num_hashes // bands, max_bucket_size=max_bucket_size
+    )
     verified = exact_jaccard(cands, base, id_col=id_col, set_col="sh")
     return verified.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 

@@ -25,6 +25,12 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter:
     min_{u∈N(v)} label(u)); stop when no label changed (or max_iter,
     which bounds cost on adversarial chains — 2^max_iter diameter
     coverage is ample for dedup graphs).
+
+    Driver-sync budget: exactly ONE action per iteration. The `__changed`
+    flag rides inside the label frame through a LAZY localCheckpoint,
+    so the single `max(__changed)` aggregate both materializes the
+    checkpoint (truncating lineage for the next round) and answers the
+    convergence question — no separate count job re-running the join.
     """
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -46,10 +52,11 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter:
         updated = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("component", F.coalesce("nmin", "component")).alias("component"),
-                    (F.col("nmin") < F.col("component")).alias("__changed"))
+                    F.coalesce(F.col("nmin") < F.col("component"), F.lit(False)).alias("__changed"))
+            .localCheckpoint(eager=False)
         )
-        changed = updated.filter(F.col("__changed")).limit(1).count() > 0
-        labels = updated.select("id", "component").localCheckpoint()
+        changed = updated.agg(F.max("__changed")).first()[0]
+        labels = updated.select("id", "component")
         if not changed:
             break
     return labels

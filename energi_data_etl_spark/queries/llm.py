@@ -118,7 +118,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the block sizes, not the corpus size, bound the work.
     Token sets are hashed to int64 before the pair join (same Jaccard
     values, 8-byte elements through the 2.5M-pair intersect instead of
-    strings)."""
+    strings).
+
+    The block key has only ~25 distinct values, so a plain shuffled
+    self-join would land each whole block on ONE reducer (and an
+    unconditional broadcast of the corpus — the earlier shape — dies at
+    scale). Instead the join key is salted: side A gets a deterministic
+    salt hash(doc_id) mod S, side B replicates each row S ways; every
+    (a,b) pair meets exactly once, at a's salt, and each block spreads
+    over S reducers. Replication cost is S× the (hashed, compact) token
+    sets through the shuffle — bounded and tunable, unlike a corpus
+    broadcast."""
+    n_salts = 16
     d = load_table(spark, "documents", sf_dir)
     toks = F.array_distinct(F.transform(X.tokens("text"), lambda t: F.xxhash64(t)))
     # small-file corpus = 1 input partition: spread the tokenize map
@@ -129,10 +140,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket"), toks.alias("toks"))
         .persist()
     )
-    # the block key (lang × len_bucket) has ~25 distinct values — a
-    # shuffled join on it is inherently skewed; broadcasting one side
-    # keeps every probe partition busy and makes the plan stable
-    a, b = base.alias("a"), F.broadcast(base.alias("b"))
+    a = base.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")).alias("a")
+    b = base.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    ).alias("b")
     jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.greatest(
         F.size(F.array_union("a.toks", "b.toks")), F.lit(1)
     )
@@ -141,6 +152,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.round(jac, 6).alias("jaccard"))

@@ -58,8 +58,14 @@ def percentile_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles (Spark `percentile` ==
     DuckDB `quantile_cont`). Exact percentiles need the full group —
     at 100 TB prefer approx_percentile (sketched, mergeable); the
-    sketch variant is covered rows-only in approx_percentile_sketch."""
-    li = load_table(spark, "lineitem", sf_dir)
+    sketch variant is covered rows-only in approx_percentile_sketch.
+
+    The fixture parquet is single-row-group ⇒ the scan+partial-agg
+    stage would be ONE task; the round-robin repartition spreads the
+    (value-buffering, memory-heavy) partial aggregation across the
+    cluster before the 3-group final merge."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     return li.groupBy("l_returnflag").agg(
         *[
             F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
