@@ -95,3 +95,26 @@ def test_q15_single_lineitem_scan(spark, sf_dir):
     CTE form computes the revenue aggregate twice)."""
     plan = explain_str(QUERIES["tpch_q15_top_supplier"].fn(spark, sf_dir), mode="formatted")
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_neardup_matmul_is_distributed(spark, sf_dir):
+    """embedding_neardup_exact must be the block-paired kernel: the pair
+    work happens in FlatMapGroupsInPandas over a block-pair shuffle —
+    no BroadcastExchange of the corpus, no driver-side collect (there is
+    no driver step in the plan at all)."""
+    df = QUERIES["embedding_neardup_exact"].fn(spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_jaccard_join_is_salted_not_hinted(spark, sf_dir):
+    """ngram_jaccard_pairs must shuffle on the salted block key: the
+    salt is part of the join key (so ~25-value blocks spread across
+    reducers) and no side carries an unconditional broadcast hint.
+    AQE MAY still choose a broadcast at tiny SF from runtime sizes —
+    that's fine; the hint (which ignores size) is what must be gone."""
+    df = QUERIES["ngram_jaccard_pairs"].fn(spark, sf_dir)
+    assert "ResolvedHint" not in explain_str(df, mode="extended")
+    plan = explain_str(df, mode="simple")
+    assert "salt" in plan, plan
