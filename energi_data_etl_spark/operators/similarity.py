@@ -110,11 +110,13 @@ def neardup_pairs_matmul(
 
     Scale accounting (the reason for this shape vs the earlier
     collect+broadcast kernel): shuffle volume is B·N vectors; per-task
-    memory is 2·N/B vectors plus the sims tile ((N/B)² doubles). Pick
-    B ≈ N·d·8 / target_block_bytes — e.g. 10M×256-d vectors with 256 MB
-    blocks → B=80, 3240 tasks, no driver involvement and no broadcast.
-    The O(N²/ B) flops are inherent to *exact* all-pairs; past that,
-    the LSH route (ann_lsh_knn) is the unbounded-scale path.
+    memory is 2·N/B vectors PLUS the sims tile ((N/B)²·8 bytes — the
+    binding constraint for d ≤ ~2k). Pick B ≈ N / 4000 to hold the tile
+    near 128 MB — e.g. 10M vectors → B=2500, ~3.1M tile tasks spread
+    over the cluster, no driver involvement and no broadcast. The
+    O(N²·d/2) flops are inherent to *exact* all-pairs; past what a
+    cluster should spend on that, the LSH route (ann_lsh_knn) is the
+    unbounded-scale path.
     """
     import numpy as np
 
