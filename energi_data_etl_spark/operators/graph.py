@@ -32,10 +32,13 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter:
     checkpoint (truncating lineage for the next round) and answers the
     convergence question — no separate count job re-running the join.
     """
+    # edges feed EVERY iteration's join — persist once or the upstream
+    # pair-generation plan (often itself a self-join) re-executes per round
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -59,4 +62,5 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter:
         labels = updated.select("id", "component")
         if not changed:
             break
+    edges.unpersist()
     return labels

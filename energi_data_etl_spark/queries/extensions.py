@@ -132,7 +132,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology (where one groupBy would NOT suffice) is covered in
     tests/test_graph_ops.py."""
     d = load_table(spark, "documents", sf_dir)
-    fps = d.select("doc_id", X.bag_fingerprint("text").alias("fp"))
+    # persist: both sides of the pair self-join read this (and without it
+    # the tokenize+sort+md5 fingerprint runs twice per CC iteration)
+    fps = d.select("doc_id", X.bag_fingerprint("text").alias("fp")).persist()
     a, b = fps.alias("a"), fps.alias("b")
     pairs = a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
         F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
