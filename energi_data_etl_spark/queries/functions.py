@@ -173,7 +173,7 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEN(embedding)                                                        AS dim,
                ROUND(CAST(embedding[1] AS DOUBLE), 6)                                AS first_val,
                ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_norm,
-               ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3], x -> PRINTF('%.4f', CAST(x AS DOUBLE))), ',') AS head3
+               ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3], x -> PRINTF('%.4f', ROUND(CAST(x AS DOUBLE), 4))), ',') AS head3
         FROM embeddings
         WHERE vec_id < 50
     """,
@@ -185,7 +185,11 @@ def array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     The array-valued `head3` column is emitted as a printf-formatted
     comma-joined STRING on both engines: raw array columns are not
     hashable/sortable by the driver's canonicalizer (CORRECTNESS_r01
-    err), and '%.4f' has identical C semantics in Spark and DuckDB."""
+    err). Values are ROUNDed to 4dp BEFORE '%.4f' on both sides —
+    formatter tie-breaking differs (Java HALF_UP vs fmt-lib half-even),
+    so exact decimal ties like 0.03125 would otherwise print 0.0313 vs
+    0.0312; both engines' ROUND is half-away-from-zero, and a pre-rounded
+    value is never a formatter tie."""
     e = load_table(spark, "embeddings", sf_dir)
     xd = lambda x: x.cast("double")  # noqa: E731 — float32→double before arithmetic, both engines
     return e.filter(F.col("vec_id") < 50).select(
@@ -195,7 +199,7 @@ def array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + xd(x) * xd(x)), 6).alias("sq_norm"),
         F.concat_ws(
-            ",", F.transform(F.slice("embedding", 1, 3), lambda x: F.format_string("%.4f", xd(x)))
+            ",", F.transform(F.slice("embedding", 1, 3), lambda x: F.format_string("%.4f", F.round(xd(x), 4)))
         ).alias("head3"),
     )
 
@@ -243,13 +247,16 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Key/value arrays are emitted comma-joined as STRING columns — raw
     array/map columns break the driver canonicalizer's sort+hash
-    (CORRECTNESS_r01 err); the string encoding is lossless here."""
+    (CORRECTNESS_r01 err); the string encoding is lossless here. The
+    concat_ws calls are guarded on a non-NULL map: concat_ws alone maps
+    NULL→'' while DuckDB's ARRAY_TO_STRING maps NULL→NULL, so an
+    unparseable/NULL props row would silently mismatch."""
     ev = load_table(spark, "events", sf_dir)
     m = F.from_json("props", "map<string,int>")
     return ev.filter(F.col("event_id") < 200).select(
         "event_id",
-        F.concat_ws(",", F.map_keys(m)).alias("ks"),
-        F.concat_ws(",", F.transform(F.map_values(m), lambda v: v.cast("string"))).alias("vs"),
+        F.when(m.isNotNull(), F.concat_ws(",", F.map_keys(m))).alias("ks"),
+        F.when(m.isNotNull(), F.concat_ws(",", F.transform(F.map_values(m), lambda v: v.cast("string")))).alias("vs"),
     )
 
 
