@@ -369,10 +369,10 @@ def token_counts_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t
         )
         SELECT doc_id,
-               LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
                    GENERATE_SERIES(1, GREATEST(LEN(kh) - 4 + 1, 1)),
                    i -> LIST_AGGREGATE(kh[i : i + 3], 'min')
-               ))) AS fp,
+               ))), ',') AS fp,
                CAST(LEN(LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
                    GENERATE_SERIES(1, GREATEST(LEN(kh) - 4 + 1, 1)),
                    i -> LIST_AGGREGATE(kh[i : i + 3], 'min')
@@ -384,10 +384,19 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash, window-min selection) per doc —
     the edit-robust fingerprint family. DuckDB list slicing a[i:j] is
     END-INCLUSIVE, so the oracle's i+2 / i+3 bounds equal Spark's
-    slice(_, i, 3) / slice(_, i, 4)."""
+    slice(_, i, 3) / slice(_, i, 4).
+
+    The fingerprint set is emitted as a comma-joined STRING on both
+    engines (fp is already sorted+distinct md5 hex, so the join is
+    order-stable): raw array columns crash the driver canonicalizer —
+    the array_surface recipe (queries/functions.py)."""
     d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 120)
     fp = X.winnowing_fingerprint("text", k=3, w=4)
-    return d.select("doc_id", fp.alias("fp"), F.size(fp).cast("long").alias("n_fp"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", fp).alias("fp"),
+        F.size(fp).cast("long").alias("n_fp"),
+    )
 
 
 @query(
@@ -442,10 +451,47 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode_features",
-    tier="L5+U1 (Arrow-batched decode via mapInPandas; stub kernel → rows-only)",
-    oracle=None,
-    doc="mapInPandas feature extraction over binary payloads; deterministic stub decode (no codec libs in container), schema+batching real",
+    tier="L5+U1 (Arrow-batched decode via mapInPandas; deterministic stub kernel, SQL-twinned)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text,
+                   OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+                   GREATEST(OCTET_LENGTH(ENCODE(text)) // 8, 1) AS step
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               n_bytes,
+               ROUND(LIST_AGGREGATE(LIST_TRANSFORM(REGEXP_EXTRACT_ALL(text, '(?s).'),
+                                                   x -> CAST(UNICODE(x) AS DOUBLE)), 'sum') / n_bytes, 6) AS mean_byte,
+               CAST(8 AS INT) AS feature_dim,
+               ARRAY_TO_STRING(
+                   LIST_TRANSFORM(GENERATE_SERIES(0, 7),
+                       i -> PRINTF('%.4f', ROUND(CAST(UNICODE(SUBSTRING(text, LEAST(i * step, n_bytes - 1) + 1, 1)) AS DOUBLE) / 255.0, 4))),
+                   ',') AS features_str
+        FROM t
+    """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stub decode kernel is deterministic over the payload BYTES, so
+    it has an exact SQL twin: the oracle recomputes byte means and the
+    sampled-byte features char-by-char (fixture text is pure ASCII, so
+    UNICODE(char) == byte value — asserted cheap via n_bytes equality).
+
+    The `features array<float>` operator output is formatted to a
+    rounded comma-joined string for the driver (canonicalizer cannot
+    sort array cells — the array_surface recipe); the raw array stays
+    the operator contract and is exercised in tests/test_llm_ops.py.
+    float32/double drift cannot flip the 4dp rounding: k/255 is never an
+    odd multiple of 5e-5 (20000k even vs 255(2j+1) odd), and the nearest
+    boundary is ≥1.9e-7 away while float32 error here is <6e-8."""
     d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
-    return M.decode_features(M.attach_payload(d))
+    feats = M.decode_features(M.attach_payload(d))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "feature_dim",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.4f", F.round(x.cast("double"), 4)))
+        ).alias("features_str"),
+    )

@@ -30,6 +30,29 @@ def test_rows_only_query_runs(spark, oracle_sf_dir, name):
     assert len(df.columns) > 0
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_complex_output_columns(spark, sf_dir, name):
+    """The driver canonicalizer sorts result cells — Array/Map/Struct
+    cells are unhashable ndarrays in pandas and ERR the whole query.
+    This class of bug cost three rounds (array_surface/map_functions in
+    r01, winnowing/multimodal in r03): every query must emit only
+    atomic columns (serialize arrays per the array_surface recipe,
+    queries/functions.py)."""
+    from pyspark.sql import types as T
+
+    schema = QUERIES[name].fn(spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name} outputs complex-typed columns {bad} — the driver "
+        "canonicalizer cannot sort them; serialize to strings "
+        "(array_surface recipe)"
+    )
+
+
 def test_entry_smoke(spark, sf_dir):
     import __spark_entry__ as e
 
