@@ -148,21 +148,34 @@ def lsh_candidate_pairs(
     puts all k in one bucket of every band → k²·bands/2 candidate pairs
     — the quadratic blowup that kills a 100 TB dedup run. Buckets with
     more than `max_bucket_size` members are dropped before the pair
-    join (one extra groupBy + same-key join). That is the standard
-    big-corpus recipe: a flood that large is *exact-or-bag-duplicate*
-    territory, which `exact_dedup` catches in one linear shuffle —
-    capping here loses nothing the cheap pass doesn't already find.
+    join. The trade is explicit: an over-cap bucket's pairs are LOST
+    from the LSH output. EXACT duplicates inside it are still caught by
+    the linear `exact_dedup`/bag pass, but a flood of near-identical-
+    yet-not-bag-equal docs (templated pages with varying dates/ids —
+    see tests/test_dedup_guardrails.py) is genuinely sacrificed for
+    boundedness — the standard big-corpus call, made visible here via
+    `lsh_bucket_stats` before committing to a cap on a new corpus.
     `max_bucket_size=None` disables the cap; `log_dropped=True` runs an
     eager count of discarded buckets (a deliberate extra action — keep
     it off in lazy pipelines, use `lsh_bucket_stats` for audits).
+
+    Plan shape with the cap on: `banded` is persisted (it feeds the
+    sizes groupBy AND both sides of the pair join — unpersisted, the
+    upstream signature map stage recomputes per consumer), and the cap
+    is applied as a LEFT ANTI join against the over-cap bucket keys,
+    broadcast: mega-buckets are few BY CONSTRUCTION (each holds >cap
+    members), while the surviving-bucket list is O(corpus) and must
+    never ship driver-side.
     """
     banded = _banded(sig_df, id_col, sig_col, bands, rows)
     if max_bucket_size is not None:
+        banded = banded.persist()
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        dropped_keys = sizes.filter(F.col("__n") > max_bucket_size)
         if log_dropped:
             import logging
 
-            dropped = sizes.filter(F.col("__n") > max_bucket_size).agg(
+            dropped = dropped_keys.agg(
                 F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("__n"), F.lit(0)).alias("members")
             ).first()
             logging.getLogger(__name__).warning(
@@ -170,8 +183,8 @@ def lsh_candidate_pairs(
                 dropped["buckets"], dropped["members"], max_bucket_size,
             )
         banded = banded.join(
-            sizes.filter(F.col("__n") <= max_bucket_size), ["band", "bucket"]
-        ).drop("__n")
+            F.broadcast(dropped_keys.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

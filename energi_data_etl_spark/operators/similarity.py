@@ -32,6 +32,7 @@ __all__ = [
     "neardup_pairs_matmul",
     "hyperplane_buckets",
     "ann_lsh_knn",
+    "ann_lsh_bucket_stats",
     "ann_ivf_knn",
 ]
 
@@ -172,6 +173,7 @@ def ann_ivf_knn(
     sample_size: int = 10_000,
     kmeans_iters: int = 10,
     seed: int = 42,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse k-means quantizer → inverted lists per
     centroid cell → queries probe their `nprobe` nearest cells only.
@@ -183,13 +185,28 @@ def ann_ivf_knn(
     assignment is a broadcast map stage, and search joins on the cell
     id (shuffle by cell, never a cross join). recall/cost dial =
     n_centroids × nprobe.
+
+    Pass `corpus_count` when the caller already knows it (catalog
+    stats, a prior action) to skip the extra count() job over the full
+    corpus. Bernoulli `sample(frac)` can undershoot despite the 1.2×
+    headroom (small corpora, unlucky draws); a materially short fit set
+    (<80% of the achievable size) is logged rather than silently
+    degrading the quantizer.
     """
+    import logging
+
     import numpy as np
 
     spark = corpus.sparkSession
-    n_corpus = corpus.count()
+    n_corpus = corpus_count if corpus_count is not None else corpus.count()
     frac = min(1.0, 1.2 * sample_size / max(n_corpus, 1))  # 1.2× then cap: sample() is per-row Bernoulli
     sample = corpus.select(id_col, vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
+    achievable = min(sample_size, n_corpus)
+    if len(sample) < 0.8 * achievable:
+        logging.getLogger(__name__).warning(
+            "ann_ivf_knn: k-means fit sample has %d rows (< 80%% of the %d targeted) — quantizer quality may suffer",
+            len(sample), achievable,
+        )
     X = np.array([r[1] for r in sample], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -314,6 +331,46 @@ def _multi_buckets(
     )
 
 
+def _mega_bucket_caps(sizes: DataFrame, max_bucket_frac: float, min_bucket_cap: int) -> DataFrame:
+    """Per-(table,bucket) sizes → the same frame with the effective cap
+    and a `dropped` verdict. The cap is RELATIVE — max(min_bucket_cap,
+    frac × per-table corpus total) — so uniform data never trips it at
+    any SF, while a degenerate corpus (one bucket swallowing the table)
+    always does; an absolute cap would misfire as the corpus grows."""
+    per_table = Window.partitionBy("table")
+    return sizes.withColumn(
+        "cap",
+        F.greatest(
+            F.lit(min_bucket_cap).cast("long"),
+            (F.sum("n_members").over(per_table) * max_bucket_frac).cast("long"),
+        ),
+    ).withColumn("dropped", F.col("n_members") > F.col("cap"))
+
+
+def ann_lsh_bucket_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 12,
+    n_planes: int = 3,
+    seed: int = 42,
+    max_bucket_frac: float = 0.25,
+    min_bucket_cap: int = 1024,
+) -> DataFrame:
+    """Observability twin of `ann_lsh_knn`'s mega-bucket guardrail
+    (mirrors `dedup.lsh_bucket_stats`): per-(table, bucket) member
+    counts with the cap and `dropped` verdict the search would apply.
+    One groupBy over the bucketized corpus — run it before committing
+    to a cap on a new embedding distribution."""
+    cb = _multi_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "neighbor_id", "__cv", dim, n_tables, n_planes, seed,
+    )
+    sizes = cb.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("n_members"))
+    return _mega_bucket_caps(sizes, max_bucket_frac, min_bucket_cap)
+
+
 def ann_lsh_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -324,6 +381,8 @@ def ann_lsh_knn(
     n_tables: int = 12,
     n_planes: int = 3,
     seed: int = 42,
+    max_bucket_frac: float | None = 0.25,
+    min_bucket_cap: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching hyperplane
     buckets, unioned over L independent tables (OR-amplification).
@@ -334,7 +393,20 @@ def ann_lsh_knn(
     tables & more planes; the fixture's near-orthogonal vectors are the
     worst case. Physical plan: map-stage bucketing, equi-join on
     (table,bucket), distinct pairs, cosine, window top-k — the corpus
-    is never cross-joined."""
+    is never cross-joined.
+
+    Mega-bucket guardrail (ported from `dedup.lsh_candidate_pairs`): a
+    degenerate corpus — everything near-identical — lands the whole
+    table in ONE (table, bucket), and the candidate join goes quadratic
+    (|queries| × corpus per bucket here). Corpus buckets holding more
+    than max(min_bucket_cap, max_bucket_frac × table total) members are
+    dropped via a broadcast LEFT ANTI join (over-cap buckets are few by
+    construction; the surviving list is O(corpus) and never broadcast).
+    The floor keeps small corpora (tests, sf ≤ 0.01) and uniform data
+    untouched at every SF, so recall is unchanged off the degenerate
+    path; ON it, candidates vanish by design — such corpora carry no
+    hyperplane signal and belong to brute-force/IVF. Audit first with
+    `ann_lsh_bucket_stats`; `max_bucket_frac=None` disables."""
     qb = _multi_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "query_id", "__qv", dim, n_tables, n_planes, seed,
@@ -343,6 +415,13 @@ def ann_lsh_knn(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "neighbor_id", "__cv", dim, n_tables, n_planes, seed,
     )
+    if max_bucket_frac is not None:
+        # cb feeds the sizes groupBy AND the candidate join: persist, or
+        # the numpy bucketize kernel recomputes per consumer
+        cb = cb.persist()
+        sizes = cb.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("n_members"))
+        dropped = _mega_bucket_caps(sizes, max_bucket_frac, min_bucket_cap).filter("dropped")
+        cb = cb.join(F.broadcast(dropped.select("table", "bucket")), ["table", "bucket"], "left_anti")
     # score INSIDE the bucket join, then dedupe pairs by aggregation —
     # the pair-dedup shuffle carries (qid, nid, cos), not two vectors
     scored = (

@@ -96,7 +96,7 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_pairs",
-    tier="L2 (blocked exact n-gram Jaccard join)",
+    tier="L2 (exact Jaccard pairs via prefix filtering — AllPairs/PPJoin candidates)",
     oracle="""
         WITH d AS (
             SELECT doc_id, lang, n_chars // 100 AS len_bucket,
@@ -113,50 +113,89 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard ≥0.8 inside (lang × length-bucket) blocks
-    — the blocking key turns O(n²) into sum of small block quadratics;
-    at 100 TB the block sizes, not the corpus size, bound the work.
-    Token sets are hashed to int64 before the pair join (same Jaccard
-    values, 8-byte elements through the 2.5M-pair intersect instead of
-    strings).
+    """Exact token-set Jaccard ≥ τ=0.8 pairs within the declared
+    (lang × length-bucket) scope — same RESULT as rounds 1–3, but
+    candidates now come from PREFIX FILTERING (Bayardo et al. "Scaling
+    Up All Pairs Similarity Search", WWW'07; PPJoin): order tokens by
+    global rarity (document frequency asc) and index each doc only
+    under its ⌊(1-τ)·|toks|⌋+1 rarest tokens — any pair with J ≥ τ
+    shares a prefix token (pigeonhole on the ≥τ overlap), so candidate
+    generation is LOSSLESS and the oracle stays the plain blocked
+    quadratic.
 
-    The block key has only ~25 distinct values, so a plain shuffled
-    self-join would land each whole block on ONE reducer (and an
-    unconditional broadcast of the corpus — the earlier shape — dies at
-    scale). Instead the join key is salted: side A gets a deterministic
-    salt hash(doc_id) mod S, side B replicates each row S ways; every
-    (a,b) pair meets exactly once, at a's salt, and each block spreads
-    over S reducers. Replication cost is S× the (hashed, compact) token
-    sets through the shuffle — bounded and tunable, unlike a corpus
-    broadcast."""
-    n_salts = 16
+    This replaces the salted (lang × len/100) self-join whose per-block
+    work was quadratic in corpus size (BASELINE.md LLM probe: 58× cost
+    at 10× docs): candidate volume per doc is now the summed df of its
+    ~20% RAREST tokens — rare-token df grows sublinearly with corpus
+    (Zipf), and frequent tokens (the mega-block makers) sort last and
+    almost never enter a prefix. The AllPairs size filter
+    (τ|A| ≤ |B| ≤ |A|/τ) prunes further for free. A genuine boilerplate
+    flood has quadratic OUTPUT (all its pairs truly match ≥ τ) — no
+    exact method avoids that; route such corpora to near_dup_minhash
+    and its bucket cap.
+
+    Plan: explode tokens → df groupBy → rarity rank (window by doc) →
+    prefix self-equi-join on (tok, lang, len_bucket) → distinct pairs →
+    one verify join against the (persisted) hashed token sets. Every
+    join is an equi-join keyed by a high-cardinality token; no salt
+    needed."""
+    tau = 0.8
     d = load_table(spark, "documents", sf_dir)
     toks = F.array_distinct(F.transform(X.tokens("text"), lambda t: F.xxhash64(t)))
-    # small-file corpus = 1 input partition: spread the tokenize map
-    # stage, and persist — both sides of the self-join consume it
     parallelism = spark.sparkContext.defaultParallelism
+    # small-file corpus = 1 input partition: spread the tokenize map
+    # stage; persisted — consumed by the prefix derivation and both
+    # sides of the verify join
     base = (
         d.repartition(parallelism, "doc_id")
-        .select("doc_id", "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+            toks.alias("toks"),
+            F.size(toks).alias("sz"),
+        )
         .persist()
     )
-    a = base.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")).alias("a")
-    b = base.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
-    ).alias("b")
-    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.greatest(
-        F.size(F.array_union("a.toks", "b.toks")), F.lit(1)
+    tok = base.select("doc_id", "lang", "len_bucket", "sz", F.explode("toks").alias("tok"))
+    df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    rarity = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    # persisted: both sides of the candidate self-join consume it, and
+    # the df groupBy + rarity window would otherwise run twice
+    prefix = (
+        tok.join(df_counts, "tok")
+        .withColumn("rn", F.row_number().over(rarity))
+        .filter(F.col("rn") <= F.floor((1 - tau) * F.col("sz")) + 1)
+        .select("doc_id", "lang", "len_bucket", "sz", "tok")
+        .persist()
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # AllPairs size filter: J ≥ τ forces τ|A| ≤ |B| ≤ |A|/τ
+            & (F.col("b.sz") >= F.ceil(tau * F.col("a.sz")))
+            & (F.col("b.sz") <= F.floor(F.col("a.sz") / tau)),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    left = base.select(F.col("doc_id").alias("a"), F.col("toks").alias("__ta"))
+    right = base.select(F.col("doc_id").alias("b"), F.col("toks").alias("__tb"))
+    jac = F.size(F.array_intersect("__ta", "__tb")) / F.greatest(
+        F.size(F.array_union("__ta", "__tb")), F.lit(1)
     )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        cands.join(left, "a")
+        .join(right, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
     )
 
 

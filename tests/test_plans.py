@@ -108,13 +108,16 @@ def test_neardup_matmul_is_distributed(spark, sf_dir):
     assert "BroadcastExchange" not in plan, plan
 
 
-def test_jaccard_join_is_salted_not_hinted(spark, sf_dir):
-    """ngram_jaccard_pairs must shuffle on the salted block key: the
-    salt is part of the join key (so ~25-value blocks spread across
-    reducers) and no side carries an unconditional broadcast hint.
+def test_jaccard_join_is_prefix_filtered(spark, sf_dir):
+    """ngram_jaccard_pairs must be the prefix-filter (AllPairs) shape:
+    every join an equi-join on a high-cardinality key (the token or the
+    pair ids) — no unconditional broadcast hint, no nested-loop /
+    cartesian fallback, and the candidate generator joins on `tok`.
     AQE MAY still choose a broadcast at tiny SF from runtime sizes —
     that's fine; the hint (which ignores size) is what must be gone."""
     df = QUERIES["ngram_jaccard_pairs"].fn(spark, sf_dir)
     assert "ResolvedHint" not in explain_str(df, mode="extended")
     plan = explain_str(df, mode="simple")
-    assert "salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "tok" in plan, plan
