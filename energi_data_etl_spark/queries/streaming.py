@@ -70,13 +70,47 @@ def streaming_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_session_windows",
-    tier="T5 (session windows, 30-min gap; rows-only — gap-merge oracle is fragile in SQL)",
-    oracle=None,
-    doc="per-user session windows; batch-equivalence (lag-gap derivation) asserted in tests/test_streaming.py",
+    tier="T5 (session windows, 30-min gap)",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value
+        FROM sess
+        GROUP BY user_id, sid
+    """,
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-merge session semantics have an exact batch twin: a new
+    session starts when the gap to the previous event is >= the gap
+    duration (Spark's window is [start, last_event + gap), end
+    exclusive), derived in SQL with LAG + a running session-id sum.
+    Boundaries are emitted as µs-formatted strings — both engines
+    truncate the fixture's ns timestamps to µs identically (integer
+    `div`, see sources/tables.py:_normalize_events)."""
     stream = events_stream(spark, _events_path(sf_dir))
-    return run_to_memory(session_window_stats(stream, gap="30 minutes"), output_mode="complete")
+    drained = run_to_memory(session_window_stats(stream, gap="30 minutes"), output_mode="complete")
+    return drained.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
 
 
 @query(

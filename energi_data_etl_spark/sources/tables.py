@@ -50,14 +50,17 @@ def default_sf_dir() -> str:
 def _normalize_events(df: DataFrame) -> DataFrame:
     """events.ts: int64 nanos (legacy read) → timestamp_ntz at µs.
 
-    Floor-division truncation matches DuckDB's ns→µs truncation of the
-    same parquet. If a future Spark reads NANOS natively as timestamp,
-    the branch below is a no-op cast.
+    Integer-division truncation (`div`) matches DuckDB's ns→µs
+    truncation of the same parquet. NOT `floor(ts / 1000)`: epoch-ns
+    (~1.7e18) exceeds double's 53-bit mantissa, so the float division
+    rounds sub-µs digits and lands a different µs ~12% of the time.
+    If a future Spark reads NANOS natively as timestamp, the branch
+    below is a no-op cast.
     """
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn(
-            "ts", F.to_timestamp_ntz(F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+            "ts", F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000")))
         )
     elif ts_type == "timestamp":
         df = df.withColumn("ts", F.to_timestamp_ntz(F.col("ts")))

@@ -69,7 +69,9 @@ def events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | N
     # NB: watermarks require TimestampType (not NTZ); the session runs in
     # UTC so values match the batch loader's NTZ reading bit-for-bit.
     # Final projections cast to NTZ where oracle parity needs it.
-    return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+    # ns→µs via integer `div` (float division of epoch-ns rounds — see
+    # sources/tables.py:_normalize_events)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
