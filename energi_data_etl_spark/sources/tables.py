@@ -6,11 +6,13 @@ that to Parquet per BASELINE.json "DataFrame ops over Parquet").
 
 Post-read normalization is *schema-level only* (cheap projections):
 
-* ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet. With
-  ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces it as
-  int64 nanos; we convert to ``timestamp_ntz`` at microsecond precision,
-  which is bit-identical to what DuckDB reads from the same file. The
-  conversion is a per-row projection (whole-stage codegen), no shuffle.
+* ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet. Depending
+  on the Spark build it surfaces as ``timestamp_ntz`` (native read,
+  already µs) or ``bigint`` (legacy long read — epoch-ns or epoch-µs,
+  detected from magnitude, see epoch_long_to_micros); either way we
+  normalize to ``timestamp_ntz`` at microsecond precision, bit-identical
+  to what DuckDB reads from the same file. The conversion is a per-row
+  projection (whole-stage codegen), no shuffle.
 
 At 100 TB the loader is also where partition-pruning-friendly layout
 assumptions live: fact tables are expected partitioned by a coarse date
@@ -25,7 +27,13 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load_table", "load_all", "default_sf_dir"]
+__all__ = ["TABLES", "load_table", "load_all", "default_sf_dir", "epoch_long_to_micros", "NS_EPOCH_THRESHOLD"]
+
+#: Magnitude cut between epoch-ns and epoch-µs int64 values. 2^57 ≈
+#: 1.44e17: epoch-µs stays below it until year ~6500, epoch-ns exceeds
+#: it from ~1974-07 on. Everything in the corpus (2024 data) is
+#: unambiguous on either side.
+NS_EPOCH_THRESHOLD = 1 << 57
 
 #: The test-corpus tables (TESTDATA.md): TPC-H-ish star schema + events
 #: stream + LLM-pipeline tables.
@@ -47,22 +55,38 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts: int64 nanos (legacy read) → timestamp_ntz at µs.
+def epoch_long_to_micros(colname: str = "ts"):
+    """int64 epoch column in UNKNOWN units (ns or µs) → epoch-µs long.
 
-    Integer-division truncation (`div`) matches DuckDB's ns→µs
-    truncation of the same parquet. NOT `floor(ts / 1000)`: epoch-ns
-    (~1.7e18) exceeds double's 53-bit mantissa, so the float division
+    Different Spark builds surface parquet TIMESTAMP(NANOS) read through
+    an explicit LongType schema as either epoch-ns or already-truncated
+    epoch-µs (this environment's 4.1.2 delivers µs and silently ignores
+    ``spark.sql.legacy.parquet.nanosAsLong``). Units are therefore
+    detected from magnitude per value — divide by 1000 only when the
+    value is epoch-ns-sized (> 2^57) — instead of assumed from config.
+
+    Integer-division truncation (``div``) matches DuckDB's ns→µs
+    truncation of the same parquet. NOT ``floor(ts / 1000)``: epoch-ns
+    (~1.7e18) exceeds double's 53-bit mantissa, so float division
     rounds sub-µs digits and lands a different µs ~12% of the time.
-    If a future Spark reads NANOS natively as timestamp, the branch
-    below is a no-op cast.
+    """
+    c = F.col(colname)
+    return F.when(c > F.lit(NS_EPOCH_THRESHOLD), F.expr(f"{colname} div 1000")).otherwise(c)
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts → timestamp_ntz at µs precision, whatever the read
+    surfaced: ``bigint`` (legacy long read, ns or µs — see
+    epoch_long_to_micros), ``timestamp``/``timestamp_ntz`` (native
+    NANOS read, already µs-truncated by Spark — cast only). The result
+    is bit-identical to DuckDB's reading of the same parquet.
     """
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn(
-            "ts", F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000")))
+            "ts", F.to_timestamp_ntz(F.timestamp_micros(epoch_long_to_micros("ts")))
         )
-    elif ts_type == "timestamp":
+    elif ts_type in ("timestamp", "timestamp_ntz"):
         df = df.withColumn("ts", F.to_timestamp_ntz(F.col("ts")))
     return df
 

@@ -26,6 +26,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..sources.tables import epoch_long_to_micros
+
 __all__ = [
     "EVENTS_SCHEMA",
     "events_stream",
@@ -37,8 +39,10 @@ __all__ = [
     "stream_to_parquet",
 ]
 
-#: Raw parquet schema of the events fixture (ts is int64 NANOS — read as
-#: long via nanosAsLong, normalized below like sources/tables.py).
+#: Raw parquet schema of the events fixture. ts is parquet
+#: TIMESTAMP(NANOS); forced to LongType here (the file-stream source
+#: can't read NANOS as timestamp) and normalized below with
+#: magnitude-based unit detection (sources/tables.py).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -69,9 +73,10 @@ def events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | N
     # NB: watermarks require TimestampType (not NTZ); the session runs in
     # UTC so values match the batch loader's NTZ reading bit-for-bit.
     # Final projections cast to NTZ where oracle parity needs it.
-    # ns→µs via integer `div` (float division of epoch-ns rounds — see
-    # sources/tables.py:_normalize_events)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The long read may surface epoch-ns or epoch-µs depending on the
+    # Spark build — units detected per value, never assumed (see
+    # sources/tables.py:epoch_long_to_micros).
+    return df.withColumn("ts", F.timestamp_micros(epoch_long_to_micros("ts")))
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -24,6 +24,24 @@ from energi_data_etl_spark.streaming.ops import (
 )
 
 
+def test_ts_unit_canary_batch_and_stream(spark, sf_dir):
+    """Unit canary (VERDICT r04 item 2): the fixture's events live in
+    Jan 2024. If either read path mis-detects ns vs µs (off by 1000×),
+    every timestamp collapses toward 1970 or explodes past 10⁵ AD —
+    this sub-second assert turns that drift into a loud failure instead
+    of four silent driver FAILs."""
+    batch_min = load_table(spark, "events", sf_dir).agg(F.min("ts")).first()[0]
+    assert batch_min.year == 2024, f"batch ts unit drift: min ts {batch_min}"
+    stream_min = (
+        run_to_memory(
+            events_stream(spark, f"{sf_dir}/events.parquet").agg(F.min("ts").alias("mn")),
+            output_mode="complete",
+        ).first()[0]
+    )
+    assert stream_min.year == 2024, f"stream ts unit drift: min ts {stream_min}"
+    assert stream_min == batch_min.replace(tzinfo=None) or stream_min == batch_min
+
+
 def test_session_windows_match_batch_gap_derivation(spark, sf_dir):
     """Sessionization: streaming session_window == batch lag-gap islands."""
     out = run_to_memory(
