@@ -147,17 +147,37 @@ def agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_count_distinct",
-    tier="A6 (HLL sketch; approximate → rows-only check)",
-    oracle=None,
-    doc="approx_count_distinct(rsd=0.01) vs exact, asserted within 5% in tests/test_relational.py",
+    tier="A6 (HLL sketch; exact count + tolerance verdict, oracle-certified)",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               ABS(APPROX_COUNT_DISTINCT(l_partkey) - COUNT(DISTINCT l_partkey))
+                   <= 0.05 * COUNT(DISTINCT l_partkey) AS within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality sketch for 100 TB-scale distinct counts: one pass, no
-    shuffle of distinct keys (HyperLogLog++, mergeable partial sketches)."""
+    shuffle of distinct keys (HyperLogLog++, mergeable partial sketches).
+
+    Each engine runs its OWN HLL (Spark HLL++ rsd=0.01, DuckDB HLL) —
+    raw sketch outputs are engine-specific, so the comparable surface is
+    the exact distinct count plus a 5%-relative tolerance verdict that
+    must be true on both sides (the approx_percentile_sketch recipe,
+    robustness.py). A sketch drifting out of band fails the hash compare.
+    """
     li = load_table(spark, "lineitem", sf_dir)
-    return li.agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= 0.05 * F.col("exact_parts")).alias(
+            "within_tol"
+        ),
     )
 
 
