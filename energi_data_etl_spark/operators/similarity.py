@@ -192,6 +192,16 @@ def ann_ivf_knn(
     headroom (small corpora, unlucky draws); a materially short fit set
     (<80% of the achievable size) is logged rather than silently
     degrading the quantizer.
+
+    Operating envelope (pinned by tests/test_llm_ops.py): recall
+    tracks the probed fraction nprobe/n_centroids. The fixture's
+    i.i.d.-random embeddings are the WORST case — no cluster structure,
+    so true neighbors spread almost uniformly across cells: measured
+    recall@5 ≈ 0.6 at the 4/16 default (quarter of the corpus probed)
+    and ≈ 0.8 at 8/16. Real embedding corpora cluster, putting recall
+    well above this floor at the same probed fraction; raise `nprobe`
+    (linear cost in probed fraction) when a workload needs a guarantee
+    on unstructured vectors.
     """
     import logging
 

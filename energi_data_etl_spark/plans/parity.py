@@ -104,7 +104,26 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     return ParityResult(name, True, f"{len(s)} rows")
 
 
+def complex_output_columns(df) -> list[str]:
+    """Array/Map/Struct output columns — the driver canonicalizer sorts
+    result cells, and complex cells arrive as unhashable ndarrays in
+    pandas and ERR the whole query (cost three rounds: array_surface/
+    map_functions r01, winnowing/multimodal r03). Serialize arrays to
+    strings per the array_surface recipe (queries/functions.py)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def check_query(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, fn, oracle: str, sf_dir: str) -> ParityResult:
-    spark_pdf = fn(spark, sf_dir).toPandas()
+    sdf = fn(spark, sf_dir)
+    bad = complex_output_columns(sdf)
+    if bad:
+        return ParityResult(name, False, f"complex-typed output columns {bad} (driver canonicalizer would ERR)")
+    spark_pdf = sdf.toPandas()
     oracle_pdf = con.execute(oracle).df()
     return compare_frames(name, spark_pdf, oracle_pdf)

@@ -557,3 +557,293 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey < 200
         """
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    tier="P3+P6+A1 (TPC-H Q6 shape: multi-predicate scan → single global sum)",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase from discount removal (TPC-H Q6): the pure
+    scan-filter-aggregate shape — all four predicates push into the
+    parquet scan, the sum is one map-side-combined partial agg, zero
+    joins. The baseline any columnar engine must ace."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    tier="J1+F2 (TPC-H Q9 shape: 5-way join, profit by supplier-nation × year)",
+    oracle="""
+        SELECT nation, o_year, ROUND(SUM(amount), 2) AS profit
+        FROM (SELECT n_name AS nation,
+                     CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS amount
+              FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                            JOIN part ON p_partkey = l_partkey
+                            JOIN orders ON o_orderkey = l_orderkey
+                            JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%'
+             ) profit_lines
+        GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per supplier-nation per year over a part-name substring
+    (TPC-H Q9 shape; the fixture has no partsupp table, so profit is
+    revenue — the join/agg topology is unchanged). part/supplier/nation
+    broadcast; only lineitem⋈orders shuffles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").contains("red"))
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).alias("o_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    tier="A1+§3 (TPC-H Q11 shape: group-agg filtered by a global scalar-subquery threshold)",
+    oracle="""
+        WITH contrib AS (
+            SELECT l_partkey, SUM(l_extendedprice) AS part_value
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7')
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, ROUND(part_value, 2) AS part_value
+        FROM contrib
+        WHERE part_value > (SELECT 0.001 * SUM(part_value) FROM contrib)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose value exceeds a fraction of the national total
+    (TPC-H Q11 shape; lineitem value stands in for partsupp stock). The
+    global threshold is a 1-row aggregate cross-joined back (broadcast
+    nested loop over 1 row — the distributed form of a scalar subquery,
+    no driver collect); the grouped frame is computed once and reused
+    for both sides via persist."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    contrib = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+        .persist()
+    )
+    threshold = contrib.agg((F.sum("part_value") * 0.001).alias("__thr"))
+    return (
+        contrib.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    tier="J1+§3 (TPC-H Q17 shape: correlated per-group AVG subquery)",
+    oracle="""
+        SELECT ROUND(SUM(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l1.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                               FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to small-quantity orders (TPC-H Q17): the correlated
+    AVG decorrelates into a per-part aggregate joined back to the fact —
+    one extra shuffle instead of a per-row subquery loop. The per-part
+    avg is computed over ALL lineitems (not just the brand's), matching
+    the SQL's correlation scope."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("__half_avg")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == per_part.__pk)
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    tier="J1+W1+§3 (TPC-H Q2 shape: per-part argmin supplier via window rank)",
+    oracle="""
+        WITH costs AS (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT pk, sk, unit_cost,
+                   ROW_NUMBER() OVER (PARTITION BY pk ORDER BY unit_cost ASC, sk ASC) AS rn
+            FROM costs
+        )
+        SELECT p_partkey, p_brand, s_name, n_name,
+               ROUND(s_acctbal, 2) AS s_acctbal,
+               FLOOR(unit_cost * 10000) / 10000 AS unit_cost
+        FROM ranked JOIN part ON p_partkey = pk
+                    JOIN supplier ON s_suppkey = sk
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+        WHERE rn = 1 AND p_size >= 40 AND r_name = 'EUROPE'
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        LIMIT 20
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part in a region (TPC-H Q2 shape; observed
+    lineitem unit price stands in for partsupp supply cost). The
+    correlated MIN becomes a window argmin with a deterministic
+    (unit_cost, suppkey) tie-break — identical to the oracle's
+    ROW_NUMBER, so the LIMIT is stable across engines. unit_cost is
+    FLOOR-truncated, not ROUNDed: ROUND diverges between engines when
+    the quotient's closest double sits on a .5 boundary (price/2 with
+    odd cents), while FLOOR of the identical IEEE quotient is exact."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") >= 40)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    costs = li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("pk").orderBy(F.col("unit_cost").asc(), F.col("sk").asc())
+    best = costs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.pk == p.p_partkey)
+        .join(F.broadcast(s), best.sk == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    tier="J3+A1 (TPC-H Q20 shape: semi-join on a HAVING-filtered grouped subquery)",
+    oracle="""
+        SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_type = 'ECONOMY'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 80
+        )
+    """,
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with excess stock of a part type (TPC-H Q20 shape;
+    shipped quantity stands in for availqty). The nested IN becomes a
+    LEFT SEMI join against the HAVING-filtered aggregate — no
+    de-duplication pass needed, semi-join semantics absorb it.
+    Quantities are integral doubles, so the HAVING threshold compares
+    exactly on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, "supplier", sf_dir)
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 80)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    tier="J3 (TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation)",
+    oracle="""
+        WITH pairs_all AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+             pairs_r   AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                           WHERE l_returnflag = 'R')
+        SELECT s_name, COUNT(*) AS numwait
+        FROM pairs_r l1
+        JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM pairs_all l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM pairs_r l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for returned lines on finalized
+    multi-supplier orders (TPC-H Q21 shape; l_returnflag='R' stands in
+    for the late-receipt predicate — the fixture has no receiptdate).
+    EXISTS → LEFT SEMI with an inequality residual on the order key
+    equi-join; NOT EXISTS → LEFT ANTI on the same shape. Both correlate
+    on l_orderkey, so each is one shuffle co-partitioned with the base."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load_table(spark, "supplier", sf_dir)
+    pairs_all = li.select("l_orderkey", "l_suppkey").distinct()
+    pairs_r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    l2 = pairs_all.select(F.col("l_orderkey").alias("__o2"), F.col("l_suppkey").alias("__s2"))
+    l3 = pairs_r.select(F.col("l_orderkey").alias("__o3"), F.col("l_suppkey").alias("__s3"))
+    base = (
+        pairs_r.join(o, pairs_r.l_orderkey == o.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("__o2")) & (F.col("l_suppkey") != F.col("__s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("__o3")) & (F.col("l_suppkey") != F.col("__s3")), "left_anti")
+    )
+    return (
+        base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -7,6 +7,7 @@ flood (exact dedup's job) or genuine near-dup pairs outside it."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from energi_data_etl_spark.operators import dedup as D
 from energi_data_etl_spark.operators import text as X
@@ -37,6 +38,14 @@ def test_megabucket_cap_bounds_flood_keeps_true_pairs(spark):
     assert (1000, 1001) in pairs, "true near-dup outside the flood must survive the cap"
     assert not any(a < FLOOD_N and b < FLOOD_N for a, b in pairs), "flood pairs must be dropped"
     assert len(pairs) < 1000
+
+
+@pytest.mark.slow
+def test_uncapped_flood_is_quadratic(spark):
+    """The counterfactual the cap exists for: without max_bucket_size the
+    flood bucket materializes all O(n²) pairs. Slow tier — the capped
+    behavior itself is asserted in the default gate above."""
+    sigs = _signatures(_fixture(spark)).persist()
     uncapped = D.lsh_candidate_pairs(sigs, max_bucket_size=None).count()
     assert uncapped >= FLOOD_N * (FLOOD_N - 1) // 2, "without the cap the flood is quadratic"
 

@@ -102,14 +102,21 @@ def test_ann_recall_vs_exact(spark, sf_dir):
 
 
 def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    """Pins the IVF operating envelope documented in ann_ivf_knn's
+    docstring, on its worst case (i.i.d.-random vectors, no cluster
+    structure): the 4/16 default probes 1/4 of the corpus (floor 0.5,
+    measured ≈0.6), and widening to 8/16 must buy recall ≥0.8 —
+    verifying the nprobe dial actually trades cost for recall."""
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < 20)
     exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
-    approx = {(r.query_id, r.neighbor_id) for r in S.ann_ivf_knn(q, e, k=5).collect()}
-    recall = len(approx & exact) / len(exact)
-    # near-orthogonal vectors spread true neighbors across cells; with
-    # 16 cells × nprobe 4 (1/4 of the corpus scanned) expect ≥0.4
-    assert recall >= 0.4, f"IVF recall {recall}"
+    approx_default = {(r.query_id, r.neighbor_id) for r in S.ann_ivf_knn(q, e, k=5).collect()}
+    recall_default = len(approx_default & exact) / len(exact)
+    assert recall_default >= 0.5, f"IVF recall at default 4/16: {recall_default}"
+    approx_wide = {(r.query_id, r.neighbor_id) for r in S.ann_ivf_knn(q, e, k=5, nprobe=8).collect()}
+    recall_wide = len(approx_wide & exact) / len(exact)
+    assert recall_wide >= 0.8, f"IVF recall at nprobe=8: {recall_wide}"
+    assert recall_wide >= recall_default, "widening nprobe must not lose recall"
 
 
 def test_ann_is_deterministic(spark, sf_dir):

@@ -24,33 +24,19 @@ def test_query_matches_duckdb_oracle(spark, duck, oracle_sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_runs(spark, oracle_sf_dir, name):
+    """Rows-only queries still pass through the driver canonicalizer, so
+    the complex-output-column check (see plans/parity.py::
+    complex_output_columns — a bug class that cost three rounds) rides
+    this execution; oracle queries get the same guard inside
+    check_query. No query is executed twice just to read its schema."""
+    from energi_data_etl_spark.plans.parity import complex_output_columns
+
     q = QUERIES[name]
     df = q.fn(spark, oracle_sf_dir)
+    bad = complex_output_columns(df)
+    assert not bad, f"{name} outputs complex-typed columns {bad} (serialize to strings)"
     assert df.count() > 0, f"{name}: empty result — a rows-only check proves nothing"
     assert len(df.columns) > 0
-
-
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_complex_output_columns(spark, sf_dir, name):
-    """The driver canonicalizer sorts result cells — Array/Map/Struct
-    cells are unhashable ndarrays in pandas and ERR the whole query.
-    This class of bug cost three rounds (array_surface/map_functions in
-    r01, winnowing/multimodal in r03): every query must emit only
-    atomic columns (serialize arrays per the array_surface recipe,
-    queries/functions.py)."""
-    from pyspark.sql import types as T
-
-    schema = QUERIES[name].fn(spark, sf_dir).schema
-    bad = [
-        f.name
-        for f in schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-    ]
-    assert not bad, (
-        f"{name} outputs complex-typed columns {bad} — the driver "
-        "canonicalizer cannot sort them; serialize to strings "
-        "(array_surface recipe)"
-    )
 
 
 # The driver certifies the FIRST 50 queries in registration order each
@@ -59,22 +45,23 @@ def test_no_complex_output_columns(spark, sf_dir, name):
 # catalog insertion doesn't silently change which queries get certified
 # (ADVICE r03). Changing the rotation ON PURPOSE = update this list.
 EXPECTED_FIRST_50 = [
-    "tpch_q3_shipping_priority", "tpch_q5_local_volume", "tpch_q10_returned_items",
-    "having_large_orders", "tpch_q4_order_priority", "tpch_q12_priority_lines",
-    "tpch_q14_promo_ratio", "tpch_q16_supplier_cnt", "tpch_q18_large_volume",
-    "tpch_q19_disjunctive", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q15_top_supplier", "tpch_q22_idle_customers", "correlated_scalar_subquery",
+    "dashboard_cards", "flagship_daily_avg", "pricing_summary",
+    "filter_projection", "predicate_membership", "agg_surface",
+    "approx_count_distinct", "distinct_values", "dropdup_subset",
+    "topk_orders", "sort_multi_key", "set_operations",
+    "rollup_events", "grouping_sets_events", "cube_lineitem",
+    "conditional_buckets", "watermark_incremental", "date_parts",
+    "date_arithmetic", "string_surface", "json_extraction",
+    "cast_matrix", "array_surface", "explode_word_counts",
+    "map_functions", "calendar_coverage", "format_strings",
+    "join_star_revenue", "join_left_outer_histogram", "join_full_outer",
+    "join_semi", "join_anti", "join_theta_pairs",
+    "join_cross", "join_range", "join_asof",
+    "window_lag_delta", "window_rolling_7d", "window_cumulative",
+    "window_range_1h", "window_rank_topk", "window_ranking_surface",
     "streaming_tumbling_daily", "streaming_sliding_2d_1d", "streaming_session_windows",
-    "streaming_stateful_totals", "streaming_dedup_count", "grouped_median_udaf",
-    "tokenize_udtf", "salted_aggregation", "dedup_clusters", "tfidf_top_terms",
-    "pivot_status_counts", "unpivot_status_counts", "null_safety_surface",
-    "percentile_surface", "approx_percentile_sketch", "collect_aggregates",
-    "data_quality_report", "regex_surface", "dedup_exact", "dedup_bag_exact",
-    "neardup_minhash", "neardup_simhash", "ngram_jaccard_pairs", "knn_exact_cosine",
-    "embedding_neardup_exact", "ann_ivf_topk", "ann_lsh_topk", "text_stats_by_lang",
-    "lang_id_scores", "quality_scores", "token_counts_per_doc",
-    "winnowing_fingerprints", "udf_text_normalize", "multimodal_payload_meta",
-    "multimodal_decode_features",
+    "streaming_stateful_totals", "streaming_dedup_count", "tfidf_top_terms",
+    "pivot_status_counts", "unpivot_status_counts",
 ]
 
 
