@@ -1,0 +1,55 @@
+"""Aggregate N full bench.py runs into per-query medians — the
+regression reference BASELINE.md mandates (single runs swing up to 10×
+on this shared host; medians across back-to-back runs are the only
+comparable number).
+
+Usage:
+    python scripts/bench_medians.py out.json run1.json run2.json [...]
+
+Prints a comparison against BENCH_MEDIANS_r03.json (>2× regressions
+flagged) and writes {runs_total_sec, median_total_sec, medians} to
+out.json — same shape as BENCH_MEDIANS_r03.json.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def main() -> int:
+    out_path, run_paths = sys.argv[1], sys.argv[2:]
+    runs = [json.load(open(p)) for p in run_paths]
+    names = list(runs[0]["queries"])
+    medians = {
+        k: round(statistics.median([r["queries"][k] for r in runs if k in r["queries"]]), 3)
+        for k in names
+    }
+    doc = {
+        "runs_total_sec": [r["value"] for r in runs],
+        "median_total_sec": round(sum(medians.values()), 3),
+        "n_queries": len(medians),
+        "sf": runs[0].get("sf"),
+        "medians": medians,
+    }
+    json.dump(doc, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}: {len(medians)} queries, median sum {doc['median_total_sec']}s "
+          f"(run totals {doc['runs_total_sec']})")
+    try:
+        ref = json.load(open("BENCH_MEDIANS_r03.json"))["medians"]
+    except OSError:
+        return 0
+    flagged = sorted(
+        ((medians[k] / ref[k], k, medians[k], ref[k]) for k in medians if k in ref and medians[k] > 2 * ref[k]),
+        reverse=True,
+    )
+    for ratio, k, now, then in flagged:
+        print(f"  REGRESSION >2x: {k} {then:.2f}s -> {now:.2f}s ({ratio:.1f}x)")
+    if not flagged:
+        print("  no >2x per-query regressions vs BENCH_MEDIANS_r03")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
