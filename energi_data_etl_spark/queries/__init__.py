@@ -21,3 +21,4 @@ from . import tpch  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import robustness  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
+from . import datapipe  # noqa: F401,E402

@@ -1,0 +1,210 @@
+"""Training-data pipeline queries (the corpus→shards operations of an
+LLM data pipeline, first-class per the engine mandate): deterministic
+splits, leakage-safe cluster splits, contamination detection,
+token-budget packing, stratified sampling. All DuckDB-oracle-certified
+— the split/packing math is exact cross-engine because md5 is the one
+hash both engines share (operators/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import pipeline as P
+from ..operators import text as X
+from ..sources.tables import load_table
+from .catalog import query
+
+#: DuckDB twin of operators.pipeline.hash_bucket
+_DUCK_BUCKET = "CAST(CONCAT('0x', SUBSTRING(MD5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@query(
+    "split_train_val_test",
+    tier="L-pipeline (deterministic 80/10/10 hash split)",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT n_chars,
+                   CASE WHEN {_DUCK_BUCKET.format(key='doc_id')} < 80 THEN 'train'
+                        WHEN {_DUCK_BUCKET.format(key='doc_id')} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+        FROM assigned GROUP BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-of-key splits: membership is a pure function of doc_id, so
+    appends never reshuffle old docs across splits and the assignment is
+    a map stage (no shuffle, no sampling state)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("split", P.assign_split(F.col("doc_id")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars_total"))
+    )
+
+
+@query(
+    "split_cluster_aware",
+    tier="L-pipeline (leakage-safe split: duplicates share a split)",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, MD5(LOWER(TRIM(text))) AS f FROM documents
+        ), assigned AS (
+            SELECT doc_id, f,
+                   CASE WHEN {_DUCK_BUCKET.format(key='f')} < 80 THEN 'train'
+                        WHEN {_DUCK_BUCKET.format(key='f')} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM fp
+        )
+        SELECT split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT f) AS n_clusters,
+               (SELECT COUNT(*) FROM (
+                   SELECT f FROM assigned GROUP BY f HAVING COUNT(DISTINCT split) > 1
+               ) leaks) AS n_leaked_clusters
+        FROM assigned GROUP BY split
+    """,
+)
+def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splitting by hash of the DEDUP FINGERPRINT (not doc_id) puts
+    every copy of a document in the same split — the train/test-leakage
+    guard an i.i.d. split lacks. n_leaked_clusters (fingerprints seen in
+    >1 split) is emitted and must be 0 by construction; the oracle
+    recomputes it independently rather than trusting the invariant."""
+    d = load_table(spark, "documents", sf_dir).withColumn("f", X.fingerprint("text"))
+    assigned = d.withColumn("split", P.assign_split(F.col("f"))).persist()
+    leaks = (
+        assigned.groupBy("f")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked_clusters"))
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_clusters"),
+    )
+    return per_split.crossJoin(F.broadcast(leaks)).select(
+        "split", "n_docs", "n_clusters", "n_leaked_clusters"
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    tier="L-pipeline (benchmark contamination via shingle-hash join)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       GENERATE_SERIES(0, GREATEST(LEN(t) - 3, 0)),
+                       i -> CAST(CONCAT('0x', SUBSTRING(MD5(ARRAY_TO_STRING(t[i + 1 : i + 3], ' ')), 1, 15)) AS BIGINT)
+                   )) AS hs
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT UNNEST(hs) AS h FROM sh WHERE doc_id < 25
+        ), train AS (
+            SELECT doc_id, UNNEST(hs) AS h FROM sh WHERE doc_id >= 25
+        )
+        SELECT t.doc_id, COUNT(*) AS n_shared_shingles
+        FROM train t JOIN bench b ON t.h = b.h
+        GROUP BY t.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination scan: 3-gram shingles of both
+    sides, hashed to int64, equi-joined — per training doc, how many
+    distinct shingles also appear anywhere in the benchmark. The
+    benchmark shingle set is tiny → broadcast; the train side explodes
+    once and joins without shuffle. Never all-pairs: cost is linear in
+    total shingles (the dedup-tier discipline applied to eval hygiene)."""
+    d = load_table(spark, "documents", sf_dir).withColumn("hs", P.shingle_hashes("text", k=3))
+    bench = (
+        d.filter(F.col("doc_id") < 25)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") >= 25).select("doc_id", F.explode("hs").alias("h"))
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@query(
+    "token_budget_packing",
+    tier="L-pipeline (concat-then-chunk packing into 512-token shards)",
+    oracle="""
+        WITH counted AS (
+            SELECT doc_id,
+                   LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)) AS n_tok
+            FROM documents WHERE doc_id < 2000
+        ), packed AS (
+            SELECT doc_id, n_tok,
+                   CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT) AS chunk_id
+            FROM counted
+        )
+        SELECT chunk_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM packed GROUP BY chunk_id
+    """,
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining shard layout: docs laid end-to-end in doc_id order,
+    cut every 512 tokens, a doc charged to the chunk where its first
+    token lands. One global-order window here (bounded by the doc_id
+    filter); at scale the window partitions by shard so packing stays
+    parallel — see operators/pipeline.py::pack_into_chunks."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 2000).select("doc_id", "text")
+    packed = P.pack_into_chunks(d, X.token_count("text").cast("bigint"), "doc_id", budget=512)
+    return packed.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    tier="L-pipeline (deterministic 10% stratified sample + rates)",
+    oracle=f"""
+        WITH s AS (
+            SELECT lang,
+                   CASE WHEN {_DUCK_BUCKET.format(key='doc_id')} < 10 THEN 1 ELSE 0 END AS keep
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_total,
+               SUM(keep) AS n_sampled,
+               ROUND(SUM(keep) * 1.0 / COUNT(*), 4) AS sample_rate
+        FROM s GROUP BY lang
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible downsampling with per-stratum accounting: the keep
+    decision is hash(doc_id) < p — no RNG state, no sampling seed drift
+    across retries/executors, rerun-stable. Emits realized rates per
+    lang so skew against the 10% target is observable."""
+    d = load_table(spark, "documents", sf_dir)
+    keep = (P.hash_bucket(F.col("doc_id"), 100) < 10).cast("bigint")
+    return (
+        d.withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("sample_rate"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Training-data pipeline operator invariants (operators/pipeline.py):
+split determinism/stability, leakage-safety, packing conservation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from energi_data_etl_spark.operators import pipeline as P
+from energi_data_etl_spark.operators.text import fingerprint
+from energi_data_etl_spark.sources.tables import load_table
+
+
+def test_split_is_stable_under_corpus_growth(spark, sf_dir):
+    """Hash-split membership is a pure function of the key: computing
+    splits on a PREFIX of the corpus and on the full corpus must agree
+    on every shared doc (appends never reshuffle old docs)."""
+    d = load_table(spark, "documents", sf_dir)
+    full = {r.doc_id: r.split for r in d.withColumn("split", P.assign_split(F.col("doc_id"))).select("doc_id", "split").collect()}
+    prefix = {
+        r.doc_id: r.split
+        for r in d.filter(F.col("doc_id") < 200)
+        .withColumn("split", P.assign_split(F.col("doc_id")))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert prefix == {k: v for k, v in full.items() if k < 200}
+
+
+def test_split_proportions_roughly_hold(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    n = d.count()
+    counts = dict(
+        d.withColumn("s", P.assign_split(F.col("doc_id"))).groupBy("s").count().collect()
+    )
+    assert counts["train"] / n > 0.7 and counts["test"] / n < 0.2, counts
+
+
+def test_cluster_split_never_leaks_duplicates(spark):
+    """Two byte-identical docs with different ids must land in the same
+    split when splitting by fingerprint (and may diverge by doc_id)."""
+    rows = [(i, "identical near dup payload text") for i in range(50)] + [
+        (100 + i, f"unique text {i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn("f", fingerprint("text"))
+    by_fp = df.withColumn("s", P.assign_split(F.col("f")))
+    leaked = (
+        by_fp.groupBy("f").agg(F.countDistinct("s").alias("ns")).filter(F.col("ns") > 1).count()
+    )
+    assert leaked == 0
+
+
+def test_packing_conserves_docs_and_tokens(spark, sf_dir):
+    """Every doc lands in exactly one chunk; chunk token sums equal the
+    corpus total; chunk ids are dense from 0."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from energi_data_etl_spark.operators.text import token_count
+
+    packed = P.pack_into_chunks(d, token_count("text").cast("bigint"), "doc_id", budget=512)
+    total_docs, total_toks = d.count(), packed.agg(F.sum("n_tok")).first()[0]
+    assert packed.count() == total_docs
+    chunks = packed.groupBy("chunk_id").agg(F.sum("n_tok").alias("t")).collect()
+    assert sum(r.t for r in chunks) == total_toks
+    ids = sorted(r.chunk_id for r in chunks)
+    assert ids == list(range(len(ids)))
+    # every chunk except possibly the last begins within budget of its
+    # predecessor: chunk boundaries advance monotonically
+    assert all(b - a >= 1 for a, b in zip(ids, ids[1:])) or len(ids) == 1
+
+
+def test_shingle_hashes_detect_containment(spark):
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "prefix words then alpha beta gamma delta epsilon zeta and more"
+    c = "completely different tokens everywhere here now"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    hs = {r.doc_id: set(r.h) for r in df.select("doc_id", P.shingle_hashes("text", 3).alias("h")).collect()}
+    assert hs[1] <= hs[2], "every shingle of a substring-doc must appear in the container"
+    assert not (hs[1] & hs[3])
