@@ -22,3 +22,4 @@ from . import extensions  # noqa: F401,E402
 from . import robustness  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
+from . import timeseries  # noqa: F401,E402
