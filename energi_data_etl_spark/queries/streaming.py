@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.ops import (
     dedup_within_watermark,
     events_stream,
+    interval_self_join,
     run_to_memory,
     session_window_stats,
     sliding_window_avg,
@@ -136,6 +137,40 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per user in the update-mode sink; a multi-batch replay would keep
     # max(n_events) per user here instead
     return drained.select("user_id", "n_events", "total_value")
+
+
+@query(
+    "streaming_interval_join",
+    tier="T-series J1 (stream-stream inner join on event-time interval)",
+    oracle="""
+        SELECT c.user_id,
+               COUNT(*) AS n_pairs,
+               ROUND(SUM(c.value), 4) AS click_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts > p.ts - INTERVAL 30 MINUTE
+         AND c.ts <= p.ts
+        GROUP BY c.user_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks attributed to purchases of the same user within the
+    preceding 30 minutes — TWO streams joined on user + an event-time
+    interval (buffered-state join, both sides watermarked). The drain is
+    a single micro-batch so no candidate pair is watermark-dropped and
+    the batch SQL twin is exact; the post-drain aggregation runs on the
+    drained static frame (aggregating a stream-stream join inside the
+    stream would need a second watermark pass)."""
+    clicks = events_stream(spark, _events_path(sf_dir)).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, _events_path(sf_dir)).filter(F.col("event_type") == "purchase")
+    joined = interval_self_join(clicks, purchases, upper="interval 30 minutes")
+    drained = run_to_memory(joined, output_mode="append")
+    return drained.groupBy(F.col("l_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("l_value"), 4).alias("click_value"),
+    )
 
 
 @query(

@@ -178,6 +178,35 @@ def stateful_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataF
     )
 
 
+def interval_self_join(
+    left: DataFrame,
+    right: DataFrame,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right rows join left rows of the same user whose timestamp falls in
+    (right.ts - upper, right.ts - lower]. Both sides carry watermarks so
+    the join state (buffered left rows awaiting possible right matches)
+    is bounded by the interval + watermark horizon — the canonical
+    Spark stream-stream join shape (attribution/funnel analysis).
+
+    Columns are prefixed l_/r_ to keep the joined schema unambiguous.
+    """
+    lt = left.select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"), F.col("value").alias("l_value")
+    ).withWatermark("l_ts", watermark)
+    rt = right.select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+    ).withWatermark("r_ts", watermark)
+    return lt.join(
+        rt,
+        F.expr(f"l_user = r_user AND l_ts > r_ts - {upper} AND l_ts <= r_ts - {lower}"),
+        "inner",
+    )
+
+
 def stream_to_parquet(stream: DataFrame, path: str, checkpoint: str) -> None:
     """T7: exactly-once append sink (the reference's WRITE_APPEND,
     energy_etl.py:105, with checkpointed idempotence instead of hope)."""

@@ -196,3 +196,18 @@ def test_tumbling_matches_flagship_batch(spark, sf_dir):
     )
     want = {(str(r.date), r.event_type): (r.avg_value, r.n) for r in batch.collect()}
     assert got == want
+
+
+def test_interval_join_pairs_within_window(spark, sf_dir):
+    """Every joined (click, purchase) pair obeys the interval: click in
+    (purchase - 30min, purchase], same user — asserted on the drained
+    pairs themselves, not the aggregate."""
+    from energi_data_etl_spark.streaming.ops import interval_self_join
+
+    clicks = events_stream(spark, f"{sf_dir}/events.parquet").filter(F.col("event_type") == "click")
+    buys = events_stream(spark, f"{sf_dir}/events.parquet").filter(F.col("event_type") == "purchase")
+    pairs = run_to_memory(interval_self_join(clicks, buys), output_mode="append").collect()
+    assert pairs, "fixture must produce at least one attributed pair"
+    for r in pairs:
+        delta = (r.r_ts - r.l_ts).total_seconds()
+        assert 0 <= delta < 1800, r
