@@ -67,16 +67,24 @@ def pack_into_chunks(df: DataFrame, n_tokens: Column, order_col: str, budget: in
     )
 
 
-def shingle_hashes(text_col: str, k: int = 3) -> Column:
-    """Distinct k-gram shingles of the whitespace tokens, md5-hashed to
-    a 63-bit int (cross-engine reproducible, joins on int64 not string
-    — the text.py lesson: hash set-op keys to ints first)."""
+def shingle_hashes(text_col: str, k: int = 3, hash_fn: str = "md5") -> Column:
+    """Distinct k-gram shingles of the whitespace tokens, hashed to
+    int64 (the text.py lesson: join set-op keys as ints, not strings).
+
+    hash_fn="md5" (default) is cross-engine reproducible — required
+    wherever a DuckDB oracle recomputes the same hashes — but costs an
+    md5 + hex-parse per gram. hash_fn="xxhash64" is the hot-path choice
+    (~10× cheaper, measured in scripts/scale_probe_pipeline.py):
+    engine-local, so only valid when both join sides are hashed by THIS
+    engine in the same job (true for any contamination/overlap scan)."""
     from .text import tokens
 
     toks = tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    if hash_fn == "xxhash64":
+        return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
     return F.array_distinct(
         F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"))
     )
