@@ -75,3 +75,16 @@ def test_shingle_hashes_detect_containment(spark):
     hs = {r.doc_id: set(r.h) for r in df.select("doc_id", P.shingle_hashes("text", 3).alias("h")).collect()}
     assert hs[1] <= hs[2], "every shingle of a substring-doc must appear in the container"
     assert not (hs[1] & hs[3])
+
+
+def test_shingle_hash_modes_agree_on_set_relations(spark):
+    """xxhash64 and md5 shingle modes must induce the SAME overlap
+    structure (same pairwise intersection sizes) — the hot path is a
+    drop-in for any same-job join."""
+    rows = [(1, "a b c d e f"), (2, "c d e f g h"), (3, "x y z w v u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for mode in ("md5", "xxhash64"):
+        hs = {r.doc_id: set(r.h) for r in df.select("doc_id", P.shingle_hashes("text", 3, hash_fn=mode).alias("h")).collect()}
+        out[mode] = {(a, b): len(hs[a] & hs[b]) for a in hs for b in hs if a < b}
+    assert out["md5"] == out["xxhash64"], out
