@@ -534,3 +534,38 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("features", lambda x: F.format_string("%.4f", F.round(x.cast("double"), 4)))
         ).alias("features_str"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    tier="L5 (keyframe-sampling plumbing: payload -> array<binary> frames)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS total
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CAST(4 AS INT) AS n_frames,
+               ARRAY_TO_STRING(
+                   LIST_TRANSFORM(GENERATE_SERIES(0, 3),
+                       i -> SUBSTRING(text, CAST(FLOOR(i * GREATEST((total - 16) / 3.0, 0)) AS INT) + 1, 16)),
+                   '|') AS frames_str
+        FROM t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style keyframe sampling over binary payloads: 4 evenly
+    spaced 16-byte frames per payload (operators/multimodal.py
+    frame_sample — pure JVM expression, zero Python). Frames are binary
+    slices; the oracle recomputes them as text substrings (fixture is
+    ASCII so byte offsets == char offsets) and both sides emit a
+    '|'-joined string. Spark's double→int cast truncates while DuckDB's
+    rounds, so the oracle wraps the frame offset in FLOOR explicitly
+    (the CLAUDE.md cast trap)."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    framed = M.frame_sample(M.attach_payload(d), n_frames=4, frame_bytes=16)
+    return framed.select(
+        "doc_id",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.concat_ws("|", F.transform("frames", lambda b: F.decode(b, "UTF-8"))).alias("frames_str"),
+    )
