@@ -79,6 +79,18 @@ def events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | N
     return df.withColumn("ts", F.timestamp_micros(epoch_long_to_micros("ts")))
 
 
+def _ephemeral_checkpoint_dir() -> str:
+    """Throwaway checkpoint for deterministic full drains: tmpfs when
+    available (the checkpoint of a drain-and-discard query carries no
+    durability obligation, and the WAL/commit-log fsyncs dominate short
+    drains on disk). Durable pipelines (stream_to_parquet) take an
+    explicit, persistent checkpoint path instead."""
+    import os
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a stream with Trigger.AvailableNow into an in-memory table
     and return it as a DataFrame (deterministic: blocks until done)."""
@@ -88,7 +100,7 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _ephemeral_checkpoint_dir())
         .start()
     )
     q.awaitTermination()
