@@ -121,3 +121,37 @@ def test_jaccard_join_is_prefix_filtered(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "tok" in plan, plan
+
+
+def test_split_assign_is_pure_map_stage(spark, sf_dir):
+    """Hash-split assignment must add zero exchanges before the final
+    agg: one scan, one partial+final aggregate pair, one shuffle."""
+    df = QUERIES["split_train_val_test"].fn(spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast (it is the small side by
+    construction); the corpus side must never be broadcast or looped."""
+    df = QUERIES["contamination_ngram_overlap"].fn(spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_merge_upsert_single_key_shuffle(spark, sf_dir):
+    """The MERGE data-flow joins base and updates on the key once —
+    SortMergeJoin FullOuter (or shuffled hash), never nested-loop."""
+    plan = explain_str(QUERIES["merge_upsert_orders"].fn(spark, sf_dir), mode="simple")
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_gapfill_spine_is_generated_not_scanned(spark, sf_dir):
+    """The calendar spine must come from a generated sequence (a 1-row
+    range + explode), not a scan; the only file scans are events."""
+    plan = explain_str(QUERIES["gapfill_forward"].fn(spark, sf_dir), mode="formatted")
+    assert plan.count("events.parquet") == 2, plan  # types + sparse series
+    assert "Range" in plan, plan
