@@ -214,3 +214,66 @@ def regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_tier"),
         F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
     )
+
+
+@query(
+    "window_distribution_surface",
+    tier="W1+ (ntile / percent_rank / cume_dist distribution windows)",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+        FROM customer
+        WHERE c_custkey < 300
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def window_distribution_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing and the two
+    normalized-rank forms. The order key is made total (acctbal then
+    custkey) so ntile's bucket boundaries are deterministic across
+    engines."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") < 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "sort_nulls_policy",
+    tier="§2.6 (explicit NULLS FIRST/LAST ordering policy)",
+    oracle="""
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS maybe_chars,
+               ROW_NUMBER() OVER (ORDER BY (CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END)
+                                  DESC NULLS LAST, doc_id ASC) AS rnk
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def sort_nulls_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL placement made EXPLICIT on both engines: Spark defaults to
+    NULLS LAST on DESC while DuckDB defaults to NULLS LAST only since
+    1.x and SQL engines disagree in general — any ordering consumed
+    downstream (ranks, limits) must spell the policy out. The rank is
+    computed over (maybe-null DESC NULLS LAST, id) so the output is a
+    total deterministic order on both sides."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    maybe = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("n_chars"))
+    w = Window.orderBy(maybe.desc_nulls_last(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id",
+        "lang",
+        maybe.alias("maybe_chars"),
+        F.row_number().over(w).alias("rnk"),
+    )
