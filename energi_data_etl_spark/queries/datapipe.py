@@ -208,3 +208,64 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("sample_rate"),
         )
     )
+
+
+@query(
+    "pipeline_end_to_end",
+    tier="L-pipeline (composite: quality filter -> dedup -> split -> packing stats)",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, text, LEN(t) AS n_tok,
+                   ROUND(0.4 * LEAST(LEN(t) / 50.0, 1.0)
+                       + 0.3 * LEAST((LIST_AGGREGATE(LIST_TRANSFORM(t, x -> LENGTH(x) * 1.0), 'sum')
+                                      / GREATEST(LEN(t), 1)) / 6.0, 1.0)
+                       + 0.3 * LEAST(LEN(LIST_FILTER(t, x -> x IN ('the','a','and','of','to','in','is','that','it','for')))
+                                     * 1.0 / GREATEST(LEN(t), 1) * 5, 1.0), 6) AS q
+            FROM toks
+        ), kept AS (
+            SELECT doc_id, n_tok, MD5(LOWER(TRIM(text))) AS f
+            FROM scored WHERE q >= 0.5
+        ), survivors AS (
+            SELECT doc_id, n_tok, f,
+                   ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM kept
+        ), assigned AS (
+            SELECT doc_id, n_tok,
+                   CASE WHEN {_DUCK_BUCKET.format(key='f')} < 80 THEN 'train'
+                        WHEN {_DUCK_BUCKET.format(key='f')} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM survivors WHERE rn = 1
+        )
+        SELECT split,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS n_tokens,
+               CAST(CEIL(SUM(n_tok) / 512.0) AS BIGINT) AS n_chunks
+        FROM assigned GROUP BY split
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole data-prep DAG in one declared plan — quality-filter the
+    corpus, drop exact duplicates (min-id survivor), assign leakage-safe
+    splits by fingerprint hash, report per-split token volume and the
+    512-token chunk count a packer would emit. Composes the tier's
+    operators end-to-end exactly as a user would; one shuffle per stage
+    (fingerprint groupBy, split agg), everything else map-side."""
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.withColumn("q", X.quality_score("text")).withColumn(
+        "n_tok", X.token_count("text").cast("bigint")
+    )
+    kept = scored.filter(F.col("q") >= 0.5).withColumn("f", X.fingerprint("text"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy("doc_id")
+    survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assigned = survivors.withColumn("split", P.assign_split(F.col("f")))
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.ceil(F.sum("n_tok") / 512.0).cast("bigint").alias("n_chunks"),
+    )
