@@ -277,3 +277,69 @@ def sort_nulls_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe.alias("maybe_chars"),
         F.row_number().over(w).alias("rnk"),
     )
+
+
+@query(
+    "regression_aggregates",
+    tier="A5+ (bivariate statistical aggregates: corr/covar/regr family)",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(CORR(value, EXTRACT(HOUR FROM ts)), 6)        AS corr_vh,
+               ROUND(COVAR_SAMP(value, EXTRACT(HOUR FROM ts)), 6)  AS covar_vh,
+               ROUND(REGR_SLOPE(value, EXTRACT(HOUR FROM ts)), 6)  AS slope,
+               ROUND(REGR_INTERCEPT(value, EXTRACT(HOUR FROM ts)), 6) AS intercept,
+               ROUND(REGR_R2(value, EXTRACT(HOUR FROM ts)), 6)     AS r2
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics in ONE distributed pass per group (the
+    regr_* family maintains (n, Σx, Σy, Σxy, Σx², Σy²) partials —
+    map-side combinable, same scale shape as avg). Fits value against
+    hour-of-day per event type; 6dp rounding absorbs summation-order
+    ulps (both engines accumulate doubles in different orders)."""
+    ev = load_table(spark, "events", sf_dir)
+    hour = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("value", hour), 6).alias("corr_vh"),
+        F.round(F.covar_samp("value", hour), 6).alias("covar_vh"),
+        F.round(F.regr_slope(F.col("value"), hour), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), hour), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), hour), 6).alias("r2"),
+    )
+
+
+@query(
+    "timezone_conversion",
+    tier="F1+ (cross-timezone wall-clock conversion from naive-UTC)",
+    oracle="""
+        SELECT event_id,
+               STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS utc_wall,
+               STRFTIME(timezone('America/New_York', timezone('UTC', ts)),
+                        '%Y-%m-%d %H:%M:%S') AS ny_wall,
+               CAST(EXTRACT(HOUR FROM timezone('Europe/Stockholm', timezone('UTC', ts))) AS INT) AS sthlm_hour
+        FROM events
+        WHERE event_id < 200
+    """,
+)
+def timezone_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is naive UTC (timestamp_ntz); converting to a zone's
+    wall clock is interpret-as-UTC → project-to-zone on BOTH engines
+    (Spark convert_timezone(src, dst, ntz); DuckDB timezone(dst,
+    timezone('UTC', ts))) — the reference's zone-local prices
+    (energy_etl.py:19 'SE' zones) live on exactly this conversion. Both
+    engines use the IANA tzdb so January 2024 offsets agree (EST/CET,
+    no DST edge in-range; sub-second digits dropped from the formatted
+    output to keep the compare about the offsets)."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 200)
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    sthlm = F.convert_timezone(F.lit("UTC"), F.lit("Europe/Stockholm"), F.col("ts"))
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("utc_wall"),
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
+        F.hour(sthlm).cast("int").alias("sthlm_hour"),
+    )
