@@ -343,3 +343,45 @@ def timezone_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
         F.hour(sthlm).cast("int").alias("sthlm_hour"),
     )
+
+
+@query(
+    "recursive_cte_hierarchy",
+    tier="§3 planner (WITH RECURSIVE: iterative transitive closure)",
+    oracle="""
+        WITH RECURSIVE tree AS (
+            SELECT c_custkey AS k, 0 AS depth FROM customer WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1
+            FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
+        )
+        SELECT depth,
+               COUNT(*) AS n_nodes,
+               MIN(k) AS min_key,
+               MAX(k) AS max_key
+        FROM tree GROUP BY depth
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.x) walking the implicit binary tree
+    parent = custkey div 2 from the root — per-level node counts. Each
+    recursion step is one distributed join of the frontier against the
+    base table (the same iterate-until-empty shape as dedup_clusters'
+    label propagation, but planner-managed). DuckDB's `//` and Spark's
+    `div` are both exact integer floor-division."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+            SELECT c_custkey AS k, 0 AS depth FROM customer_rcte WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1
+            FROM customer_rcte c JOIN tree t ON c.c_custkey div 2 = t.k
+        )
+        SELECT depth,
+               COUNT(*) AS n_nodes,
+               MIN(k) AS min_key,
+               MAX(k) AS max_key
+        FROM tree GROUP BY depth
+        """
+    )

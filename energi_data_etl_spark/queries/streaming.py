@@ -188,3 +188,33 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(stream, ["user_id", "event_type", "day"], watermark="40 days")
     drained = run_to_memory(deduped, output_mode="append")
     return drained.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query(
+    "streaming_static_enrich",
+    tier="T-series+J1 (stream-static broadcast enrichment join)",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched against the
+    static customer dimension (no watermark needed — static side is
+    fixed per micro-batch, broadcast to every task; the canonical
+    dimension-enrichment topology). Aggregation runs after the drain
+    so the join itself is what streams."""
+    from ..sources.tables import load_table as _lt
+
+    stream = events_stream(spark, _events_path(sf_dir)).filter(F.col("event_type") == "purchase")
+    dim = _lt(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    drained = run_to_memory(enriched.select("c_mktsegment", "value"), output_mode="append")
+    return drained.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

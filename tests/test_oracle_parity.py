@@ -61,7 +61,7 @@ EXPECTED_FIRST_50 = [
     "window_range_1h", "window_rank_topk", "window_ranking_surface",
     "streaming_tumbling_daily", "streaming_sliding_2d_1d", "streaming_session_windows",
     "streaming_stateful_totals", "streaming_interval_join", "streaming_dedup_count",
-    "tfidf_top_terms", "pivot_status_counts",
+    "streaming_static_enrich", "tfidf_top_terms",
 ]
 
 
