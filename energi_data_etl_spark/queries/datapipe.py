@@ -269,3 +269,52 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("n_tokens"),
         F.ceil(F.sum("n_tok") / 512.0).cast("bigint").alias("n_chunks"),
     )
+
+
+@query(
+    "dedup_incremental_delta",
+    tier="L1+J3 (incremental dedup: delta anti-joined against base corpus)",
+    oracle="""
+        WITH base AS (
+            SELECT DISTINCT MD5(LOWER(TRIM(text))) AS f
+            FROM documents WHERE doc_id < 400
+        ), delta AS (
+            SELECT doc_id, MD5(LOWER(TRIM(text))) AS f
+            FROM documents WHERE doc_id >= 400
+        ), novel AS (
+            SELECT doc_id, f,
+                   ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM delta WHERE f NOT IN (SELECT f FROM base)
+        )
+        SELECT COUNT(*) AS n_delta_docs,
+               (SELECT COUNT(*) FROM novel WHERE rn = 1) AS n_novel,
+               COUNT(*) - (SELECT COUNT(*) FROM novel WHERE rn = 1) AS n_dropped
+        FROM delta
+    """,
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup is incremental: a new delta batch is checked
+    against the already-deduped base (anti join on fingerprint — one
+    shuffle on the hash, never a rescan-and-redo of the corpus), then
+    deduped within itself (min-id survivor per novel fingerprint).
+    Reports delta size, novel survivors, and drops. At 100 TB the base
+    fingerprint set is a bucketed table so the anti join is
+    exchange-free on the delta side only."""
+    d = load_table(spark, "documents", sf_dir).withColumn("f", X.fingerprint("text"))
+    base = d.filter(F.col("doc_id") < 400).select("f").distinct()
+    delta = d.filter(F.col("doc_id") >= 400).select("doc_id", "f")
+    novel = (
+        delta.join(base, "f", "left_anti")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("survivor"))
+    )
+    counts = delta.agg(F.count(F.lit(1)).alias("n_delta_docs"))
+    novel_n = novel.agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        counts.crossJoin(F.broadcast(novel_n))
+        .select(
+            "n_delta_docs",
+            "n_novel",
+            (F.col("n_delta_docs") - F.col("n_novel")).alias("n_dropped"),
+        )
+    )
