@@ -80,7 +80,13 @@ def _values_equal(a, b) -> bool:
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
-            return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+            # EXACT after the round(9) canonicalization in _canon — no
+            # rel_tol: at 1e8-magnitude sums rel_tol=1e-9 silently forgave
+            # ~0.5 absolute, which is how a 2dp cent-level mismatch passed
+            # driver_sim while the real driver's hash compare would fail
+            # (ADVICE r05 medium). Queries round explicitly, so any residual
+            # difference is a real cross-engine divergence and must fail.
+            return fa == fb
     except (TypeError, ValueError):
         pass
     if (a is None or (isinstance(a, float) and math.isnan(a))) != (b is None or (isinstance(b, float) and math.isnan(b))):

@@ -284,7 +284,10 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), novel AS (
             SELECT doc_id, f,
                    ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-            FROM delta WHERE f NOT IN (SELECT f FROM base)
+            -- NOT EXISTS (not NOT IN): matches anti-join NULL semantics —
+            -- a NULL fingerprint would empty NOT IN via three-valued logic
+            -- while the Spark left_anti keeps the row (ADVICE r05).
+            FROM delta d WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.f = d.f)
         )
         SELECT COUNT(*) AS n_delta_docs,
                (SELECT COUNT(*) FROM novel WHERE rn = 1) AS n_novel,

@@ -83,7 +83,10 @@ def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
             FROM orders WHERE o_orderkey % 3 != 0
         ), updates AS (
-            SELECT o_orderkey AS k, o_orderstatus AS status, ROUND(o_totalprice * 1.1, 2) AS price
+            -- raw IEEE product, NOT rounded per-row: ROUND(x*1.1, 2) hits
+            -- .5-boundary cents where Spark HALF_UP and DuckDB scaled-double
+            -- rounding diverge (ADVICE r05 high). Round only the wide SUM.
+            SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice * 1.1 AS price
             FROM orders WHERE o_orderkey % 2 = 0
         ), merged AS (
             SELECT COALESCE(u.k, b.k) AS k,
@@ -114,7 +117,9 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
         F.col("o_orderkey").alias("uk"),
         F.col("o_orderstatus").alias("ustatus"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("uprice"),
+        # unrounded: per-row ROUND of a raw product diverges cross-engine
+        # on .5-boundary cents; only the final wide SUM is rounded.
+        (F.col("o_totalprice") * 1.1).alias("uprice"),
     )
     merged = base.join(updates, base.bk == updates.uk, "full_outer").select(
         F.coalesce("ustatus", "bstatus").alias("status"),

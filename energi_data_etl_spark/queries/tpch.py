@@ -673,7 +673,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q17_small_qty_revenue",
     tier="J1+§3 (TPC-H Q17 shape: correlated per-group AVG subquery)",
     oracle="""
-        SELECT ROUND(SUM(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+        -- FLOOR-truncate the quotient (not ROUND): SUM/7.0 is a raw
+        -- quotient whose closest double can sit on a .5 boundary at 2dp,
+        -- where Spark and DuckDB ROUND diverge (CLAUDE.md quotient rule).
+        SELECT FLOOR(SUM(l1.l_extendedprice) / 7.0 * 100) / 100 AS avg_yearly
         FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
         WHERE p_brand = 'Brand#23'
           AND l1.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
@@ -695,7 +698,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == per_part.__pk)
         .filter(F.col("l_quantity") < F.col("__half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((F.floor(F.sum("l_extendedprice") / 7.0 * 100) / 100).alias("avg_yearly"))
     )
 
 
