@@ -78,6 +78,7 @@ def run_incremental(
     today,
     zones: Sequence[str] = ("SE1", "SE2", "SE3", "SE4"),
     cold_start_days: int = 10,
+    config=None,
 ) -> bool:
     """The reference's full lifecycle (energy_etl.py:39-84), Spark-first:
 
@@ -93,7 +94,7 @@ def run_incremental(
     """
     import datetime
 
-    from ..sources.http_json import fetch_plan, fetch_to_landing, read_landing
+    from ..sources.http_json import ApiConfig, fetch_plan, fetch_to_landing, read_landing
     from ..sources.sinks import latest_watermark, write_fact_table
 
     wm = latest_watermark(spark, table_path, "date")
@@ -101,7 +102,7 @@ def run_incremental(
     if start > today:
         return False  # nothing new — the reference's early-exit path
     plan = fetch_plan(spark, start, today, zones)
-    fetch_to_landing(plan, landing_dir, fetcher=fetcher)
+    fetch_to_landing(plan, landing_dir, fetcher=fetcher, config=config or ApiConfig())
     landed = read_landing(spark, landing_dir)
     daily = (
         landed.groupBy("date", "zone")

@@ -1,15 +1,6 @@
 from .catalog import QUERIES, Query, query, spark_queries, oracle_sqls  # noqa: F401
 
-# Importing the query modules registers them in QUERIES. ORDER MATTERS:
-# the driver's per-round correctness file records the FIRST 50 queries in
-# registration order, so the tiers are rotated round-to-round to get every
-# query a driver-certified row. Round 5 front-loads the 42 whose driver
-# rows are stale (flagship 2 / relational 15 / functions 10 / joins 9 /
-# windows 6 — last certified r01/r02, code has changed since, and
-# relational now carries the promoted approx_count_distinct oracle) plus
-# streaming (5 — red in r04, fixed this round, must re-certify) plus
-# analytics (3) = exactly 50. tpch/extensions/robustness/llm were all
-# driver-green in CORRECTNESS_r04 and stay covered by driver_sim + pytest.
+# Importing the query modules registers them in QUERIES.
 from . import flagship  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import functions  # noqa: F401,E402
@@ -23,3 +14,56 @@ from . import robustness  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
+from . import lifecycle  # noqa: F401,E402
+
+# ORDER MATTERS: the driver's per-round correctness file records only the
+# FIRST 50 queries in registration order, so the window is rotated
+# round-to-round until every query has a driver-certified row. Round 6
+# front-loads the 25 that have never met the real driver — 22 sim-only
+# r05 additions (7 TPC-H shapes, 5 robustness extras, multimodal frame
+# sample, the 7-query datapipe tier, the 2-query timeseries tier) plus
+# the 3 new r06 queries (lifecycle, lsh_bucket_stats,
+# streaming_rollup_parquet) — then 5 regression canaries (flagship, one
+# join, one window, streaming_interval_join for the drain-conf change,
+# one relational) and the 20 oldest r≤4-certified rows (extensions,
+# robustness core, llm dedup/knn/text tiers). 25+5+20 = 50. Queries not
+# listed keep their registration order after the first 50.
+FIRST_50 = [
+    # -- 22 never driver-certified (VERDICT r05 top item) --
+    "tpch_q6_forecast_revenue", "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q17_small_qty_revenue", "tpch_q2_min_cost_supplier", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "window_distribution_surface", "sort_nulls_policy", "regression_aggregates",
+    "timezone_conversion", "recursive_cte_hierarchy",
+    "multimodal_frame_sample",
+    "split_train_val_test", "split_cluster_aware", "contamination_ngram_overlap",
+    "token_budget_packing", "stratified_sample_by_lang", "pipeline_end_to_end",
+    "dedup_incremental_delta",
+    "gapfill_forward", "merge_upsert_orders",
+    # -- 3 new in r06 --
+    "pipeline_incremental_lifecycle", "lsh_bucket_stats", "streaming_rollup_parquet",
+    # -- 5 regression canaries --
+    "flagship_daily_avg", "join_star_revenue", "window_rank_topk",
+    "streaming_interval_join", "pricing_summary",
+    # -- 20 oldest driver rows (last certified r≤4) --
+    "data_quality_report", "regex_surface", "null_safety_surface",
+    "percentile_surface", "approx_percentile_sketch", "collect_aggregates",
+    "grouped_median_udaf", "tokenize_udtf", "salted_aggregation", "dedup_clusters",
+    "dedup_exact", "dedup_bag_exact", "ngram_jaccard_pairs",
+    "knn_exact_cosine", "embedding_neardup_exact", "text_stats_by_lang",
+    "lang_id_scores", "quality_scores", "token_counts_per_doc",
+    "winnowing_fingerprints",
+]
+
+
+def _rotate(first: list[str]) -> None:
+    missing = [n for n in first if n not in QUERIES]
+    assert not missing, f"rotation names not registered: {missing}"
+    assert len(first) == len(set(first)) == 50, "rotation must pin exactly 50 distinct names"
+    ordered = {n: QUERIES[n] for n in first}
+    ordered.update((n, q) for n, q in list(QUERIES.items()) if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_rotate(FIRST_50)

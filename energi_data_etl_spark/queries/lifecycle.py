@@ -1,0 +1,114 @@
+"""End-to-end pipeline-lifecycle certification (SURVEY.md §2.11).
+
+The reference's whole program is one lifecycle: watermark read → fetch
+the missing (zone, day) slice → daily-average transform → append with
+audit column → next run resumes from the new watermark
+(scripts/energy_etl.py:39-84). The unit tests certify the pieces
+(S5/S6/T1); this declared query certifies the COMPOSITION under the
+real driver contract: cold-start backfill, an incremental second run,
+the skip-empty early exit, and a read-back of the durable table — all
+inside one `(spark, sf_dir) -> DataFrame` call with a deterministic
+fixture fetcher, so the DuckDB oracle can re-derive the expected table
+from first principles (generated calendar × zones, no network).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import query
+
+#: Deterministic hourly price for (zone, date, hour): exact small
+#: integers, so the 24-hour average is exactly representable
+#: (z*1000 + day_no*10 + 11.5 — one fractional bit) and bit-identical
+#: across Spark's sum/count average and DuckDB's closed form.
+
+
+def _fixture_fetcher(url: str, headers: dict | None = None) -> list[dict]:
+    """Replays the public API's response shape (reference
+    energy_etl.py:67-69) as a pure function of the request URL."""
+    import datetime
+    import re
+
+    m = re.search(r"/prices/(\d{4})/(\d{2})-(\d{2})_(SE\d)\.json", url)
+    assert m, f"unexpected fetch URL: {url}"
+    day = datetime.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    day_no = (day - datetime.date(2024, 1, 1)).days
+    zone_idx = int(m.group(4)[2])
+    base = float(zone_idx * 1000 + day_no * 10)
+    return [
+        {
+            "SEK_per_kWh": base + h,
+            "EUR_per_kWh": 0.0,
+            "EXR": 11.0,
+            "time_start": f"{h:02d}:00",
+            "time_end": f"{h + 1:02d}:00",
+        }
+        for h in range(24)
+    ]
+
+
+@query(
+    "pipeline_incremental_lifecycle",
+    tier="S1+S4+S5+S6+T1+A1 (full reference lifecycle: watermark→fetch→transform→append→re-read)",
+    oracle="""
+        WITH zones AS (
+            SELECT * FROM (VALUES (1, 'SE1'), (2, 'SE2'), (3, 'SE3'), (4, 'SE4')) AS t(zi, zone)
+        ), days AS (
+            -- cold start today=2024-02-10, cold_start_days=10 → backfill
+            -- starts 2024-01-31; the incremental run extends to 2024-02-12
+            SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-01-31', DATE '2024-02-12', INTERVAL 1 DAY)) AS DATE) AS date
+        ), daily AS (
+            -- avg over h=0..23 of (zi*1000 + day_no*10 + h) = closed form
+            SELECT z.zone, d.date,
+                   z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS avg_price
+            FROM zones z CROSS JOIN days d
+        )
+        SELECT zone,
+               COUNT(*) AS n_days,
+               MIN(date) AS first_date,
+               MAX(date) AS last_date,
+               ROUND(SUM(avg_price), 4) AS sum_avg_price
+        FROM daily
+        GROUP BY zone
+    """,
+)
+def pipeline_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the reference lifecycle three times against a throwaway
+    date-partitioned fact table:
+
+    1. cold start (empty table → watermark None → 10-day backfill
+       ending 2024-02-10, reference :42-46);
+    2. incremental (watermark 2024-02-10 → fetches only 02-11/02-12);
+    3. no-op (watermark == today → early exit, nothing appended —
+       the skip-empty guard, reference :82).
+
+    Then reads the durable table back and aggregates per zone. The
+    deterministic fetcher makes every value re-derivable in the oracle
+    without touching the corpus tables — what's certified is that the
+    distributed fetch, the daily-average transform, the partitioned
+    append (with audit column), and the watermark resume compose to
+    exactly the expected table: 13 days × 4 zones, one row each.
+    """
+    import datetime
+    import tempfile
+
+    from ..pipeline.energy import run_incremental
+
+    base = tempfile.mkdtemp(prefix="lifecycle_")
+    table = f"{base}/fact_daily"
+    ran = run_incremental(spark, table, _fixture_fetcher, f"{base}/land1", datetime.date(2024, 2, 10))
+    assert ran, "cold-start backfill appended nothing"
+    ran = run_incremental(spark, table, _fixture_fetcher, f"{base}/land2", datetime.date(2024, 2, 12))
+    assert ran, "incremental run appended nothing"
+    ran = run_incremental(spark, table, _fixture_fetcher, f"{base}/land3", datetime.date(2024, 2, 12))
+    assert not ran, "watermark==today must early-exit without appending"
+
+    fact = spark.read.parquet(table)  # audit load_timestamp present but not compared
+    return fact.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("date").alias("first_date"),
+        F.max("date").alias("last_date"),
+        F.round(F.sum("avg_price"), 4).alias("sum_avg_price"),
+    )

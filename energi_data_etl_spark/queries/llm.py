@@ -95,6 +95,41 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_bucket_stats",
+    tier="L2 observability (per-band LSH bucket histogram + cap-drop audit)",
+    oracle=None,
+    doc="xxhash64 buckets are engine-specific → rows-only; exactness of the "
+    "underlying banding is pinned vs brute force in tests/test_llm_ops.py",
+)
+def lsh_bucket_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating-point audit run BEFORE committing to a bucket cap
+    on a new corpus (VERDICT r05 #6): per band, how many buckets exist,
+    the largest bucket, and what a cap of 256 would drop. On a healthy
+    corpus n_dropped is 0; a boilerplate flood shows up here as a
+    mega-bucket BEFORE it quadratically blows up the candidate join
+    (operators/dedup.py:lsh_candidate_pairs guardrail). Same signature
+    pipeline as `neardup_minhash` — one groupBy over the banded frame,
+    no pair join anywhere."""
+    d = load_table(spark, "documents", sf_dir)
+    parallelism = spark.sparkContext.defaultParallelism
+    base = d.repartition(parallelism, "doc_id").select(
+        "doc_id", D.hashed_shingles(D.shingles("text", 3)).alias("sh")
+    )
+    sigs = base.select("doc_id", D.minhash_signature(F.col("sh"), 64).alias("sig"))
+    stats = D.lsh_bucket_stats(sigs, bands=16, rows=4, max_bucket_size=256)
+    return (
+        stats.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n_members").alias("max_members"),
+            F.sum(F.col("dropped").cast("int")).alias("n_dropped"),
+            F.sum(F.when(F.col("dropped"), F.col("n_members")).otherwise(0)).alias("members_dropped"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     tier="L2 (exact Jaccard pairs via prefix filtering — AllPairs/PPJoin candidates)",
     oracle="""

@@ -12,12 +12,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.ops import (
     dedup_within_watermark,
+    drain_conf,
     events_stream,
     interval_self_join,
     run_to_memory,
     session_window_stats,
     sliding_window_avg,
     stateful_user_totals,
+    stream_to_parquet,
     tumbling_window_avg,
 )
 from .catalog import query
@@ -171,6 +173,42 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum("l_value"), 4).alias("click_value"),
     )
+
+
+@query(
+    "streaming_rollup_parquet",
+    tier="T3+T7 (continuous rollup through the checkpointed parquet sink + read-back)",
+    oracle="""
+        -- append mode emits a day window only once the event-time
+        -- watermark (here max ts - 0s) passes its END: every day but the
+        -- last lands durably; the open last window stays in state. The
+        -- oracle applies the same finalization cut.
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS date,
+               event_type,
+               ROUND(AVG(value), 6) AS avg_value,
+               COUNT(*) AS n
+        FROM events
+        WHERE CAST(DATE_TRUNC('day', ts) AS DATE) + INTERVAL 1 DAY
+              <= (SELECT MAX(ts) FROM events)
+        GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily table maintained CONTINUOUSLY (T7): the
+    tumbling rollup written through the exactly-once checkpointed
+    parquet sink (append mode — only watermark-finalized windows are
+    durable), then read back as the certified result. This is the
+    production topology (stream_to_parquet, durable checkpoint); the
+    memory-sink drains elsewhere exist only to make complete-mode
+    output hash-comparable."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="t7_rollup_")
+    stream = events_stream(spark, _events_path(sf_dir))
+    rolled = tumbling_window_avg(stream, watermark="0 seconds")
+    with drain_conf(spark):
+        stream_to_parquet(rolled, f"{base}/table", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/table")
 
 
 @query(

@@ -37,6 +37,20 @@ class ApiConfig:
     zones: Sequence[str] = DEFAULT_ZONES
     num_retries: int = 3  # reference :61
     retry_sleep_s: float = 5.0  # reference :78
+    #: bearer token (reference reads API_TOKEN from env, energy_etl.py:13 —
+    #: the public API ignores it, but a tokened API needs it on every GET)
+    api_token: str | None = None
+    #: extra request headers as (name, value) pairs (hashable: frozen dataclass)
+    extra_headers: tuple[tuple[str, str], ...] = ()
+
+    def headers(self) -> dict[str, str]:
+        """Request headers for every fetch task: Authorization from the
+        token (if set) plus any extras. Computed driver-side once and
+        shipped in the task closure — no per-request rebuild."""
+        h = dict(self.extra_headers)
+        if self.api_token:
+            h["Authorization"] = f"Bearer {self.api_token}"
+        return h
 
 
 def with_retry(fn: Callable[[], object], num_retries: int = 3, sleep_s: float = 5.0):
@@ -75,10 +89,11 @@ def fetch_plan(spark: SparkSession, start: Date, end: Date, zones: Sequence[str]
     return cal.withColumn("url", url)
 
 
-def _default_fetcher(url: str) -> list[dict]:
+def _default_fetcher(url: str, headers: dict[str, str] | None = None) -> list[dict]:
     import urllib.request
 
-    with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+    req = urllib.request.Request(url, headers=headers or {})  # noqa: S310
+    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
         return json.loads(resp.read().decode("utf-8"))
 
 
@@ -95,8 +110,14 @@ def fetch_to_landing(
     Landing is one part-file per task — at scale, point this at object
     storage; the downstream read is schema-explicit either way.
     """
+    import inspect
+
     fetch = fetcher or _default_fetcher
     num_retries, sleep_s = config.num_retries, config.retry_sleep_s
+    headers = config.headers()
+    # decide driver-side whether the fetcher takes headers (legacy
+    # single-arg fetchers keep working) — no inspect calls on executors
+    takes_headers = len(inspect.signature(fetch).parameters) >= 2
 
     def fetch_partition(rows: Iterable) -> Iterable:
         import os
@@ -104,7 +125,10 @@ def fetch_to_landing(
 
         out = []
         for r in rows:
-            records = with_retry(lambda: fetch(r.url), num_retries, sleep_s)
+            if takes_headers:
+                records = with_retry(lambda row=r: fetch(row.url, headers), num_retries, sleep_s)
+            else:
+                records = with_retry(lambda row=r: fetch(row.url), num_retries, sleep_s)
             for rec in records:
                 out.append(json.dumps({"zone": r.zone, "date": str(r.date), **rec}))
         if out:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,7 @@ from ..sources.tables import epoch_long_to_micros
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "drain_conf",
     "events_stream",
     "run_to_memory",
     "tumbling_window_avg",
@@ -91,20 +93,56 @@ def _ephemeral_checkpoint_dir() -> str:
     return tempfile.mkdtemp(prefix="ckpt_", dir=base)
 
 
+#: State-store partition count for certification drains. Streaming state
+#: partitioning is fixed at FIRST query start per checkpoint; our drain
+#: checkpoints are ephemeral, so this is purely harness-local. 32 state
+#: tasks per micro-batch over sf0.01-sized fixtures is ~all scheduler
+#: overhead (streaming_interval_join paid a 17 s floor for it, VERDICT
+#: r05 #2); 4 keeps the drain parallel enough while cutting that tax.
+#: Durable pipelines (stream_to_parquet) take the session's real conf.
+DRAIN_SHUFFLE_PARTITIONS = 4
+
+
+@contextmanager
+def drain_conf(spark: SparkSession):
+    """Narrow shuffle/state partitions to DRAIN_SHUFFLE_PARTITIONS for
+    the duration of a synchronous AvailableNow drain. The conf is
+    captured when the stream plans its first micro-batch (async after
+    start()), so callers must keep the drain — start() through
+    awaitTermination() — inside this scope; nothing else compiles plans
+    on the session meanwhile, so batch plans are unaffected."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a stream with Trigger.AvailableNow into an in-memory table
-    and return it as a DataFrame (deterministic: blocks until done)."""
+    and return it as a DataFrame (deterministic: blocks until done).
+
+    State partitioning is fixed at first query start per checkpoint and
+    our drain checkpoints are ephemeral, so narrowing it via drain_conf
+    is purely harness-local (VERDICT r05 #2: 32 near-empty state tasks
+    per micro-batch were ~all of streaming_interval_join's 17 s floor)."""
+    spark = stream_df.sparkSession
     name = "s_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _ephemeral_checkpoint_dir())
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    with drain_conf(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _ephemeral_checkpoint_dir())
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def tumbling_window_avg(stream: DataFrame, width: str = "1 day", watermark: str = "1 day") -> DataFrame:

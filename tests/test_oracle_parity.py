@@ -40,33 +40,17 @@ def test_rows_only_query_runs(spark, oracle_sf_dir, name):
 
 
 # The driver certifies the FIRST 50 queries in registration order each
-# round; queries/__init__.py front-loads the tiers that still need a
-# driver-green row. Pin that order so an accidental import reshuffle or
-# catalog insertion doesn't silently change which queries get certified
-# (ADVICE r03). Changing the rotation ON PURPOSE = update this list.
-EXPECTED_FIRST_50 = [
-    "dashboard_cards", "flagship_daily_avg", "pricing_summary",
-    "filter_projection", "predicate_membership", "agg_surface",
-    "approx_count_distinct", "distinct_values", "dropdup_subset",
-    "topk_orders", "sort_multi_key", "set_operations",
-    "rollup_events", "grouping_sets_events", "cube_lineitem",
-    "conditional_buckets", "watermark_incremental", "date_parts",
-    "date_arithmetic", "string_surface", "json_extraction",
-    "cast_matrix", "array_surface", "explode_word_counts",
-    "map_functions", "calendar_coverage", "format_strings",
-    "join_star_revenue", "join_left_outer_histogram", "join_full_outer",
-    "join_semi", "join_anti", "join_theta_pairs",
-    "join_cross", "join_range", "join_asof",
-    "window_lag_delta", "window_rolling_7d", "window_cumulative",
-    "window_range_1h", "window_rank_topk", "window_ranking_surface",
-    "streaming_tumbling_daily", "streaming_sliding_2d_1d", "streaming_session_windows",
-    "streaming_stateful_totals", "streaming_interval_join", "streaming_dedup_count",
-    "streaming_static_enrich", "tfidf_top_terms",
-]
+# round; queries/__init__.py pins the round's window explicitly in
+# FIRST_50 and reorders the registry to match. Assert the registry
+# agrees so an accidental import reshuffle or catalog insertion doesn't
+# silently change which queries get certified (ADVICE r03). Changing
+# the rotation ON PURPOSE = edit FIRST_50 in queries/__init__.py.
 
 
 def test_first_50_registration_order_pinned():
-    assert list(QUERIES)[:50] == EXPECTED_FIRST_50
+    from energi_data_etl_spark.queries import FIRST_50
+
+    assert list(QUERIES)[:50] == FIRST_50
 
 
 def test_entry_smoke(spark, sf_dir):

@@ -78,6 +78,36 @@ def test_fetch_plan_is_zone_day_grid(spark):
     assert "https://www.elprisetjustnu.se/api/v1/prices/2024/01-02_SE1.json" in urls  # :02d padding (ref :19)
 
 
+def test_api_token_header_reaches_fetcher(spark, tmp_path):
+    """Auth passthrough (reference reads API_TOKEN, energy_etl.py:13):
+    a token configured on ApiConfig must arrive as an Authorization
+    header on EVERY executor-side fetch, alongside any extra headers.
+    The fetcher echoes the headers it received into the landed record,
+    so the landing files are the proof the plumbing crossed the
+    driver→task boundary."""
+    from energi_data_etl_spark.sources.http_json import fetch_to_landing
+
+    def echo_fetcher(url: str, headers: dict) -> list[dict]:
+        return [{"SEK_per_kWh": 1.0, "EUR_per_kWh": 0.1, "EXR": 11.0,
+                 "time_start": headers.get("Authorization", "MISSING"),
+                 "time_end": headers.get("X-Client", "MISSING")}]
+
+    cfg = ApiConfig(api_token="sekrit-token", extra_headers=(("X-Client", "energi-spark"),))
+    plan = fetch_plan(spark, datetime.date(2024, 1, 1), datetime.date(2024, 1, 2), zones=("SE1",))
+    fetch_to_landing(plan, str(tmp_path / "land"), fetcher=echo_fetcher, config=cfg)
+    landed = [json.loads(line) for p in (tmp_path / "land").glob("*.jsonl") for line in p.read_text().splitlines()]
+    assert len(landed) == 2  # one echoed record per (zone, day)
+    assert all(r["time_start"] == "Bearer sekrit-token" for r in landed)
+    assert all(r["time_end"] == "energi-spark" for r in landed)
+    # no token → no Authorization header fabricated
+    fetch_to_landing(plan, str(tmp_path / "land2"), fetcher=echo_fetcher, config=ApiConfig())
+    landed2 = [json.loads(line) for p in (tmp_path / "land2").glob("*.jsonl") for line in p.read_text().splitlines()]
+    assert all(r["time_start"] == "MISSING" for r in landed2)
+    # legacy single-arg fetchers keep working untouched
+    fetch_to_landing(plan, str(tmp_path / "land3"), fetcher=make_fake_fetcher(lambda z, d, h: 1.0), config=cfg)
+    assert list((tmp_path / "land3").glob("*.jsonl"))
+
+
 def test_retry_succeeds_after_failures():
     calls = {"n": 0}
 
