@@ -9,7 +9,7 @@ hash both engines share (operators/pipeline.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import pipeline as P
 from ..operators import text as X
@@ -320,4 +320,257 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             (F.col("n_delta_docs") - F.col("n_novel")).alias("n_dropped"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-cleaning tier (r06): PII, repetition, mixture planning, funnel
+# --------------------------------------------------------------------------
+
+#: Java and RE2 agree on these (no lookaround, no backrefs)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{2}-[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "pii_redaction_stats",
+    tier="L-pipeline (PII detect + redact: regex scrub before training)",
+    oracle=f"""
+        WITH aug AS (
+            -- deterministic PII injection so the detector has real work:
+            -- the corpus fixture is synthetic prose with no PII of its own
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' tel +46-70-123-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                   AS text
+            FROM documents
+        ), hits AS (
+            SELECT source,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{_EMAIL_RE}')) AS n_emails,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{_PHONE_RE}')) AS n_phones,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS chars_removed
+            FROM aug
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
+               SUM(n_emails) AS total_emails,
+               SUM(n_phones) AS total_phones,
+               SUM(chars_removed) AS chars_removed
+        FROM hits GROUP BY source
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus runs
+    before tokenization. Detection and redaction are pure map-stage
+    regex (JVM regexp_count/regexp_replace — no Python in the path);
+    the per-source report is one partial-aggregated groupBy. The
+    fixture corpus carries no organic PII, so a deterministic injection
+    (emails on doc_id%7, phone numbers on doc_id%11) gives the detector
+    measurable, oracle-checkable work. Patterns avoid lookaround so the
+    Java and RE2 engines agree."""
+    d = load_table(spark, "documents", sf_dir)
+    aug = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"))
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" tel +46-70-123-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    hits = aug.select(
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"))
+        ).alias("chars_removed"),
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("n_emails") + F.col("n_phones")) > 0).cast("bigint")).alias("docs_with_pii"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
+@query(
+    "repetition_topgram_stats",
+    tier="L-pipeline (Gopher-style repetition rule: top-2-gram mass per doc)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, lang,
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) AS grams
+            FROM t WHERE LEN(toks) >= 2
+        ), counts AS (
+            SELECT doc_id, lang, gram, COUNT(*) AS c
+            FROM g, UNNEST(grams) AS u(gram)
+            GROUP BY doc_id, lang, gram
+        ), per_doc AS (
+            -- FLOOR-truncate the raw quotient (CLAUDE.md rule): a .5-boundary
+            -- max/total would diverge between the engines under ROUND
+            SELECT doc_id, lang,
+                   FLOOR(MAX(c) * 1000000.0 / SUM(c)) / 1000000.0 AS top_gram_ratio
+            FROM counts GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(top_gram_ratio), 6) AS avg_top_gram_ratio,
+               SUM(CASE WHEN top_gram_ratio > 0.2 THEN 1 ELSE 0 END) AS n_repetitive
+        FROM per_doc GROUP BY lang
+    """,
+)
+def repetition_topgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filtering (the Gopher/MassiveText rule family): a doc
+    whose single most frequent 2-gram carries >20% of all its 2-grams
+    is boilerplate/looping text. Plan: build 2-grams in a map stage
+    (transform over token indices — duplicates KEPT, unlike shingles),
+    explode, count per (doc, gram), then per-doc max/total — two
+    partial-aggregated shuffles on (doc_id, gram) then doc_id, both on
+    pre-hashed small keys; linear in corpus 2-grams at 100 TB."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = X.tokens("text")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    counts = g.groupBy("doc_id", "lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        (F.floor(F.max("c") * 1000000.0 / F.sum("c")) / 1000000.0).alias("top_gram_ratio")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("top_gram_ratio"), 6).alias("avg_top_gram_ratio"),
+        F.sum((F.col("top_gram_ratio") > 0.2).cast("bigint")).alias("n_repetitive"),
+    )
+
+
+@query(
+    "domain_mixture_plan",
+    tier="L-pipeline (training-mixture planning: per-domain quotas + sampling rates)",
+    oracle="""
+        WITH per AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(n_docs) AS total_docs FROM per
+        ), weighted AS (
+            SELECT p.source, p.n_docs, p.n_tokens,
+                   CASE p.source WHEN 'web' THEN 0.5 WHEN 'wiki' THEN 0.2
+                                 WHEN 'books' THEN 0.2 ELSE 0.1 END AS target_weight,
+                   t.total_docs
+            FROM per p CROSS JOIN tot t
+        )
+        SELECT source, n_docs, n_tokens, target_weight,
+               CAST(FLOOR(target_weight * total_docs) AS BIGINT) AS planned_docs,
+               -- sampling rate is a raw quotient -> FLOOR-truncate, and cap at 1
+               LEAST(FLOOR(target_weight * total_docs * 1000000.0 / n_docs) / 1000000.0, 1.0) AS sampling_rate
+        FROM weighted
+    """,
+)
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source mixture planning — deciding how much of each
+    source feeds the training run (the data-mixing step every LLM
+    pipeline runs between cleaning and sharding). Per-source doc and
+    token counts (one partial-aggregated groupBy over the corpus), a
+    broadcast 1-row total, literal target weights, and the implied
+    per-source quota + Bernoulli sampling rate. The rate then drives a
+    hash-threshold sampler (see stratified_sample_by_lang) — no
+    shuffling of the corpus itself at any scale."""
+    d = load_table(spark, "documents", sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("total_docs"))
+    weighted = per.crossJoin(F.broadcast(tot)).withColumn(
+        "target_weight",
+        F.when(F.col("source") == "web", 0.5)
+        .when(F.col("source") == "wiki", 0.2)
+        .when(F.col("source") == "books", 0.2)
+        .otherwise(0.1),
+    )
+    return weighted.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_weight",
+        F.floor(F.col("target_weight") * F.col("total_docs")).cast("bigint").alias("planned_docs"),
+        F.least(
+            F.floor(F.col("target_weight") * F.col("total_docs") * 1000000.0 / F.col("n_docs")) / 1000000.0,
+            F.lit(1.0),
+        ).alias("sampling_rate"),
+    )
+
+
+@query(
+    "cleaning_funnel_report",
+    tier="L-pipeline (corpus-cleaning funnel: cumulative survivor counts per stage)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source, n_chars,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS toks,
+                   MD5(LOWER(TRIM(text))) AS f
+            FROM documents
+        ), m AS (
+            SELECT doc_id, source, n_chars, f,
+                   ROUND(0.4 * LEAST(LEN(toks) / 50.0, 1.0)
+                       + 0.3 * LEAST(LIST_AGGREGATE(LIST_TRANSFORM(toks, x -> LENGTH(x) * 1.0), 'sum') / GREATEST(LEN(toks), 1) / 6.0, 1.0)
+                       + 0.3 * LEAST(LEN(LIST_FILTER(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) * 5.0 / GREATEST(LEN(toks), 1), 1.0), 6) AS q,
+                   ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM t
+        )
+        SELECT source,
+               COUNT(*) AS n_total,
+               SUM(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS n_len_ok,
+               SUM(CASE WHEN n_chars >= 150 AND q >= 0.4 THEN 1 ELSE 0 END) AS n_quality_ok,
+               SUM(CASE WHEN n_chars >= 150 AND q >= 0.4 AND rn = 1 THEN 1 ELSE 0 END) AS n_survivors
+        FROM m GROUP BY source
+    """,
+)
+def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning funnel every corpus run reports: how many docs
+    survive each cumulative stage (length floor → quality floor →
+    exact-dedup survivor). Length and quality are map-stage columns
+    (operators/text.quality_score, certified in `quality_scores`);
+    dedup rank is one window over the fingerprint (same shuffle the
+    real dedup pays); the report is one groupBy. Cumulative (not
+    independent) counts so the report reads as attrition."""
+    d = load_table(spark, "documents", sf_dir)
+    m = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        X.quality_score("text").alias("q"),
+        X.fingerprint("text").alias("f"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("f").orderBy("doc_id")),
+    )
+    len_ok = F.col("n_chars") >= 150
+    q_ok = len_ok & (F.col("q") >= 0.4)
+    survivor = q_ok & (F.col("rn") == 1)
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(len_ok.cast("bigint")).alias("n_len_ok"),
+        F.sum(q_ok.cast("bigint")).alias("n_quality_ok"),
+        F.sum(survivor.cast("bigint")).alias("n_survivors"),
     )

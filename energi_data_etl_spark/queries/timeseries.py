@@ -132,3 +132,116 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("status", "op").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 2).alias("total_price")
     )
+
+
+@query(
+    "scd2_customer_status",
+    tier="S5+W2 (SCD Type-2 dimension build: collapse status runs into validity intervals)",
+    oracle="""
+        WITH h AS (
+            SELECT o_custkey AS cust, o_orderdate AS d, o_orderkey AS k, o_orderstatus AS status,
+                   LAG(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ), runs AS (
+            SELECT cust, d, status,
+                   SUM(CASE WHEN prev_status IS NULL OR prev_status != status THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY cust ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS version
+            FROM h
+        ), versions AS (
+            SELECT cust, version, status, MIN(d) AS valid_from, MAX(d) AS last_seen, COUNT(*) AS n_orders
+            FROM runs GROUP BY cust, version, status
+        )
+        SELECT cust AS c_custkey,
+               COUNT(*) AS n_versions,
+               MAX(version) AS current_version,
+               SUM(n_orders) AS n_orders,
+               MIN(valid_from) AS first_date,
+               MAX(last_seen) AS last_date
+        FROM versions GROUP BY cust
+    """,
+)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 built as a data-flow: per
+    customer, consecutive same-status order runs collapse into one
+    dimension version (change flag via LAG → running version id →
+    per-version interval agg). ONE shuffle on the natural key feeds
+    both windows AND the aggregations (same partitioning reused across
+    stages — the co-partitioning pattern that matters at 100 TB); no
+    self-join, no driver loop. Reported per customer: version count +
+    validity span (the compact certifiable projection of the full SCD2
+    table)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    runs = h.withColumn(
+        "version",
+        F.sum(
+            (F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status"))).cast("int")
+        ).over(
+            Window.partitionBy("cust").orderBy("d", "k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    versions = runs.groupBy("cust", "version", "status").agg(
+        F.min("d").alias("valid_from"),
+        F.max("d").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return versions.groupBy(F.col("cust").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max("version").alias("current_version"),
+        F.sum("n_orders").alias("n_orders"),
+        F.min("valid_from").alias("first_date"),
+        F.max("last_seen").alias("last_date"),
+    )
+
+
+@query(
+    "anomaly_zscore_events",
+    tier="A5+J1 (per-group z-score outlier screen: stats agg + broadcast join-back)",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma, COUNT(*) AS n
+            FROM events GROUP BY event_type
+        ), scored AS (
+            -- z is a raw quotient: FLOOR-truncate (CLAUDE.md rule), never ROUND
+            SELECT e.event_type,
+                   FLOOR((e.value - s.mu) / s.sigma * 1000000.0) / 1000000.0 AS z
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END) AS n_outliers,
+               ROUND(MAX(z), 6) AS max_z,
+               ROUND(MIN(z), 6) AS min_z
+        FROM scored GROUP BY event_type
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality anomaly screen: per-type mean/σ in one
+    partial-aggregated pass, then the tiny stats frame BROADCAST back
+    onto the stream of events for scoring — the scale shape (a window
+    over event_type would shuffle the full fact table into one
+    partition per type; the broadcast join-back touches each row in
+    place). STDDEV_SAMP on both engines; z floored at 1e-6 to dodge
+    quotient-rounding divergence."""
+    ev = load_table(spark, "events", sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        (F.floor((F.col("value") - F.col("mu")) / F.col("sigma") * 1000000.0) / 1000000.0).alias("z"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.abs(F.col("z")) > 3).cast("bigint")).alias("n_outliers"),
+        F.round(F.max("z"), 6).alias("max_z"),
+        F.round(F.min("z"), 6).alias("min_z"),
+    )

@@ -26,28 +26,41 @@ def main() -> int:
         k: round(statistics.median([r["queries"][k] for r in runs if k in r["queries"]]), 3)
         for k in names
     }
+    # per-query MIN across runs = the capability number on this
+    # contention-prone shared host (CLAUDE.md noise protocol: a median
+    # drift is only a real regression if the MIN reproduces it)
+    mins = {
+        k: round(min(r["queries"][k] for r in runs if k in r["queries"]), 3)
+        for k in names
+    }
     doc = {
         "runs_total_sec": [r["value"] for r in runs],
         "median_total_sec": round(sum(medians.values()), 3),
+        "min_total_sec": round(sum(mins.values()), 3),
         "n_queries": len(medians),
         "sf": runs[0].get("sf"),
         "medians": medians,
+        "mins": mins,
     }
     json.dump(doc, open(out_path, "w"), indent=1)
-    print(f"wrote {out_path}: {len(medians)} queries, median sum {doc['median_total_sec']}s "
-          f"(run totals {doc['runs_total_sec']})")
+    print(f"wrote {out_path}: {len(medians)} queries, median sum {doc['median_total_sec']}s, "
+          f"min sum {doc['min_total_sec']}s (run totals {doc['runs_total_sec']})")
     try:
-        ref = json.load(open("BENCH_MEDIANS_r03.json"))["medians"]
+        ref_doc = json.load(open("BENCH_MEDIANS_r03.json"))
     except OSError:
         return 0
-    flagged = sorted(
-        ((medians[k] / ref[k], k, medians[k], ref[k]) for k in medians if k in ref and medians[k] > 2 * ref[k]),
+    ref = ref_doc["medians"]
+    # flag on MEDIAN drift, verdict on MIN: contention inflates medians
+    # non-uniformly; only a min that stays >2x the r03 median is code
+    drifted = sorted(
+        ((medians[k] / ref[k], k) for k in medians if k in ref and medians[k] > 2 * ref[k]),
         reverse=True,
     )
-    for ratio, k, now, then in flagged:
-        print(f"  REGRESSION >2x: {k} {then:.2f}s -> {now:.2f}s ({ratio:.1f}x)")
-    if not flagged:
-        print("  no >2x per-query regressions vs BENCH_MEDIANS_r03")
+    for ratio, k in drifted:
+        verdict = "REGRESSION (min reproduces)" if mins[k] > 2 * ref[k] else "host contention (min within 2x)"
+        print(f"  >2x median drift: {k} {ref[k]:.2f}s -> median {medians[k]:.2f}s / min {mins[k]:.2f}s — {verdict}")
+    if not drifted:
+        print("  no >2x per-query median drift vs BENCH_MEDIANS_r03")
     return 0
 
 

@@ -155,3 +155,41 @@ def test_gapfill_spine_is_generated_not_scanned(spark, sf_dir):
     plan = explain_str(QUERIES["gapfill_forward"].fn(spark, sf_dir), mode="formatted")
     assert plan.count("events.parquet") == 2, plan  # types + sparse series
     assert "Range" in plan, plan
+
+
+def test_pii_redaction_is_pure_jvm(spark, sf_dir):
+    """PII detect/redact must stay JVM-side (regexp_count/replace
+    expressions) with map-side partial aggregation — no Python workers
+    in the hot path of a compliance scrub that touches every byte."""
+    plan = explain_str(QUERIES["pii_redaction_stats"].fn(spark, sf_dir), mode="simple")
+    assert "EvalPython" not in plan, plan  # neither Batch- nor ArrowEvalPython
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan  # one shuffle: the per-source agg
+
+
+def test_repetition_two_partial_agg_shuffles(spark, sf_dir):
+    """2-gram counting: shuffles on (doc, gram) then doc then lang —
+    every one partial-aggregated, no join, no Python."""
+    plan = explain_str(QUERIES["repetition_topgram_stats"].fn(spark, sf_dir), mode="simple")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final per level
+
+
+def test_domain_mixture_broadcasts_scalar_total(spark, sf_dir):
+    """The 1-row corpus total must attach via broadcast (nested-loop
+    over ONE row — the distributed scalar-subquery form), never a
+    shuffle join, and the corpus is scanned once."""
+    plan = explain_str(QUERIES["domain_mixture_plan"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cleaning_funnel_no_python_one_window(spark, sf_dir):
+    """Funnel = map-stage scoring + one fingerprint window + one
+    groupBy: quality_score must compile to expressions (no Python),
+    and the dedup rank must be a Window, not a self-join."""
+    plan = explain_str(QUERIES["cleaning_funnel_report"].fn(spark, sf_dir), mode="simple")
+    assert "EvalPython" not in plan, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
