@@ -15,20 +15,21 @@ from . import llm  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import lifecycle  # noqa: F401,E402
+from . import behavior  # noqa: F401,E402
 
 # ORDER MATTERS: the driver's per-round correctness file records only the
 # FIRST 50 queries in registration order, so the window is rotated
 # round-to-round until every query has a driver-certified row. Round 6
-# front-loads the 31 that have never met the real driver — 22 sim-only
+# front-loads the 35 that have never met the real driver — 22 sim-only
 # r05 additions (7 TPC-H shapes, 5 robustness extras, multimodal frame
 # sample, the 7-query datapipe tier, the 2-query timeseries tier) plus
-# the 9 new r06 queries (lifecycle, lsh_bucket_stats,
+# the 13 new r06 queries (lifecycle, lsh_bucket_stats,
 # streaming_rollup_parquet, the 4-query cleaning tier, scd2, z-score
-# anomaly) — then 5 regression canaries (flagship, one join, one
-# window, streaming_interval_join for the drain-conf change, one
-# relational) and the 14 oldest r≤4-certified rows (extensions,
-# robustness core, llm dedup/knn/text tiers). 31+5+14 = 50. Queries not
-# listed keep their registration order after the first 50.
+# anomaly, the 4-query behavior tier) — then 5 regression canaries
+# (flagship, one join, one window, streaming_interval_join for the
+# drain-conf change, one relational) and the 10 oldest r≤4-certified
+# rows (extensions, robustness core, llm dedup/knn/text tiers).
+# 35+5+10 = 50. Queries not listed keep registration order after 50.
 FIRST_50 = [
     # -- 22 never driver-certified (VERDICT r05 top item) --
     "tpch_q6_forecast_revenue", "tpch_q9_product_profit", "tpch_q11_important_stock",
@@ -41,24 +42,27 @@ FIRST_50 = [
     "token_budget_packing", "stratified_sample_by_lang", "pipeline_end_to_end",
     "dedup_incremental_delta",
     "gapfill_forward", "merge_upsert_orders",
-    # -- 9 new in r06 --
+    # -- 13 new in r06 --
     "pipeline_incremental_lifecycle", "lsh_bucket_stats", "streaming_rollup_parquet",
     "pii_redaction_stats", "repetition_topgram_stats", "domain_mixture_plan",
     "cleaning_funnel_report", "scd2_customer_status", "anomaly_zscore_events",
+    "sessionize_events_batch", "funnel_view_click_purchase",
+    "cohort_weekly_retention", "event_transition_matrix",
     # -- 5 regression canaries --
     "flagship_daily_avg", "join_star_revenue", "window_rank_topk",
     "streaming_interval_join", "pricing_summary",
-    # -- 14 oldest driver rows (last certified r≤4); dropped to make room
-    # for the r06 additions: regex_surface (regex re-exercised by
-    # pii_redaction_stats), quality_scores (same scorer inside
-    # cleaning_funnel_report), collect_aggregates, salted_aggregation,
-    # dedup_bag_exact, token_counts_per_doc (near-twins of retained rows) --
-    "data_quality_report", "null_safety_surface",
-    "percentile_surface", "approx_percentile_sketch",
+    # -- 10 oldest driver rows (last certified r≤4); near-twins of rows
+    # still in the window were dropped to make room for r06 additions:
+    # regex_surface (pii_redaction_stats), quality_scores
+    # (cleaning_funnel_report), collect_aggregates, salted_aggregation,
+    # dedup_bag_exact, token_counts_per_doc, null_safety_surface,
+    # percentile_surface (approx sketch retained), lang_id_scores
+    # (text_stats retained), embedding_neardup_exact (knn retained) --
+    "data_quality_report", "approx_percentile_sketch",
     "grouped_median_udaf", "tokenize_udtf", "dedup_clusters",
     "dedup_exact", "ngram_jaccard_pairs",
-    "knn_exact_cosine", "embedding_neardup_exact", "text_stats_by_lang",
-    "lang_id_scores", "winnowing_fingerprints",
+    "knn_exact_cosine", "text_stats_by_lang",
+    "winnowing_fingerprints",
 ]
 
 

@@ -1,0 +1,259 @@
+"""Behavioral / product-analytics tier over the events stream table:
+batch sessionization, funnel conversion, cohort retention, transition
+matrix. The reference's dashboard (Power BI over the daily fact,
+``scripts/energy_etl.py:69-70``) answers "what happened per day"; this
+tier answers the per-user questions every event warehouse is asked next.
+
+Scale notes (100 TB): every query here shuffles ONLY on ``user_id`` —
+one Exchange feeds chained windows and the per-user aggregations
+(Spark reuses the partitioning across same-key stages), and the final
+reports are partial-aggregated rollups of per-user rows. No self-joins
+on the fact table except the cohort join-back, which is co-partitioned
+on the same key.
+
+Cross-engine: epoch seconds via Spark ``ts.cast("timestamp")
+.cast("long")`` (truncates) == DuckDB ``CAST(FLOOR(EPOCH(ts)) AS
+BIGINT)``; window order always tie-broken by ``event_id``; quotients
+FLOOR-truncated per the CLAUDE.md rounding rule.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from .catalog import query
+
+#: inactivity gap (seconds) that closes a session
+SESSION_GAP_S = 1800
+#: max gap for a LAG pair to count as a "transition"
+TRANSITION_GAP_S = 300
+
+
+def _with_epoch_s(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("s", F.col("ts").cast("timestamp").cast("long"))
+
+
+@query(
+    "sessionize_events_batch",
+    tier="W2+W4+A1 (batch sessionization: gap>30min splits, per-user session stats)",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
+        ), l AS (
+            SELECT *, LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS ps FROM e
+        ), f AS (
+            SELECT *, CASE WHEN ps IS NULL OR s - ps > {SESSION_GAP_S} THEN 1 ELSE 0 END AS is_new
+            FROM l
+        ), sid AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f
+        ), per AS (
+            SELECT user_id, session_id, COUNT(*) AS n_ev, MAX(s) - MIN(s) AS dur
+            FROM sid GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               SUM(n_ev) AS n_events,
+               MAX(n_ev) AS longest_session_events,
+               SUM(dur) AS total_active_secs
+        FROM per GROUP BY user_id
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin of T5's streaming session windows: LAG gap flag →
+    running-sum session id → per-session agg → per-user report. All
+    three windows and both groupBys key on ``user_id`` — one Exchange
+    total; the running session id is the standard "gaps and islands"
+    build (no join, no driver loop)."""
+    e = _with_epoch_s(load_table(spark, "events", sf_dir))
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    l = e.withColumn("ps", F.lag("s").over(wo))
+    f = l.withColumn(
+        "is_new",
+        (F.col("ps").isNull() | ((F.col("s") - F.col("ps")) > SESSION_GAP_S)).cast("int"),
+    )
+    sid = f.withColumn(
+        "session_id", F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("s") - F.min("s")).alias("dur"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("longest_session_events"),
+        F.sum("dur").alias("total_active_secs"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    tier="W4+A5 (ordered funnel: stage timestamps chained per user, conversion report)",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
+        ), s1 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'view' THEN s END)
+                          OVER (PARTITION BY user_id) AS t1
+            FROM e
+        ), s2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'click' AND s > t1 THEN s END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM s1
+        ), s3 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND s > t2 THEN s END)
+                          OVER (PARTITION BY user_id) AS t3
+            FROM s2
+        ), u AS (
+            SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+            FROM s3 GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(t1) AS n_viewed,
+               COUNT(t2) AS n_clicked_after,
+               COUNT(t3) AS n_purchased_after,
+               FLOOR(COUNT(t3) * 1000000.0 / COUNT(t1)) / 1000000.0 AS conversion_rate,
+               FLOOR(AVG(t3 - t1) * 100.0) / 100.0 AS avg_secs_to_convert
+        FROM u
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, each stage
+    strictly AFTER the previous): three chained conditional-MIN windows
+    over the same ``user_id`` partition — one Exchange, no join-back of
+    the fact table to itself (the naive formulation joins events to a
+    per-stage agg twice; the chained-window form touches each row three
+    times in place). AVG(t3-t1) is a quotient → FLOOR-truncated."""
+    e = _with_epoch_s(
+        load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn("t1", F.min(F.when(F.col("event_type") == "view", F.col("s"))).over(w))
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("s") > F.col("t1")), F.col("s"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("s") > F.col("t2")), F.col("s"))
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after"),
+        F.count("t3").alias("n_purchased_after"),
+        (F.floor(F.count("t3") * 1000000.0 / F.count("t1")) / 1000000.0).alias("conversion_rate"),
+        (F.floor(F.avg(F.col("t3") - F.col("t1")) * 100.0) / 100.0).alias("avg_secs_to_convert"),
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    tier="A1+J1+W4 (cohort retention: first-seen week × activity-week offset)",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, DATE_TRUNC('week', ts) AS w FROM events
+        ), fu AS (
+            SELECT user_id, MIN(w) AS cohort_w FROM e GROUP BY user_id
+        ), j AS (
+            SELECT DISTINCT e.user_id, fu.cohort_w,
+                   CAST(DATE_DIFF('day', fu.cohort_w, e.w) / 7.0 AS BIGINT) AS week_offset
+            FROM e JOIN fu ON e.user_id = fu.user_id
+        )
+        SELECT CAST(cohort_w AS DATE) AS cohort_week, week_offset,
+               COUNT(*) AS n_active_users
+        FROM j GROUP BY cohort_w, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = Monday of each user's
+    first event; a cell counts users of that cohort active N weeks
+    later. Per-user first-week agg, join-back on the SAME key
+    (co-partitioned — no second shuffle of the fact under the same
+    partitioning), distinct per (user, week), rollup. Both engines
+    truncate weeks to Monday, so the day-diff is an exact multiple of 7
+    and the cast is lossless."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("w")
+    )
+    fu = e.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    j = (
+        e.join(fu, "user_id")
+        .select(
+            "user_id",
+            "cohort_w",
+            (F.datediff(F.col("w"), F.col("cohort_w")) / 7.0).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return j.groupBy(
+        F.col("cohort_w").cast("date").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@query(
+    "event_transition_matrix",
+    tier="W2+A1 (Markov transition matrix: LAG pairs within 5 min, share per source state)",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s
+            FROM events
+        ), l AS (
+            SELECT event_type,
+                   LAG(event_type) OVER w AS prev_type,
+                   s - LAG(s) OVER w AS gap
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        ), t AS (
+            SELECT prev_type, event_type, COUNT(*) AS n_transitions
+            FROM l
+            WHERE prev_type IS NOT NULL AND gap <= {TRANSITION_GAP_S}
+            GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, event_type, n_transitions,
+               FLOOR(n_transitions * 1000000.0
+                     / SUM(n_transitions) OVER (PARTITION BY prev_type)) / 1000000.0 AS share
+        FROM t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What users do next: count (prev → next) event-type pairs that
+    happen within 5 minutes, normalized to a row-stochastic share per
+    source state. One ``user_id`` window builds the pairs; the matrix
+    itself is at most |types|² rows, so the normalizing window is free.
+    The per-row share is a quotient → FLOOR-truncated."""
+    e = _with_epoch_s(
+        load_table(spark, "events", sf_dir).select("user_id", "event_id", "event_type", "ts")
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    l = e.select(
+        "event_type",
+        F.lag("event_type").over(wo).alias("prev_type"),
+        (F.col("s") - F.lag("s").over(wo)).alias("gap"),
+    )
+    t = (
+        l.filter(F.col("prev_type").isNotNull() & (F.col("gap") <= TRANSITION_GAP_S))
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        (F.floor(F.col("n_transitions") * 1000000.0 / F.sum("n_transitions").over(wp)) / 1000000.0).alias(
+            "share"
+        ),
+    )

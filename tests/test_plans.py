@@ -193,3 +193,44 @@ def test_cleaning_funnel_no_python_one_window(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Gaps-and-islands sessionization: the LAG window, the running-sum
+    window, the per-session agg AND the per-user agg all key on user_id
+    — Spark must reuse ONE hash exchange for the whole chain (grouping
+    keys are supersets of the partitioning), with no join."""
+    plan = explain_str(QUERIES["sessionize_events_batch"].fn(spark, sf_dir), mode="simple")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_chained_windows_no_self_join(spark, sf_dir):
+    """The ordered funnel must be the chained-conditional-MIN-window
+    form (3 Windows over one user_id exchange + one final single-
+    partition agg), never the naive events-to-stage-agg self-join."""
+    plan = explain_str(QUERIES["funnel_view_click_purchase"].fn(spark, sf_dir), mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan  # chained specs may fuse into one op
+    assert plan.count("Exchange") <= 2, plan  # user_id hash + final global agg
+
+
+def test_cohort_join_back_no_cartesian(spark, sf_dir):
+    """Cohort retention joins the fact back to the per-user first-week
+    agg on the same key — an equi-join (SMJ or broadcast), never a
+    cartesian, and the distinct+rollup stays partial-aggregated."""
+    plan = explain_str(QUERIES["cohort_weekly_retention"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_transition_matrix_jvm_only(spark, sf_dir):
+    """LAG-pair transition counts: one user_id window feeds the pair
+    build; the normalizing share window runs on the tiny matrix. All
+    JVM expressions, no Python, no join."""
+    plan = explain_str(QUERIES["event_transition_matrix"].fn(spark, sf_dir), mode="simple")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 2, plan
