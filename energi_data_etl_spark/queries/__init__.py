@@ -20,16 +20,16 @@ from . import behavior  # noqa: F401,E402
 # ORDER MATTERS: the driver's per-round correctness file records only the
 # FIRST 50 queries in registration order, so the window is rotated
 # round-to-round until every query has a driver-certified row. Round 6
-# front-loads the 35 that have never met the real driver — 22 sim-only
+# front-loads the 38 that have never met the real driver — 22 sim-only
 # r05 additions (7 TPC-H shapes, 5 robustness extras, multimodal frame
 # sample, the 7-query datapipe tier, the 2-query timeseries tier) plus
-# the 13 new r06 queries (lifecycle, lsh_bucket_stats,
+# the 16 new r06 queries (lifecycle, lsh_bucket_stats,
 # streaming_rollup_parquet, the 4-query cleaning tier, scd2, z-score
-# anomaly, the 4-query behavior tier) — then 5 regression canaries
-# (flagship, one join, one window, streaming_interval_join for the
-# drain-conf change, one relational) and the 10 oldest r≤4-certified
-# rows (extensions, robustness core, llm dedup/knn/text tiers).
-# 35+5+10 = 50. Queries not listed keep registration order after 50.
+# anomaly, the 4-query behavior tier, basket/RFM/centroids) — then 5
+# regression canaries (flagship, one join, one window,
+# streaming_interval_join for the drain-conf change, one relational)
+# and the 7 oldest r≤4-certified rows (extensions, llm dedup/knn).
+# 38+5+7 = 50. Queries not listed keep registration order after 50.
 FIRST_50 = [
     # -- 22 never driver-certified (VERDICT r05 top item) --
     "tpch_q6_forecast_revenue", "tpch_q9_product_profit", "tpch_q11_important_stock",
@@ -48,6 +48,7 @@ FIRST_50 = [
     "cleaning_funnel_report", "scd2_customer_status", "anomaly_zscore_events",
     "sessionize_events_batch", "funnel_view_click_purchase",
     "cohort_weekly_retention", "event_transition_matrix",
+    "market_basket_pairs", "rfm_customer_segments", "embedding_label_centroids",
     # -- 5 regression canaries --
     "flagship_daily_avg", "join_star_revenue", "window_rank_topk",
     "streaming_interval_join", "pricing_summary",
@@ -58,11 +59,10 @@ FIRST_50 = [
     # dedup_bag_exact, token_counts_per_doc, null_safety_surface,
     # percentile_surface (approx sketch retained), lang_id_scores
     # (text_stats retained), embedding_neardup_exact (knn retained) --
-    "data_quality_report", "approx_percentile_sketch",
+    "data_quality_report",
     "grouped_median_udaf", "tokenize_udtf", "dedup_clusters",
     "dedup_exact", "ngram_jaccard_pairs",
-    "knn_exact_cosine", "text_stats_by_lang",
-    "winnowing_fingerprints",
+    "knn_exact_cosine",
 ]
 
 

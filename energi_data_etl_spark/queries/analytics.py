@@ -107,3 +107,160 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids=["o_orderpriority"], values=["F", "O", "P"], variableColumnName="status", valueColumnName="n"
     )
     return long.filter(F.col("n").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Warehouse-analytics additions (r06): basket affinity, RFM, centroids
+# --------------------------------------------------------------------------
+
+
+@query(
+    "market_basket_pairs",
+    tier="J1+A1+§2.6 (co-occurrence affinity: within-order part pairs, top-20)",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), counts AS (
+            SELECT part_a, part_b, COUNT(*) AS n_orders
+            FROM pairs GROUP BY part_a, part_b
+        )
+        SELECT part_a, part_b, n_orders
+        FROM counts
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT 20
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (frequent-itemset k=2): which parts ship
+    together in one order. Distinct (order, part), equi-self-join on
+    the ORDER key only (pair fan-out is bounded by per-order line
+    count, ~4-7 on this data — never quadratic in the table), pair
+    count, deterministic top-20 (full tie-break so LIMIT is stable
+    cross-engine). Spark plans the top-k as TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    counts = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("n_orders"))
+    return counts.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+@query(
+    "rfm_customer_segments",
+    tier="A1+J1+W1 (RFM segmentation: recency/frequency/monetary quartiles per segment)",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), anchor AS (
+            SELECT MAX(o_orderdate) AS max_date FROM orders
+        ), rfm AS (
+            SELECT c.c_mktsegment, p.o_custkey,
+                   DATE_DIFF('day', p.last_order, a.max_date) AS recency_days,
+                   p.frequency, p.monetary
+            FROM per_cust p
+            JOIN customer c ON c.c_custkey = p.o_custkey
+            CROSS JOIN anchor a
+        ), tiles AS (
+            SELECT c_mktsegment,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY recency_days ASC, o_custkey ASC) AS r_tile,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, o_custkey ASC) AS f_tile,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY monetary DESC, o_custkey ASC) AS m_tile,
+                   monetary
+            FROM rfm
+        )
+        SELECT c_mktsegment, r_tile, f_tile, m_tile,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(monetary), 2) AS segment_monetary
+        FROM tiles GROUP BY c_mktsegment, r_tile, f_tile, m_tile
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per-customer
+    order stats, recency vs the corpus max date (1-row broadcast
+    anchor), then quartile tiles per market segment and the segment
+    cell report. NTILE is exact-integer (no float-boundary risk) with
+    full tie-breaks, so both engines bucket identically. Scale note:
+    per-segment NTILE sorts each segment's customers in one partition —
+    fine while |customers|/|segments| fits a partition; the unbounded-
+    scale variant assigns tiles by broadcast approx-percentile cutoffs
+    (map stage), traded here for exact cross-engine certifiability."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_mktsegment",
+            "o_custkey",
+            F.datediff(F.col("max_date"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    tiles = rfm.select(
+        "c_mktsegment",
+        F.ntile(4).over(seg.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())).alias("r_tile"),
+        F.ntile(4).over(seg.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())).alias("f_tile"),
+        F.ntile(4).over(seg.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())).alias("m_tile"),
+        "monetary",
+    )
+    return tiles.groupBy("c_mktsegment", "r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_monetary"),
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    tier="L3+F6 (vector aggregate: per-label centroid via posexplode partial agg)",
+    oracle="""
+        SELECT label, i AS dim,
+               ROUND(AVG(embedding[i]), 6) AS centroid,
+               COUNT(*) AS n_vectors
+        FROM embeddings
+        CROSS JOIN UNNEST(GENERATE_SERIES(1, 64)) AS t(i)
+        GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding column — the vector
+    aggregate under IVF training, k-means steps, and class prototypes,
+    expressed relationally: posexplode to (label, dim, value) rows and
+    partial-aggregate per (label, dim). At 100 TB this is the right
+    shape: the explode is a map stage, the agg combines map-side to
+    |labels|×|dims| cells, and no vector ever needs to fit anywhere
+    whole. (The numpy-matmul kernel in operators/similarity.py is the
+    per-partition fast path; this is the pure-JVM certifiable twin.)"""
+    e = load_table(spark, "embeddings", sf_dir)
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

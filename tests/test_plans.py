@@ -234,3 +234,33 @@ def test_transition_matrix_jvm_only(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_market_basket_topk_and_bounded_join(spark, sf_dir):
+    """Pair generation must be the orderkey equi-self-join (bounded by
+    per-order line count), never a cartesian, and the deterministic
+    top-20 must plan as TakeOrderedAndProject (per-partition heaps,
+    no global sort)."""
+    plan = explain_str(QUERIES["market_basket_pairs"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rfm_anchor_broadcast(spark, sf_dir):
+    """The 1-row max-date anchor must attach via broadcast; the
+    customer join must be an equi-join; tiles stay JVM windows."""
+    plan = explain_str(QUERIES["rfm_customer_segments"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_embedding_centroids_single_shuffle(spark, sf_dir):
+    """posexplode is a map-stage Generate; the (label, dim) centroid agg
+    must partial-aggregate map-side and shuffle exactly once — no
+    Python, no join, no vector materialized whole anywhere."""
+    plan = explain_str(QUERIES["embedding_label_centroids"].fn(spark, sf_dir), mode="simple")
+    assert "Generate" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
