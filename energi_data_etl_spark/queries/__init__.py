@@ -20,16 +20,17 @@ from . import behavior  # noqa: F401,E402
 # ORDER MATTERS: the driver's per-round correctness file records only the
 # FIRST 50 queries in registration order, so the window is rotated
 # round-to-round until every query has a driver-certified row. Round 6
-# front-loads the 38 that have never met the real driver — 22 sim-only
+# front-loads the 40 that have never met the real driver — 22 sim-only
 # r05 additions (7 TPC-H shapes, 5 robustness extras, multimodal frame
 # sample, the 7-query datapipe tier, the 2-query timeseries tier) plus
-# the 16 new r06 queries (lifecycle, lsh_bucket_stats,
+# the 18 new r06 queries (lifecycle, lsh_bucket_stats,
 # streaming_rollup_parquet, the 4-query cleaning tier, scd2, z-score
-# anomaly, the 4-query behavior tier, basket/RFM/centroids) — then 5
-# regression canaries (flagship, one join, one window,
-# streaming_interval_join for the drain-conf change, one relational)
-# and the 7 oldest r≤4-certified rows (extensions, llm dedup/knn).
-# 38+5+7 = 50. Queries not listed keep registration order after 50.
+# anomaly, the 4-query behavior tier, basket/RFM/centroids,
+# histogram, open-orders sweep) — then 5 regression canaries
+# (flagship, one join, one window, streaming_interval_join for the
+# drain-conf change, one relational) and the 5 oldest r≤4-certified
+# rows (extensions, llm dedup/knn).
+# 40+5+5 = 50. Queries not listed keep registration order after 50.
 FIRST_50 = [
     # -- 22 never driver-certified (VERDICT r05 top item) --
     "tpch_q6_forecast_revenue", "tpch_q9_product_profit", "tpch_q11_important_stock",
@@ -49,6 +50,7 @@ FIRST_50 = [
     "sessionize_events_batch", "funnel_view_click_purchase",
     "cohort_weekly_retention", "event_transition_matrix",
     "market_basket_pairs", "rfm_customer_segments", "embedding_label_centroids",
+    "value_histogram_by_type", "open_orders_daily",
     # -- 5 regression canaries --
     "flagship_daily_avg", "join_star_revenue", "window_rank_topk",
     "streaming_interval_join", "pricing_summary",
@@ -60,8 +62,8 @@ FIRST_50 = [
     # percentile_surface (approx sketch retained), lang_id_scores
     # (text_stats retained), embedding_neardup_exact (knn retained) --
     "data_quality_report",
-    "grouped_median_udaf", "tokenize_udtf", "dedup_clusters",
-    "dedup_exact", "ngram_jaccard_pairs",
+    "grouped_median_udaf", "dedup_clusters",
+    "dedup_exact",
     "knn_exact_cosine",
 ]
 

@@ -264,3 +264,92 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@query(
+    "value_histogram_by_type",
+    tier="A5+F8 (equi-width histogram: per-group min/max anchor, map-stage binning)",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+            FROM events GROUP BY event_type
+        ), binned AS (
+            SELECT e.event_type,
+                   CAST(LEAST(FLOOR((e.value - s.lo) / ((s.hi - s.lo) / 10.0)), 9) AS BIGINT) AS bin
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+        )
+        SELECT event_type, bin, COUNT(*) AS n
+        FROM binned GROUP BY event_type, bin
+    """,
+)
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of `value` per event type — the
+    profiling primitive under every data-quality dashboard. Per-type
+    min/max is one partial-aggregated pass; the tiny stats frame
+    broadcasts back and binning is a map stage (same shape as the
+    z-score screen — never a per-type sort). MIN/MAX are order-
+    independent exact doubles and both engines run the identical IEEE
+    expression, so FLOOR binning is deterministic cross-engine."""
+    ev = load_table(spark, "events", sf_dir)
+    stats = ev.groupBy("event_type").agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "open_orders_daily",
+    tier="A1+W4 (sweep-line interval counting: +1/-1 deltas, running sum over the date spine)",
+    oracle="""
+        WITH spans AS (
+            SELECT o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS start_d,
+                   CAST(MAX(l.l_shipdate) AS DATE) + INTERVAL 1 DAY AS end_d
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        ), deltas AS (
+            SELECT start_d AS d, COUNT(*) AS delta FROM spans GROUP BY start_d
+            UNION ALL
+            SELECT CAST(end_d AS DATE) AS d, -COUNT(*) AS delta FROM spans GROUP BY end_d
+        ), daily AS (
+            SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
+        )
+        SELECT d, CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+        FROM daily
+    """,
+)
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are in flight on each calendar day (placed, not
+    yet fully shipped) — the sweep-line formulation: each order emits
+    +1 at its order date and -1 the day after its last ship date; daily
+    net deltas then one running sum. Counting every (day × open order)
+    pair directly is |days|×|open| — quadratic; the sweep is linear in
+    orders plus a cumsum over the DATE DOMAIN (~2.4k rows at any corpus
+    size), so the single-partition window at the end is bounded by the
+    calendar, not the data."""
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    spans = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("start_d"),
+            F.date_add(F.col("last_ship").cast("date"), 1).alias("end_d"),
+        )
+    )
+    deltas = spans.groupBy(F.col("start_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("delta")
+    ).unionAll(
+        spans.groupBy(F.col("end_d").alias("d")).agg((-F.count(F.lit(1))).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", F.sum("net").over(w).cast("long").alias("open_orders")
+    )

@@ -264,3 +264,22 @@ def test_embedding_centroids_single_shuffle(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_histogram_broadcast_stats_no_sort(spark, sf_dir):
+    """Histogram binning must be broadcast-stats + map-stage FLOOR —
+    never a per-type sort or Python; two aggs (stats + counts)."""
+    plan = explain_str(QUERIES["value_histogram_by_type"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastExchange" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_open_orders_sweep_is_linear(spark, sf_dir):
+    """The sweep-line must stay linear: span agg + delta union + daily
+    agg + one cumsum window over the bounded date spine. No cartesian
+    day×order expansion anywhere."""
+    plan = explain_str(QUERIES["open_orders_daily"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan, plan
+    assert "Window" in plan, plan
