@@ -440,16 +440,26 @@ def repetition_topgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform over token indices — duplicates KEPT, unlike shingles),
     explode, count per (doc, gram), then per-doc max/total — two
     partial-aggregated shuffles on (doc_id, gram) then doc_id, both on
-    pre-hashed small keys; linear in corpus 2-grams at 100 TB."""
-    d = load_table(spark, "documents", sf_dir)
+    pre-hashed small keys; linear in corpus 2-grams at 100 TB.
+
+    Perf (CLAUDE.md lessons): the fixture parquet is one row group, so
+    the explode is repartitioned up front or it runs as ONE task; and
+    the count shuffle keys an int64 ``xxhash64(tok_i, tok_i+1)``
+    instead of the concatenated gram string (identity of the gram
+    never leaves the executor — only counts feed the ratio, so the
+    oracle is unaffected; 64-bit collisions within one doc's ~10²
+    grams are ~1e-16)."""
+    d = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = X.tokens("text")
     grams = F.when(
         F.size(toks) >= 2,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            lambda i: F.xxhash64(F.get(toks, i), F.get(toks, i + 1)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     g = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
     counts = g.groupBy("doc_id", "lang", "gram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy("doc_id", "lang").agg(
