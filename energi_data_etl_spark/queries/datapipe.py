@@ -584,3 +584,144 @@ def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q_ok.cast("bigint")).alias("n_quality_ok"),
         F.sum(survivor.cast("bigint")).alias("n_survivors"),
     )
+
+
+@query(
+    "token_entropy_scores",
+    tier="L6 (quality: per-doc token-distribution entropy, low-entropy = looping text)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)) AS tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, tok, COUNT(*) AS c FROM t GROUP BY doc_id, lang, tok
+        ), agg AS (
+            SELECT doc_id, lang, ROUND(SUM(-p * LN(p)), 6) AS entropy
+            FROM (
+                SELECT doc_id, lang, c * 1.0 / SUM(c) OVER (PARTITION BY doc_id) AS p
+                FROM c
+            )
+            GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(entropy), 6) AS avg_entropy,
+               ROUND(MIN(entropy), 6) AS min_entropy,
+               ROUND(MAX(entropy), 6) AS max_entropy
+        FROM agg GROUP BY lang
+    """,
+)
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's token distribution — the
+    perplexity-proxy quality score (low entropy ⇒ repetitive/looping
+    text, high ⇒ diverse vocabulary). Same physical shape as the
+    repetition rule: per-(doc, token) counts, per-doc normalize+fold,
+    per-lang report — partial-aggregated shuffles on pre-hashed keys,
+    linear in corpus tokens. Entropy summands are tiny (≤|vocab| terms
+    ~1e-2 each) so ROUND(6) absorbs cross-engine summation order."""
+    d = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    t = d.select("doc_id", "lang", F.explode(X.tokens("text")).alias("tok"))
+    c = t.groupBy("doc_id", "lang", F.xxhash64("tok").alias("tok")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    p = c.select("doc_id", "lang", (F.col("c") * 1.0 / F.sum("c").over(wdoc)).alias("p"))
+    agg = p.groupBy("doc_id", "lang").agg(
+        F.round(F.sum(-F.col("p") * F.log("p")), 6).alias("entropy")
+    )
+    return agg.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    tier="L2-obs (cross-source content-overlap audit: 3-gram shingles shared between source pairs)",
+    oracle="""
+        WITH toks AS (
+            SELECT source,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT source,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(0, GREATEST(LEN(t) - 3, 0)),
+                       i -> CAST(CONCAT('0x', SUBSTRING(MD5(ARRAY_TO_STRING(t[i + 1 : i + 3], ' ')), 1, 15)) AS BIGINT)
+                   )) AS h
+            FROM toks
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared_shingles
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources share content — the pairwise observability twin of
+    the contamination scan: distinct (shingle-hash, source) pairs, a
+    self-join on the int64 shingle key (fan-out per shingle bounded by
+    |sources| — never quadratic in docs), |sources|²-cell report. The
+    fixture corpus has zero EXACT duplicate docs, so the audit runs at
+    shingle granularity where overlap is real and measurable. At
+    100 TB: one shuffle on the shingle hash, the same shuffle the
+    near-dup tier already pays (operators/pipeline.py::shingle_hashes
+    is the shared md5 kernel, cross-engine exact)."""
+    d = load_table(spark, "documents", sf_dir).withColumn("hs", P.shingle_hashes("text", k=3))
+    sh = d.select("source", F.explode("hs").alias("h")).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source"))
+    ).select(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )
+
+
+@query(
+    "length_winsorize_stats",
+    tier="L6+A6 (winsorization: per-source P5/P95 clipping of doc length)",
+    oracle="""
+        WITH cuts AS (
+            SELECT source,
+                   QUANTILE_CONT(n_chars, 0.05) AS lo,
+                   QUANTILE_CONT(n_chars, 0.95) AS hi
+            FROM documents GROUP BY source
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN d.n_chars < c.lo THEN 1 ELSE 0 END) AS n_below,
+               SUM(CASE WHEN d.n_chars > c.hi THEN 1 ELSE 0 END) AS n_above,
+               ROUND(SUM(LEAST(GREATEST(d.n_chars, c.lo), c.hi)), 2) AS clipped_char_sum
+        FROM documents d JOIN cuts c ON d.source = c.source
+        GROUP BY d.source
+    """,
+)
+def length_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping before length-sensitive downstream stages:
+    per-source P5/P95 cutoffs (exact linear-interpolation percentile —
+    Spark `percentile` and DuckDB `QUANTILE_CONT` share the
+    rank = p·(n-1) definition, so the cut points are bit-identical on
+    integer inputs), broadcast back, map-stage clip, one report. The
+    scale path swaps `percentile` for `approx_percentile` with zero
+    plan changes (documented, not certified — the sketch is
+    engine-specific)."""
+    d = load_table(spark, "documents", sf_dir)
+    cuts = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    j = d.join(F.broadcast(cuts), "source")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars") < F.col("lo")).cast("bigint")).alias("n_below"),
+        F.sum((F.col("n_chars") > F.col("hi")).cast("bigint")).alias("n_above"),
+        F.round(F.sum(F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))), 2).alias(
+            "clipped_char_sum"
+        ),
+    )

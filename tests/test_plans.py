@@ -283,3 +283,33 @@ def test_open_orders_sweep_is_linear(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Union" in plan, plan
     assert "Window" in plan, plan
+
+
+def test_token_entropy_no_join_partial_aggs(spark, sf_dir):
+    """Entropy = counts → per-doc normalize window → fold: pre-hashed
+    int64 token keys, partial aggregation at every level, no Python,
+    no join."""
+    plan = explain_str(QUERIES["token_entropy_scores"].fn(spark, sf_dir), mode="simple")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_source_overlap_equi_join_only(spark, sf_dir):
+    """The source-pair overlap must be the bounded equi-self-join on
+    the int64 shingle hash — never a cartesian, and the distinct
+    (shingle, source) build partial-aggregates before the shuffle."""
+    plan = explain_str(QUERIES["source_overlap_matrix"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_winsorize_broadcast_cuts(spark, sf_dir):
+    """P5/P95 cut points (|sources| rows) must broadcast back onto the
+    corpus; clipping is a map stage."""
+    plan = explain_str(QUERIES["length_winsorize_stats"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
