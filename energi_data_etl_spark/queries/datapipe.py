@@ -669,15 +669,33 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| — never quadratic in docs), |sources|²-cell report. The
     fixture corpus has zero EXACT duplicate docs, so the audit runs at
     shingle granularity where overlap is real and measurable. At
-    100 TB: one shuffle on the shingle hash, the same shuffle the
-    near-dup tier already pays (operators/pipeline.py::shingle_hashes
-    is the shared md5 kernel, cross-engine exact)."""
-    d = load_table(spark, "documents", sf_dir).withColumn("hs", P.shingle_hashes("text", k=3))
-    sh = d.select("source", F.explode("hs").alias("h")).distinct()
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source"))
-    ).select(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+    100 TB: ONE shuffle on the shingle hash — groupBy(h) →
+    collect_set(source) (bounded by |sources|) → JVM pair expansion in
+    place, then a |sources|²-cell agg. The equi-self-join form the
+    oracle uses would pay that shuffle twice plus two sorts
+    (operators/pipeline.py::shingle_hashes is the shared md5 kernel,
+    cross-engine exact)."""
+    d = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).withColumn("hs", P.shingle_hashes("text", k=3))
+    per_h = (
+        d.select("source", F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ss") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ss") - 1),
+                lambda j: F.struct(
+                    F.get("ss", i).alias("source_a"), F.get("ss", j).alias("source_b")
+                ),
+            ),
+        )
+    )
+    pairs = per_h.select(F.explode(pair_structs).alias("p")).select("p.source_a", "p.source_b")
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_shared_shingles")
     )

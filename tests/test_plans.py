@@ -296,14 +296,15 @@ def test_token_entropy_no_join_partial_aggs(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan
 
 
-def test_source_overlap_equi_join_only(spark, sf_dir):
-    """The source-pair overlap must be the bounded equi-self-join on
-    the int64 shingle hash — never a cartesian, and the distinct
-    (shingle, source) build partial-aggregates before the shuffle."""
+def test_source_overlap_single_shuffle_no_join(spark, sf_dir):
+    """The source-pair overlap must be the single-shuffle form —
+    groupBy(shingle) → collect_set(source) → in-place JVM pair
+    expansion — NOT the equi-self-join the oracle uses (which pays the
+    shingle shuffle twice plus two sorts)."""
     plan = explain_str(QUERIES["source_overlap_matrix"].fn(spark, sf_dir), mode="simple")
-    assert "CartesianProduct" not in plan, plan
-    assert "Join" in plan, plan
+    assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+    assert "Generate" in plan, plan  # the pair explode
 
 
 def test_winsorize_broadcast_cuts(spark, sf_dir):
