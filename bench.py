@@ -34,9 +34,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JIT/session warmup on the smallest SF so the first measured query
-    # doesn't pay one-time costs.
+    # doesn't pay one-time costs: flagship warms the JVM/codegen path,
+    # grouped_median_udaf spawns the Python/Arrow worker pool (otherwise
+    # whichever Python-path query happens to run first in catalog order
+    # absorbs the pool cold-start — r06 saw a phantom 3x "regression"
+    # from exactly that after a rotation reorder).
     warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
     _materialize(QUERIES["flagship_daily_avg"].fn(spark, warm_dir))
+    _materialize(QUERIES["grouped_median_udaf"].fn(spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
