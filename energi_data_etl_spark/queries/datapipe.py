@@ -743,3 +743,119 @@ def length_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped_char_sum"
         ),
     )
+
+
+@query(
+    "doc_chunk_sliding",
+    tier="L-pipeline (sliding-window chunking: size-64/stride-48 doc splitter)",
+    oracle="""
+        WITH t AS (
+            SELECT lang,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS toks
+            FROM documents
+        ), d AS (
+            SELECT lang, LEN(toks) AS n FROM t WHERE LEN(toks) > 0
+        ), per AS (
+            SELECT lang, n,
+                   LEN(GENERATE_SERIES(0, n - 1, 48)) AS n_chunks,
+                   LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, n - 1, 48),
+                                           s -> LEAST(64, n - s))) AS emitted
+            FROM d
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(SUM(emitted) AS BIGINT) AS emitted_tokens,
+               CAST(SUM(emitted - n) AS BIGINT) AS overlap_tokens
+        FROM per GROUP BY lang
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter
+    (RAG indexing / long-doc pretraining), distinct from
+    `token_budget_packing`'s concat-then-chunk: here every chunk stays
+    within ONE doc and consecutive chunks overlap by size-stride tokens
+    so no boundary context is lost. Chunk starts are
+    ``sequence(0, n-1, stride)``; the last chunk is short
+    (``least(size, n-start)``), never padded.
+
+    Scale: pure map stage — tokenize, per-doc start/length arrays, one
+    partial-aggregated groupBy(lang). No explode is needed for the
+    audit (counts fold inside the row); the materializing form explodes
+    starts into (doc_id, chunk_id, slice(toks, s+1, len)) rows, still
+    shuffle-free. Reference has no chunker (its rows are API
+    observations, scripts/energy_etl.py:69-70); this certifies the
+    Spark-side op an LLM corpus needs."""
+    size, stride = 64, 48
+    d = load_table(spark, "documents", sf_dir)
+    toks = X.tokens("text")
+    n = F.size(toks)
+    base = d.select("lang", n.alias("n")).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    emitted = F.aggregate(
+        F.transform(starts, lambda s: F.least(F.lit(size), F.col("n") - s)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    per = base.select(
+        "lang",
+        F.col("n"),
+        F.size(starts).cast("bigint").alias("n_chunks"),
+        emitted.alias("emitted"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("emitted").alias("emitted_tokens"),
+        F.sum(F.col("emitted") - F.col("n")).alias("overlap_tokens"),
+    )
+
+
+@query(
+    "global_row_index",
+    tier="L-pipeline (distributed contiguous row ids: two-phase zip-index)",
+    oracle="""
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS global_idx
+        FROM documents
+    """,
+)
+def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids (shard-stable sample numbering for
+    training manifests) WITHOUT the single-partition
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` that serializes the corpus
+    through one task. Two-phase zip-index recipe:
+
+    1. ``repartitionByRange(doc_id)`` — range exchange, so partition i
+       holds strictly smaller keys than partition i+1; persist so the
+       partition ids seen by the count pass and the final plan are the
+       same materialized ones.
+    2. per-partition counts → driver (bounded: one row per partition,
+       like the IVF sample collect) → exclusive-prefix-sum offsets,
+       broadcast back.
+    3. local ``row_number`` partitioned by ``spark_partition_id`` —
+       every window fits one partition, no global sort, no single
+       reducer. ``global_idx = offset[pid] + local_rank - 1``.
+
+    Equivalent to RDD ``zipWithIndex`` but staying in DataFrame land
+    (columnar, AQE-visible). The oracle is the naive global
+    ROW_NUMBER — identical mapping, scale-hostile plan."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    parts = min(spark.sparkContext.defaultParallelism, 8)
+    ranged = (
+        d.repartitionByRange(parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["pid"]: r["c"] for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "pid int, off bigint")
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    return (
+        ranged.join(offset_df, "pid")
+        .select("doc_id", (F.col("off") + F.row_number().over(w) - 1).alias("global_idx"))
+    )

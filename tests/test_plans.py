@@ -314,3 +314,22 @@ def test_winsorize_broadcast_cuts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_global_row_index_no_single_reducer(spark, sf_dir):
+    """The two-phase zip-index must never plan the oracle's shape (a
+    Window over SinglePartition): the local row_number windows hash on
+    pid and the offsets attach via broadcast."""
+    plan = explain_str(QUERIES["global_row_index"].fn(spark, sf_dir), mode="simple")
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(pid" in plan, plan
+
+
+def test_doc_chunk_sliding_is_map_stage(spark, sf_dir):
+    """Chunk accounting folds inside each row (no explode, no join):
+    one partial-aggregated groupBy(lang) is the only exchange."""
+    plan = explain_str(QUERIES["doc_chunk_sliding"].fn(spark, sf_dir), mode="simple")
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
