@@ -224,3 +224,53 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     joined = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"])
     return joined.select("event_id", "user_id", F.col("asof_value"))
+
+
+@query(
+    "join_skew_salted",
+    tier="J1+scale (salted shuffle join: manual hot-key skew mitigation)",
+    oracle="""
+        SELECT p_brand,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join recipe for hot keys when BOTH sides are too big
+    to broadcast: the probe side gets ``salt = pmod(xxhash64(row-unique
+    key), S)`` so one hot join key spreads over S reducer partitions;
+    the build side replicates each row S times (explode 0..S-1); the
+    join keys on (key, salt). Results are provably identical to the
+    plain join — every (l, p) pair still meets exactly once, in the
+    salt partition chosen by l. Cost model: S× replication of the
+    smaller side buys hot-key parallelism S — the right trade whenever
+    max-key share ≫ 1/parallelism.
+
+    AQE's runtime skew-split covers the batch case automatically; the
+    manual form certified here is what still works where AQE cannot
+    re-plan (deterministic co-partitioned pipelines, stream-stream
+    state, bucketed writes). hint("merge") pins SortMergeJoin so the
+    demo cannot silently degenerate into a broadcast join at test
+    scale (the plan audit asserts it)."""
+    S = 8
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S)).cast("int").alias("salt"),
+    )
+    p = (
+        load_table(spark, "part", sf_dir)
+        .select("p_partkey", "p_brand")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+    )
+    j = l.join(
+        p.hint("merge"),
+        (l.l_partkey == p.p_partkey) & (l.salt == p.salt),
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

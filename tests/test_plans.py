@@ -333,3 +333,13 @@ def test_doc_chunk_sliding_is_map_stage(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_skew_salted_join_shape(spark, sf_dir):
+    """The salted join must actually exercise the shuffle-join path it
+    demonstrates: SortMergeJoin on (key, salt) — never a broadcast —
+    with the build side replicated by an explode."""
+    plan = explain_str(QUERIES["join_skew_salted"].fn(spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Generate" in plan, plan  # the S-way build-side replication
