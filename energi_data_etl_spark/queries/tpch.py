@@ -850,3 +850,39 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "tpch_q13_custdist",
+    tier="J2+A3 (TPC-H Q13 shape: outer-join count distribution)",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority NOT LIKE '%URGENT%'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13, the last of the 22
+    canonical shapes; o_orderpriority NOT LIKE stands in for the spec's
+    o_comment filter the fixture lacks). The join-side predicate lives in
+    the OUTER join condition -- not a post-filter -- so zero-order
+    customers survive with c_count = 0. Two shuffles total: the outer
+    join's and the tiny second COUNT's; COUNT(o_orderkey) skips the NULLs
+    the outer join manufactures, which is the whole trick of the query."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(~F.col("o_orderpriority").like("%URGENT%"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
