@@ -859,3 +859,84 @@ def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranged.join(offset_df, "pid")
         .select("doc_id", (F.col("off") + F.row_number().over(w) - 1).alias("global_idx"))
     )
+
+
+@query(
+    "zorder_layout_audit",
+    tier="§4 data layout (Z-order interleave + per-file min/max skipping audit)",
+    oracle="""
+        WITH dims AS (
+            SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS date_days
+            FROM orders
+        ), stats AS (
+            SELECT MIN(price_cents) AS plo, MAX(price_cents) AS phi,
+                   MIN(date_days) AS dlo, MAX(date_days) AS dhi
+            FROM dims
+        ), quant AS (
+            SELECT price_cents, date_days,
+                   CAST(((price_cents - plo) * 255) // (phi - plo) AS BIGINT) AS qp,
+                   CAST(((date_days  - dlo) * 255) // (dhi - dlo) AS BIGINT) AS qd
+            FROM dims CROSS JOIN stats
+        ), zvals AS (
+            SELECT price_cents, date_days,
+                   (((qp >> 0) & 1) << 1)  + (((qd >> 0) & 1) << 0)  +
+                   (((qp >> 1) & 1) << 3)  + (((qd >> 1) & 1) << 2)  +
+                   (((qp >> 2) & 1) << 5)  + (((qd >> 2) & 1) << 4)  +
+                   (((qp >> 3) & 1) << 7)  + (((qd >> 3) & 1) << 6)  +
+                   (((qp >> 4) & 1) << 9)  + (((qd >> 4) & 1) << 8)  +
+                   (((qp >> 5) & 1) << 11) + (((qd >> 5) & 1) << 10) +
+                   (((qp >> 6) & 1) << 13) + (((qd >> 6) & 1) << 12) +
+                   (((qp >> 7) & 1) << 15) + (((qd >> 7) & 1) << 14) AS z
+            FROM quant
+        )
+        SELECT z >> 10 AS zfile, COUNT(*) AS n_rows,
+               MIN(price_cents) AS price_lo, MAX(price_cents) AS price_hi,
+               MIN(date_days) AS date_lo, MAX(date_days) AS date_hi
+        FROM zvals GROUP BY 1
+    """,
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout for multi-dimensional file skipping —
+    the write-side optimization that makes BOTH price-range and
+    date-range predicates prunable from parquet min/max footer stats at
+    100 TB (a lexicographic sort serves only its leading column). Each
+    dim is quantized to 8 bits against its global min/max (integer
+    arithmetic end-to-end: exact cross-engine), bits interleaved into a
+    16-bit Morton code, rows bucketed by the code's top 6 bits — one
+    bucket ≈ one output file under `df.sort(z).write`. The audit emits
+    each would-be file's row count and per-dim min/max envelope: tight,
+    non-spanning envelopes on BOTH dims are the skipping property
+    itself. Quantization stats are one partial-agg pass broadcast back
+    (no window, no driver round-trip); the interleave is 16 JVM bit-ops
+    fused into one codegen stage."""
+    o = load_table(spark, "orders", sf_dir)
+    dims = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("date_days"),
+    )
+    stats = F.broadcast(
+        dims.agg(
+            F.min("price_cents").alias("plo"), F.max("price_cents").alias("phi"),
+            F.min("date_days").alias("dlo"), F.max("date_days").alias("dhi"),
+        )
+    )
+    quant = dims.crossJoin(stats).select(
+        "price_cents",
+        "date_days",
+        F.expr("((price_cents - plo) * 255) div (phi - plo)").alias("qp"),
+        F.expr("((date_days  - dlo) * 255) div (dhi - dlo)").alias("qd"),
+    )
+    bit = lambda col, i, pos: F.shiftleft(F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)), pos)  # noqa: E731
+    z = bit("qp", 0, 1) + bit("qd", 0, 0)
+    for i in range(1, 8):
+        z = z + bit("qp", i, 2 * i + 1) + bit("qd", i, 2 * i)
+    zvals = quant.select("price_cents", "date_days", z.alias("z"))
+    return (
+        zvals.groupBy(F.shiftright(F.col("z"), 10).alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price_cents").alias("price_lo"), F.max("price_cents").alias("price_hi"),
+            F.min("date_days").alias("date_lo"), F.max("date_days").alias("date_hi"),
+        )
+    )

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import text as X
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components, pagerank
 from ..operators.skew import salted_agg
 from ..sources.tables import load_table
 from .catalog import query
@@ -140,3 +140,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
     )
     return connected_components(pairs).select("id", "component")
+
+
+@query(
+    "pagerank_supplier_part",
+    tier="graph (fixed-iteration PageRank over the supplier-part supply graph)",
+    oracle=None,
+    doc="float power iteration: per-node contribution sums are "
+    "FP-order-dependent across engines, so no SQL oracle; exactness is "
+    "pinned vs a numpy power iteration (1e-9) plus mass-conservation "
+    "invariants in tests/test_graph_ops.py",
+)
+def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-importance ranking over the bipartite supplier<->part graph
+    induced by lineitem (who supplies what): 3 power-method rounds of
+    PageRank (operators/graph.py:pagerank — enough to separate hubs on a
+    diameter-2 bipartite graph; the operator takes any count and its
+    exactness is pinned at 8 rounds in tests), undirected via both edge
+    directions. Node encoding keeps it one integer column: supplier s ->
+    2s, part p -> 2p+1. Output is the top-50 hub nodes with rank floored
+    at 1e-9 and a deterministic (rank desc, id) order — the 'which
+    suppliers/parts anchor the supply network' analytics a warehouse
+    team derives from the same fact table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    # fixture files are single-row-group: fan the scan out before distinct
+    supply = (
+        li.repartition(spark.sparkContext.defaultParallelism, "l_suppkey")
+        .select((F.col("l_suppkey") * 2).alias("s"), (F.col("l_partkey") * 2 + 1).alias("p"))
+        .distinct()
+    )
+    edges = supply.select(F.col("s").alias("src"), F.col("p").alias("dst")).union(
+        supply.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    # undirected-by-construction: every node appears as a src, so no
+    # dangling-mass branch is needed
+    ranks = pagerank(edges, iterations=3, damping=0.85, handle_dangling=False)
+    return (
+        ranks.select(
+            F.when(F.col("id") % 2 == 0, F.lit("supplier")).otherwise(F.lit("part")).alias("node_kind"),
+            F.floor(F.col("id") / 2).cast("bigint").alias("entity_id"),
+            (F.floor(F.col("rank") * 1e9) / 1e9).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), F.col("node_kind"), F.col("entity_id"))
+        .limit(50)
+    )

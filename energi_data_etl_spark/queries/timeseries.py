@@ -245,3 +245,109 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("z"), 6).alias("max_z"),
         F.round(F.min("z"), 6).alias("min_z"),
     )
+
+
+@query(
+    "gapfill_linear_interpolate",
+    tier="W3+W4+F1 (calendar spine + two-sided linear interpolation)",
+    oracle="""
+        WITH spine AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS date
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), sparse AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS date, event_type,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events WHERE value > 180
+            GROUP BY 1, 2
+        ), joined AS (
+            SELECT s.date, t.event_type, sp.avg_value
+            FROM spine s CROSS JOIN types t
+            LEFT JOIN sparse sp ON sp.date = s.date AND sp.event_type = t.event_type
+        ), bounded AS (
+            SELECT date, event_type, avg_value,
+                   LAST_VALUE(avg_value IGNORE NULLS) OVER wb AS pv,
+                   LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN date END IGNORE NULLS) OVER wb AS pd,
+                   FIRST_VALUE(avg_value IGNORE NULLS) OVER wf AS nv,
+                   FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN date END IGNORE NULLS) OVER wf AS nd
+            FROM joined
+            WINDOW wb AS (PARTITION BY event_type ORDER BY date ROWS UNBOUNDED PRECEDING),
+                   wf AS (PARTITION BY event_type ORDER BY date
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT date, event_type,
+               CASE
+                   WHEN avg_value IS NOT NULL THEN avg_value
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        -- interpolant is a raw quotient: FLOOR-truncate, never
+                        -- ROUND (CLAUDE.md quotient rule)
+                        FLOOR((pv + (nv - pv) * (DATEDIFF('day', pd, date) * 1.0
+                                                 / DATEDIFF('day', pd, nd))) * 1000000.0) / 1000000.0
+               END AS filled_value,
+               CASE WHEN avg_value IS NOT NULL THEN 'observed'
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+                    ELSE 'edge' END AS fill_kind
+        FROM bounded
+    """,
+)
+def gapfill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided linear interpolation over the dense calendar spine: the
+    backward window carries the last observation (value + its date), the
+    forward window the next one, and gap rows get the straight line
+    between them; leading/trailing gaps stay NULL ('edge') rather than
+    inventing data. Same single-shuffle shape as gapfill_forward — both
+    windows share the (event_type, date) sort, so Spark plans ONE
+    exchange + one sort feeding two frames. The interpolant is floored
+    at 1e-6 on both engines (raw-quotient rule). At 100 TB the spine
+    join stays broadcast (calendar x categories is tiny by construction)
+    and the windows scale per category."""
+    ev = load_table(spark, "events", sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date"), F.expr("interval 1 day")
+            )
+        ).alias("date")
+    )
+    types = ev.select("event_type").distinct()
+    sparse = (
+        ev.filter(F.col("value") > 180)
+        .groupBy(F.col("ts").cast("date").alias("date"), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    joined = spine.crossJoin(F.broadcast(types)).join(sparse, ["date", "event_type"], "left")
+    wb = Window.partitionBy("event_type").orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy("event_type").orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    obs_date = F.when(F.col("avg_value").isNotNull(), F.col("date"))
+    bounded = joined.select(
+        "date",
+        "event_type",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_date, ignorenulls=True).over(wb).alias("pd"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_date, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interior = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    interp = (
+        F.floor(
+            (
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (F.datediff("date", "pd") * F.lit(1.0) / F.datediff("nd", "pd"))
+            )
+            * 1000000.0
+        )
+        / 1000000.0
+    )
+    return bounded.select(
+        "date",
+        "event_type",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(interior, interp)
+        .alias("filled_value"),
+        F.when(F.col("avg_value").isNotNull(), F.lit("observed"))
+        .when(interior, F.lit("interpolated"))
+        .otherwise(F.lit("edge"))
+        .alias("fill_kind"),
+    )

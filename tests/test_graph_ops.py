@@ -45,3 +45,52 @@ def test_salted_agg_equals_direct_agg_under_skew(spark):
     }
     assert got == want
     assert got["hot"][0] == 9000
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Exact-method check: the distributed fixed-iteration PageRank must
+    reproduce a dense numpy power iteration (same damping, same dangling
+    redistribution) to 1e-9 on a small directed graph WITH a dangling
+    node (4 has no out-edges — its mass spreads uniformly)."""
+    import numpy as np
+
+    from energi_data_etl_spark.operators.graph import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (5, 1), (5, 4)]
+    pairs = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(pairs, iterations=8, damping=0.85).collect()}
+
+    ids = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    m = np.zeros((n, n))
+    for s, d in edge_list:
+        out[idx[s]] += 1
+    for s, d in edge_list:
+        m[idx[d], idx[s]] = 1.0 / out[idx[s]]
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        dangling = r[out == 0].sum()
+        r = (1 - 0.85) / n + 0.85 * (m @ r + dangling / n)
+    want = {ids[i]: r[i] for i in range(n)}
+
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """On a symmetric cycle every node must end exactly uniform — any
+    asymmetry in the contribution join would break this immediately."""
+    edge_list = [(i, (i + 1) % 6) for i in range(6)]
+    pairs = spark.createDataFrame(edge_list, "src long, dst long")
+    got = [r.rank for r in pagerank_import(pairs, iterations=4).collect()]
+    assert all(abs(x - 1.0 / 6) < 1e-12 for x in got)
+
+
+def pagerank_import(pairs, iterations):
+    from energi_data_etl_spark.operators.graph import pagerank
+
+    return pagerank(pairs, iterations=iterations)

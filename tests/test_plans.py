@@ -343,3 +343,23 @@ def test_skew_salted_join_shape(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "Generate" in plan, plan  # the S-way build-side replication
+
+
+def test_zorder_audit_is_broadcast_plus_one_agg_exchange(spark, sf_dir):
+    """The quantization stats must come back as a broadcast (no shuffle
+    join on the fact), leaving only the final bucket agg's exchange plus
+    the stats agg's own single-partition exchange."""
+    df = QUERIES["zorder_layout_audit"].fn(spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gapfill_linear_windows_share_one_sort(spark, sf_dir):
+    """Backward and forward fill windows sort on the same (event_type,
+    date) key — the plan must not pay two exchanges for them."""
+    df = QUERIES["gapfill_linear_interpolate"].fn(spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    # all four fill frames (pv/pd/nv/nd) must collapse into ONE Window
+    # operator over one sort — two Windows would mean a second exchange
+    assert plan.count("Window") == 1, plan
