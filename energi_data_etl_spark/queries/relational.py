@@ -399,3 +399,45 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_wm
         """
     )
+
+
+@query(
+    "hll_merge_weekly_users",
+    tier="A6 (Datasketches HLL MERGE: daily sketches -> weekly rollup, tolerance verdict)",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events
+        GROUP BY 1
+    """,
+)
+def hll_merge_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-REAGGREGATION pattern that makes distinct counts cheap
+    at 100 TB: per-day Datasketches HLL sketches (hll_sketch_agg — what a
+    daily rollup table would persist as a binary column), then weekly
+    uniques via hll_union_agg over the stored sketches WITHOUT rescanning
+    the fact table. approx_count_distinct certifies the one-shot sketch;
+    this certifies mergeability — the property that lets a 365-row
+    sketch table answer any date-range distinct query. Sketch bytes are
+    engine-specific, so the certified surface is the exact count plus a
+    2%-tolerance verdict (Datasketches lgK=12 ≈ 0.8% rsd): the oracle
+    pins TRUE, so a union drifting out of band fails the hash compare."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    weekly_est = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
+    )
+    weekly_exact = ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return weekly_exact.join(F.broadcast(weekly_est), "week").select(
+        "week",
+        "exact_users",
+        (F.abs(F.col("est_users") - F.col("exact_users")) <= 0.02 * F.col("exact_users")).alias(
+            "within_tol"
+        ),
+    )
