@@ -74,6 +74,7 @@ def pagerank(
     damping: float = 0.85,
     handle_dangling: bool = True,
     eager_every: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over a directed edge list.
 
@@ -96,7 +97,12 @@ def pagerank(
     the per-iteration dangling-mass branch (a join + scalar agg saved
     per round).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        # duplicate edges would double-count contributions; callers whose
+        # edge build already dedups can skip this full-edge shuffle
+        e = e.distinct()
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -43,7 +43,7 @@ FIRST_50 = [
     "token_budget_packing", "stratified_sample_by_lang", "pipeline_end_to_end",
     "dedup_incremental_delta",
     "gapfill_forward", "merge_upsert_orders",
-    # -- 13 new in r06 --
+    # -- 18 new in r06 --
     "pipeline_incremental_lifecycle", "lsh_bucket_stats", "streaming_rollup_parquet",
     "pii_redaction_stats", "repetition_topgram_stats", "domain_mixture_plan",
     "cleaning_funnel_report", "scd2_customer_status", "anomaly_zscore_events",
@@ -54,7 +54,7 @@ FIRST_50 = [
     # -- 5 regression canaries --
     "flagship_daily_avg", "join_star_revenue", "window_rank_topk",
     "streaming_interval_join", "pricing_summary",
-    # -- 10 oldest driver rows (last certified r≤4); near-twins of rows
+    # -- 5 oldest driver rows (last certified r≤4); near-twins of rows
     # still in the window were dropped to make room for r06 additions:
     # regex_surface (pii_redaction_stats), quality_scores
     # (cleaning_funnel_report), collect_aggregates, salted_aggregation,
