@@ -940,3 +940,277 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("date_days").alias("date_lo"), F.max("date_days").alias("date_hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pipeline maintenance & monitoring tier (r06-late): snapshot diff,
+# survivorship dedup, naive-split leakage audit, distribution drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff_orders",
+    tier="L-pipeline (run-to-run snapshot diff: added/removed/changed via row-hash full-outer join)",
+    oracle="""
+        WITH old_snap AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders WHERE o_orderkey % 13 <> 0
+        ), new_snap AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                   + CASE WHEN o_orderkey % 97 = 0 THEN 500 ELSE 0 END AS c
+            FROM orders WHERE o_orderkey % 17 <> 0
+        ), j AS (
+            SELECT o.k AS ok, n.k AS nk,
+                   MD5(o.s || '|' || CAST(o.c AS VARCHAR)) AS oh,
+                   MD5(n.s || '|' || CAST(n.c AS VARCHAR)) AS nh,
+                   COALESCE(o.c, 0) AS oc, COALESCE(n.c, 0) AS nc
+            FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+        )
+        SELECT CASE WHEN ok IS NULL THEN 'added'
+                    WHEN nk IS NULL THEN 'removed'
+                    WHEN oh <> nh THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               COUNT(*) AS n_rows,
+               SUM(nc - oc) AS net_cents_delta
+        FROM j GROUP BY 1
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-to-run table diff — the regression check a pipeline runs
+    between yesterday's output snapshot and today's before publishing.
+    Each side carries a map-stage row hash (md5 over the value columns,
+    prices as exact integer cents per the FLOOR rule), so arbitrarily
+    wide rows compare via ONE string; the diff itself is a single
+    full-outer join on the key — one shuffle, or zero when both
+    snapshots are bucketed by key on disk. added/removed fall out of
+    the null sides, changed = both present with differing hashes;
+    net_cents_delta audits the money moved by the diff (exact bigint
+    arithmetic). Snapshots are simulated from `orders` deterministically
+    (drop keys %13 on the old side, %17 on the new, bump cents +500 on
+    %97) so every change class is populated and oracle-checkable."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    old_snap = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s"), cents.alias("c"))
+    )
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 17 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            (cents + F.when(F.col("o_orderkey") % 97 == 0, 500).otherwise(0)).alias("c"),
+        )
+    )
+    row_hash = lambda s, c: F.md5(F.concat(F.col(s), F.lit("|"), F.col(c).cast("string")))  # noqa: E731
+    old_h = old_snap.select("k", row_hash("s", "c").alias("oh"), F.col("c").alias("oc"))
+    new_h = new_snap.select("k", row_hash("s", "c").alias("nh"), F.col("c").alias("nc"))
+    j = old_h.withColumnRenamed("k", "ok").join(
+        new_h.withColumnRenamed("k", "nk"), F.col("ok") == F.col("nk"), "full_outer"
+    )
+    classified = j.select(
+        F.when(F.col("ok").isNull(), "added")
+        .when(F.col("nk").isNull(), "removed")
+        .when(F.col("oh") != F.col("nh"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (F.coalesce(F.col("nc"), F.lit(0)) - F.coalesce(F.col("oc"), F.lit(0))).alias("delta"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("delta").alias("net_cents_delta"),
+    )
+
+
+#: 5-token-prefix cluster key — the fixture corpus has zero EXACT
+#: duplicates (every doc's full-text fingerprint is unique), so the
+#: survivorship and leakage ops cluster on the first-5-token prefix
+#: instead: coarse enough to form real multi-doc clusters, still a pure
+#: map-stage md5 both engines compute identically.
+_DUCK_PREFIX_KEY = (
+    "MD5(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0)[1:5], ' '))"
+)
+
+
+def _prefix_cluster_key() -> "F.Column":
+    return F.md5(F.array_join(F.slice(X.tokens("text"), 1, 5), " "))
+
+
+@query(
+    "dedup_survivorship_quality",
+    tier="L1 (survivorship dedup: keep the highest-quality copy per cluster)",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, n_chars,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS toks,
+                   {_DUCK_PREFIX_KEY} AS ck
+            FROM documents
+        ), m AS (
+            SELECT doc_id, source, n_chars, ck,
+                   ROUND(0.4 * LEAST(LEN(toks) / 50.0, 1.0)
+                       + 0.3 * LEAST(LIST_AGGREGATE(LIST_TRANSFORM(toks, x -> LENGTH(x) * 1.0), 'sum') / GREATEST(LEN(toks), 1) / 6.0, 1.0)
+                       + 0.3 * LEAST(LEN(LIST_FILTER(toks, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) * 5.0 / GREATEST(LEN(toks), 1), 1.0), 6) AS q
+            FROM t
+        ), ranked AS (
+            SELECT source, n_chars, q,
+                   ROW_NUMBER() OVER (PARTITION BY ck ORDER BY q DESC, doc_id) AS rn
+            FROM m
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_survivors,
+               COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_dropped,
+               ROUND(AVG(CASE WHEN rn = 1 THEN q END), 6) AS avg_survivor_q,
+               SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS survivor_chars
+        FROM ranked GROUP BY source
+    """,
+)
+def dedup_survivorship_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-policy dedup: production corpus dedup keeps the BEST
+    copy of each cluster, not the first-seen — rank cluster members by
+    quality score (ties → min doc_id; q is rounded to 6dp so the
+    ordering is cross-engine exact) and keep rank 1. Same physical
+    shape as min-id dedup (`dedup_exact`): ONE shuffle on the cluster
+    key for the window, everything else map-side; at 100 TB the window
+    swaps for a groupBy(ck).agg(max_by(doc, (q, -doc_id))) with partial
+    aggregation. Reports the per-source attrition and the realized
+    survivor quality the policy is buying."""
+    d = load_table(spark, "documents", sf_dir)
+    m = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        _prefix_cluster_key().alias("ck"),
+        X.quality_score("text").alias("q"),
+    )
+    w = Window.partitionBy("ck").orderBy(F.col("q").desc(), "doc_id")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    is_surv = (F.col("rn") == 1).cast("bigint")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_surv).alias("n_survivors"),
+        (F.count(F.lit(1)) - F.sum(is_surv)).alias("n_dropped"),
+        F.round(F.avg(F.when(F.col("rn") == 1, F.col("q"))), 6).alias("avg_survivor_q"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0)).alias("survivor_chars"),
+    )
+
+
+@query(
+    "crosssplit_leakage_audit",
+    tier="L-pipeline (leakage audit: clusters spanning naive i.i.d. splits)",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id,
+                   {_DUCK_PREFIX_KEY} AS ck,
+                   CASE WHEN {_DUCK_BUCKET.format(key='doc_id')} < 80 THEN 'train'
+                        WHEN {_DUCK_BUCKET.format(key='doc_id')} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ), spread AS (
+            SELECT ck, COUNT(DISTINCT split) AS ns FROM assigned GROUP BY ck
+        )
+        SELECT a.split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT a.ck) AS n_clusters,
+               COUNT(DISTINCT CASE WHEN s.ns > 1 THEN a.ck END) AS n_leaked_clusters,
+               SUM(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS n_leaked_docs
+        FROM assigned a JOIN spread s ON a.ck = s.ck
+        GROUP BY a.split
+    """,
+)
+def crosssplit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the train/test leakage a naive hash-of-doc_id split
+    produces: near-dup clusters (5-token-prefix key) whose members land
+    in more than one split are exactly the contamination
+    `split_cluster_aware` prevents by construction — this is the
+    measurement side of that pair, run as an audit over any existing
+    split column. Two shuffles on the cluster key (spread agg + join
+    back — co-partitioned, so AQE plans the second exchange-free),
+    one report agg. At 100 TB the spread side is tiny (one row per
+    cluster) relative to the corpus and the join stays on the same
+    key partitioning the dedup pass already established."""
+    d = load_table(spark, "documents", sf_dir)
+    assigned = d.select(
+        "doc_id",
+        _prefix_cluster_key().alias("ck"),
+        P.assign_split(F.col("doc_id")).alias("split"),
+    ).persist()  # consumed by spread AND the join-back — don't rescan+rehash
+    spread = assigned.groupBy("ck").agg(F.countDistinct("split").alias("ns"))
+    j = assigned.join(spread, "ck")
+    return j.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("ck").alias("n_clusters"),
+        F.countDistinct(F.when(F.col("ns") > 1, F.col("ck"))).alias("n_leaked_clusters"),
+        F.sum((F.col("ns") > 1).cast("bigint")).alias("n_leaked_docs"),
+    )
+
+
+@query(
+    "event_type_drift",
+    tier="L-pipeline (distribution-drift monitor: per-type KL terms between halves)",
+    oracle="""
+        WITH labeled AS (
+            SELECT event_type,
+                   CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'old' ELSE 'new' END AS period
+            FROM events
+        ), c AS (
+            SELECT event_type,
+                   SUM(CASE WHEN period = 'old' THEN 1 ELSE 0 END) AS n_old,
+                   SUM(CASE WHEN period = 'new' THEN 1 ELSE 0 END) AS n_new
+            FROM labeled GROUP BY event_type
+        ), tot AS (
+            SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM c
+        ), p AS (
+            -- FLOOR-truncate the raw count/total quotients (CLAUDE.md rule)
+            -- so both engines feed LN identical doubles
+            SELECT event_type, n_old, n_new,
+                   FLOOR(n_old * 1000000.0 / t_old) / 1000000.0 AS p_old,
+                   FLOOR(n_new * 1000000.0 / t_new) / 1000000.0 AS p_new
+            FROM c CROSS JOIN tot
+        )
+        SELECT event_type, n_old, n_new, p_old, p_new,
+               ROUND(ABS(p_new - p_old), 6) AS abs_shift,
+               ROUND(p_new * LN(p_new / p_old), 6) AS kl_term
+        FROM p
+    """,
+)
+def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-distribution drift monitor — the check a production
+    pipeline runs before retraining on a new data window: compare the
+    event-type mix of the trailing period against the baseline period
+    and emit each type's probability shift plus its KL-divergence term
+    (sum of kl_term = KL(new‖old)). One partial-aggregated groupBy
+    builds both period counts in a single corpus pass (conditional
+    sums, no second scan); totals are a broadcast 1-row cross join;
+    ratios are FLOOR-truncated per the cross-engine quotient rule so
+    LN sees bit-identical inputs. Every type occurs in both halves of
+    the fixture, so no zero-probability guard clutters the certified
+    plan (production adds Laplace smoothing at the p computation)."""
+    ev = load_table(spark, "events", sf_dir)
+    labeled = ev.select(
+        "event_type",
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "old").otherwise("new").alias("period"),
+    )
+    c = labeled.groupBy("event_type").agg(
+        F.sum((F.col("period") == "old").cast("bigint")).alias("n_old"),
+        F.sum((F.col("period") == "new").cast("bigint")).alias("n_new"),
+    ).persist()  # one row per type; totals derive from it, not a rescan
+    tot = c.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
+    p = c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_old",
+        "n_new",
+        (F.floor(F.col("n_old") * 1000000.0 / F.col("t_old")) / 1000000.0).alias("p_old"),
+        (F.floor(F.col("n_new") * 1000000.0 / F.col("t_new")) / 1000000.0).alias("p_new"),
+    )
+    return p.select(
+        "event_type",
+        "n_old",
+        "n_new",
+        "p_old",
+        "p_new",
+        F.round(F.abs(F.col("p_new") - F.col("p_old")), 6).alias("abs_shift"),
+        F.round(F.col("p_new") * F.log(F.col("p_new") / F.col("p_old")), 6).alias("kl_term"),
+    )

@@ -112,3 +112,78 @@ def pipeline_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("date").alias("last_date"),
         F.round(F.sum("avg_price"), 4).alias("sum_avg_price"),
     )
+
+
+@query(
+    "api_source_daily_rollup",
+    tier="S1 (Spark 4 Python DataSource: format('energi_prices') → daily rollup)",
+    oracle="""
+        WITH zones AS (
+            SELECT * FROM (VALUES (1, 'SE1'), (2, 'SE2'), (3, 'SE3'), (4, 'SE4')) AS t(zi, zone)
+        ), days AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-02-01', DATE '2024-02-07', INTERVAL 1 DAY)) AS DATE) AS date
+        )
+        -- avg over h=0..23 of (zi*1000 + day_no*10 + h): the closed form
+        -- is a half-integer, exactly representable, so no rounding needed
+        SELECT z.zone, d.date,
+               24 AS n_obs,
+               z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS avg_price
+        FROM zones z CROSS JOIN days d
+    """,
+)
+def api_source_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the Python DataSource itself (sources/api_datasource.py)
+    under the driver contract: deterministic per-day JSON fixtures are
+    laid out exactly like the API URL space, read back through
+    `spark.read.format("energi_prices")` — one InputPartition per
+    zone-day, so this 7-day × 4-zone window plans 28 independent fetch
+    tasks — then rolled up to the reference's daily average
+    (energy_etl.py:69-70). Fixture prices follow the lifecycle fixture's
+    exact-arithmetic formula (zi*1000 + day_no*10 + hour), so the DuckDB
+    oracle re-derives every average in closed form without touching the
+    source: what matches is the full source → schema → partition →
+    aggregate path, not a replayed table."""
+    import datetime
+    import json
+    import tempfile
+
+    from ..sources.api_datasource import EnergiPricesDataSource
+
+    base = tempfile.mkdtemp(prefix="api_src_")
+    start, end = datetime.date(2024, 2, 1), datetime.date(2024, 2, 7)
+    zones = ("SE1", "SE2", "SE3", "SE4")
+    day = start
+    while day <= end:
+        day_no = (day - datetime.date(2024, 1, 1)).days
+        fdir = f"{base}/{day.year}"
+        import os
+
+        os.makedirs(fdir, exist_ok=True)
+        for zi, zone in enumerate(zones, start=1):
+            recs = [
+                {
+                    "SEK_per_kWh": float(zi * 1000 + day_no * 10 + h),
+                    "EUR_per_kWh": 0.0,
+                    "EXR": 11.0,
+                    "time_start": f"{h:02d}:00",
+                    "time_end": f"{h + 1:02d}:00",
+                }
+                for h in range(24)
+            ]
+            with open(f"{fdir}/{day.month:02d}-{day.day:02d}_{zone}.json", "w") as f:
+                json.dump(recs, f)
+        day += datetime.timedelta(days=1)
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    df = (
+        spark.read.format("energi_prices")
+        .option("start", start.isoformat())
+        .option("end", end.isoformat())
+        .option("zones", ",".join(zones))
+        .option("fixture_dir", base)
+        .load()
+    )
+    return df.groupBy("zone", "date").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("SEK_per_kWh").alias("avg_price"),
+    )

@@ -88,3 +88,77 @@ def test_shingle_hash_modes_agree_on_set_relations(spark):
         hs = {r.doc_id: set(r.h) for r in df.select("doc_id", P.shingle_hashes("text", 3, hash_fn=mode).alias("h")).collect()}
         out[mode] = {(a, b): len(hs[a] & hs[b]) for a in hs for b in hs if a < b}
     assert out["md5"] == out["xxhash64"], out
+
+
+# --- r06-late maintenance/monitoring tier invariants --------------------
+
+
+def test_snapshot_diff_classes_partition_the_key_space(spark, sf_dir):
+    """The diff classes must partition the union of snapshot keys, and
+    every 'changed' key is exactly a both-sides %97 bump (the invariant
+    the oracle can't prove because it recomputes the same way)."""
+    from energi_data_etl_spark.queries.datapipe import snapshot_diff_orders
+
+    res = {r.change_type: r for r in snapshot_diff_orders(spark, sf_dir).collect()}
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    in_old = F.col("o_orderkey") % 13 != 0
+    in_new = F.col("o_orderkey") % 17 != 0
+    expect_added = o.filter(~in_old & in_new).count()
+    expect_removed = o.filter(in_old & ~in_new).count()
+    expect_changed = o.filter(in_old & in_new & (F.col("o_orderkey") % 97 == 0)).count()
+    assert res["added"].n_rows == expect_added
+    assert res["removed"].n_rows == expect_removed
+    assert res["changed"].n_rows == expect_changed
+    # every changed row moved exactly +500 cents
+    assert res["changed"].net_cents_delta == 500 * expect_changed
+    assert res["unchanged"].net_cents_delta == 0
+    total = sum(r.n_rows for r in res.values())
+    assert total == o.filter(in_old | in_new).count()
+
+
+def test_survivorship_keeps_the_max_quality_member(spark, sf_dir):
+    """Per cluster: exactly one survivor, and no dropped member has a
+    strictly higher quality score than its cluster's survivor."""
+    from energi_data_etl_spark.operators import text as X
+    from energi_data_etl_spark.queries.datapipe import _prefix_cluster_key
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", _prefix_cluster_key().alias("ck"), X.quality_score("text").alias("q")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ck").orderBy(F.col("q").desc(), "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    per_cluster = ranked.groupBy("ck").agg(
+        F.sum((F.col("rn") == 1).cast("int")).alias("n_surv"),
+        F.max("q").alias("max_q"),
+        F.max(F.when(F.col("rn") == 1, F.col("q"))).alias("surv_q"),
+    )
+    bad = per_cluster.filter((F.col("n_surv") != 1) | (F.col("surv_q") != F.col("max_q"))).count()
+    assert bad == 0
+
+
+def test_leakage_audit_counts_are_consistent(spark, sf_dir):
+    """Leaked docs ≤ docs, leaked clusters ≤ clusters, and the naive
+    split DOES leak on this corpus (the audit has real signal — the
+    cluster-aware split exists precisely to zero this out)."""
+    from energi_data_etl_spark.queries.datapipe import crosssplit_leakage_audit
+
+    rows = crosssplit_leakage_audit(spark, sf_dir).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    for r in rows:
+        assert 0 <= r.n_leaked_clusters <= r.n_clusters
+        assert 0 <= r.n_leaked_docs <= r.n_docs
+    assert sum(r.n_leaked_docs for r in rows) > 0
+
+
+def test_drift_kl_terms_sum_nonnegative(spark, sf_dir):
+    """Sum of per-type KL terms = KL(new‖old) ≥ 0 (Gibbs), and the
+    probability columns are valid distributions up to the documented
+    1e-6 truncation."""
+    from energi_data_etl_spark.queries.datapipe import event_type_drift
+
+    rows = event_type_drift(spark, sf_dir).collect()
+    assert abs(sum(r.p_old for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_new for r in rows) - 1.0) < 1e-4
+    assert sum(r.kl_term for r in rows) >= -1e-9
