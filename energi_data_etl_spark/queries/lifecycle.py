@@ -114,6 +114,43 @@ def pipeline_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_API_ZONES = ("SE1", "SE2", "SE3", "SE4")
+
+
+def _write_api_fixtures(start, end) -> str:
+    """Lay per-day JSON fixtures out exactly like the API URL space
+    ({year}/{month:02d}-{day:02d}_{zone}.json) under a fresh tempdir,
+    with the lifecycle fixture's exact-arithmetic hourly prices
+    (zi*1000 + day_no*10 + hour) so oracles re-derive every value in
+    closed form. Returns the fixture root."""
+    import datetime
+    import json
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="api_src_")
+    day = start
+    while day <= end:
+        day_no = (day - datetime.date(2024, 1, 1)).days
+        fdir = f"{base}/{day.year}"
+        os.makedirs(fdir, exist_ok=True)
+        for zi, zone in enumerate(_API_ZONES, start=1):
+            recs = [
+                {
+                    "SEK_per_kWh": float(zi * 1000 + day_no * 10 + h),
+                    "EUR_per_kWh": 0.0,
+                    "EXR": 11.0,
+                    "time_start": f"{h:02d}:00",
+                    "time_end": f"{h + 1:02d}:00",
+                }
+                for h in range(24)
+            ]
+            with open(f"{fdir}/{day.month:02d}-{day.day:02d}_{zone}.json", "w") as f:
+                json.dump(recs, f)
+        day += datetime.timedelta(days=1)
+    return base
+
+
 @query(
     "api_source_daily_rollup",
     tier="S1 (Spark 4 Python DataSource: format('energi_prices') → daily rollup)",
@@ -144,42 +181,17 @@ def api_source_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     source: what matches is the full source → schema → partition →
     aggregate path, not a replayed table."""
     import datetime
-    import json
-    import tempfile
 
     from ..sources.api_datasource import EnergiPricesDataSource
 
-    base = tempfile.mkdtemp(prefix="api_src_")
     start, end = datetime.date(2024, 2, 1), datetime.date(2024, 2, 7)
-    zones = ("SE1", "SE2", "SE3", "SE4")
-    day = start
-    while day <= end:
-        day_no = (day - datetime.date(2024, 1, 1)).days
-        fdir = f"{base}/{day.year}"
-        import os
-
-        os.makedirs(fdir, exist_ok=True)
-        for zi, zone in enumerate(zones, start=1):
-            recs = [
-                {
-                    "SEK_per_kWh": float(zi * 1000 + day_no * 10 + h),
-                    "EUR_per_kWh": 0.0,
-                    "EXR": 11.0,
-                    "time_start": f"{h:02d}:00",
-                    "time_end": f"{h + 1:02d}:00",
-                }
-                for h in range(24)
-            ]
-            with open(f"{fdir}/{day.month:02d}-{day.day:02d}_{zone}.json", "w") as f:
-                json.dump(recs, f)
-        day += datetime.timedelta(days=1)
-
+    base = _write_api_fixtures(start, end)
     spark.dataSource.register(EnergiPricesDataSource)
     df = (
         spark.read.format("energi_prices")
         .option("start", start.isoformat())
         .option("end", end.isoformat())
-        .option("zones", ",".join(zones))
+        .option("zones", ",".join(_API_ZONES))
         .option("fixture_dir", base)
         .load()
     )
@@ -187,3 +199,54 @@ def api_source_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.avg("SEK_per_kWh").alias("avg_price"),
     )
+
+
+@query(
+    "api_source_stream_rollup",
+    tier="S1+T3 (streaming DataSource: offset-as-watermark catch-up → daily rollup)",
+    oracle="""
+        WITH zones AS (
+            SELECT * FROM (VALUES (1, 'SE1'), (2, 'SE2'), (3, 'SE3'), (4, 'SE4')) AS t(zi, zone)
+        ), days AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-02-20', DATE '2024-02-22', INTERVAL 1 DAY)) AS DATE) AS date
+        )
+        SELECT z.zone, d.date,
+               24 AS n_obs,
+               z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS avg_price
+        FROM zones z CROSS JOIN days d
+    """,
+)
+def api_source_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING side of the Python DataSource under the driver
+    contract: `spark.readStream.format("energi_prices")` — the
+    SimpleDataSourceStreamReader whose offset log IS the reference's
+    watermark (sources/api_datasource.py) — drained with
+    Trigger.AvailableNow into the daily-average rollup. Each trigger
+    catches up on every day past the offset exactly once
+    (checkpoint-durable; restart re-reads nothing, pinned in
+    tests/test_api_and_formats.py); complete-mode aggregation needs no
+    event-time watermark. Values are the exact-arithmetic fixture
+    formula, so the oracle is the same closed form the batch twin
+    (`api_source_daily_rollup`) certifies — what this adds is the
+    offset/commit machinery in the read path."""
+    import datetime
+
+    from ..sources.api_datasource import EnergiPricesDataSource
+    from ..streaming.ops import run_to_memory
+
+    start, end = datetime.date(2024, 2, 20), datetime.date(2024, 2, 22)
+    base = _write_api_fixtures(start, end)
+    spark.dataSource.register(EnergiPricesDataSource)
+    stream = (
+        spark.readStream.format("energi_prices")
+        .option("start", start.isoformat())
+        .option("end", end.isoformat())
+        .option("zones", ",".join(_API_ZONES))
+        .option("fixture_dir", base)
+        .load()
+    )
+    rolled = stream.groupBy("zone", "date").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("SEK_per_kWh").alias("avg_price"),
+    )
+    return run_to_memory(rolled, output_mode="complete")

@@ -363,3 +363,32 @@ def test_gapfill_linear_windows_share_one_sort(spark, sf_dir):
     # all four fill frames (pv/pd/nv/nd) must collapse into ONE Window
     # operator over one sort — two Windows would mean a second exchange
     assert plan.count("Window") == 1, plan
+
+
+def test_snapshot_diff_is_one_key_join_no_cartesian(spark, sf_dir):
+    """The diff must be a single equi-join on the snapshot key (full
+    outer SMJ — fine at any scale), never a nested-loop/cartesian
+    comparison of snapshots."""
+    plan = explain_str(QUERIES["snapshot_diff_orders"].fn(spark, sf_dir), mode="simple")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+
+
+def test_drift_totals_are_broadcast_single_row(spark, sf_dir):
+    """The period totals attach via a broadcast of a 1-row aggregate —
+    the corpus-side plan must not shuffle to meet them."""
+    plan = explain_str(QUERIES["event_type_drift"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastExchange" in plan, plan
+    # the only join is the scalar-attachment cross join against the
+    # broadcast single-row totals
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_survivorship_is_single_window_shuffle(spark, sf_dir):
+    """Keep-best-copy dedup must cost exactly what min-id dedup costs:
+    one Exchange on the cluster key for the ranking window, one for the
+    report agg — no joins."""
+    plan = explain_str(QUERIES["dedup_survivorship_quality"].fn(spark, sf_dir), mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
