@@ -94,23 +94,42 @@ def pagerank(
     to 1 every iteration (pinned in tests/test_graph_ops.py vs an exact
     numpy power iteration). Callers that construct the graph undirected
     (every node appears as a src) can pass handle_dangling=False to skip
-    the per-iteration dangling-mass branch (a join + scalar agg saved
-    per round).
+    the per-iteration dangling-mass branch (a semi-join + scalar agg
+    saved per round).
+
+    The 100 TB invariant: the EDGE LIST is shuffled exactly once, at
+    setup. 1/outdeg is pre-attached as a per-edge weight and the
+    weighted list hash-partitioned on src before persisting, so every
+    iteration's contribs join shuffles only the rank frame (|V| rows,
+    ≪ |E|) to meet it in place; dangling nodes are a static set
+    computed once (anti-join), not rediscovered via a per-iteration
+    outdeg join.
     """
+    sc_parallelism = edges.sparkSession.sparkContext.defaultParallelism
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         # duplicate edges would double-count contributions; callers whose
         # edge build already dedups can skip this full-edge shuffle
         e = e.distinct()
-    e = e.persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # per-edge contribution weight, partitioned on the join key ONCE
+    ew = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(sc_parallelism, "src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .persist()
     )
-    outdeg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg")).persist()
     n_frame = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    if handle_dangling:
+        dangling_ids = nodes.join(
+            outdeg.select(F.col("src").alias("id")), "id", "left_anti"
+        ).persist()
 
     ranks = (
         nodes.crossJoin(n_frame)
@@ -118,22 +137,19 @@ def pagerank(
         .localCheckpoint()
     )
     for it in range(iterations):
-        with_deg = ranks.join(outdeg, "id", "left")
         if handle_dangling:
             # dangling mass: total rank parked on nodes with no out-edges
             dangling = F.broadcast(
-                with_deg.agg(
-                    F.coalesce(
-                        F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))), F.lit(0.0)
-                    ).alias("__dm")
+                ranks.join(dangling_ids, "id", "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
                 )
             )
         else:
             dangling = F.broadcast(nodes.limit(1).select(F.lit(0.0).alias("__dm")))
         contribs = (
-            e.join(with_deg.filter(F.col("outdeg").isNotNull()).withColumnRenamed("id", "src"), "src")
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
         ranks = (
             nodes.join(contribs, "id", "left")
@@ -148,7 +164,8 @@ def pagerank(
             )
             .localCheckpoint(eager=((it + 1) % eager_every == 0))
         )
-    e.unpersist()
+    ew.unpersist()
     nodes.unpersist()
-    outdeg.unpersist()
+    if handle_dangling:
+        dangling_ids.unpersist()
     return ranks
