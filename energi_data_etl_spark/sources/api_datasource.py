@@ -69,6 +69,10 @@ class EnergiPricesReader(DataSourceReader):
         self.api_token = options.get("api_token")
         self.num_retries = int(options.get("num_retries", "3"))
         self.retry_sleep_s = float(options.get("retry_sleep_s", "5"))
+        #: tolerate days the API hasn't published yet (404 / missing
+        #: fixture) by yielding zero rows for that partition instead of
+        #: failing the task — the backfill-over-a-sparse-range mode
+        self.skip_missing = options.get("skip_missing", "false").lower() == "true"
 
     def partitions(self) -> list[ZoneDayPartition]:
         """One InputPartition per zone-day: the fetch plan IS the
@@ -88,9 +92,15 @@ class EnergiPricesReader(DataSourceReader):
                 f"{self.fixture_dir}/{day.year}/"
                 f"{day.month:02d}-{day.day:02d}_{partition.zone}.json"
             )
-            with open(path) as f:
-                records = json.load(f)
+            try:
+                with open(path) as f:
+                    records = json.load(f)
+            except FileNotFoundError:
+                if self.skip_missing:
+                    return
+                raise
         else:  # pragma: no cover - no network in the test container
+            import urllib.error
             import urllib.request
 
             url = self.url_template.format(
@@ -103,7 +113,12 @@ class EnergiPricesReader(DataSourceReader):
                 with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
                     return json.loads(resp.read().decode("utf-8"))
 
-            records = with_retry(fetch, self.num_retries, self.retry_sleep_s)
+            try:
+                records = with_retry(fetch, self.num_retries, self.retry_sleep_s)
+            except urllib.error.HTTPError as exc:
+                if self.skip_missing and exc.code == 404:
+                    return
+                raise
         for rec in records:
             yield (
                 partition.zone,

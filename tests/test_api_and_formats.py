@@ -160,3 +160,83 @@ def test_python_datasource_streams_day_per_microbatch(spark, tmp_path):
     # caught up and re-reads nothing
     drain("second")
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_python_datasource_skip_missing_days(spark, tmp_path):
+    """skip_missing=true yields zero rows for unpublished days instead
+    of failing the task (the API 404s for future dates); without it the
+    read raises — sparse-range backfills need the opt-in."""
+    import json as _json
+
+    from energi_data_etl_spark.sources.api_datasource import EnergiPricesDataSource
+
+    fx = tmp_path / "api" / "2024"
+    fx.mkdir(parents=True)
+    # only day 01 exists of the requested 01..03 range
+    recs = [{"SEK_per_kWh": 1.0, "EUR_per_kWh": 0.1, "EXR": 11.0,
+             "time_start": "2024-01-01T00:00:00+01:00",
+             "time_end": "2024-01-01T01:00:00+01:00"}]
+    (fx / "01-01_SE1.json").write_text(_json.dumps(recs))
+
+    spark.dataSource.register(EnergiPricesDataSource)
+
+    def read(**extra):
+        r = (
+            spark.read.format("energi_prices")
+            .option("start", "2024-01-01")
+            .option("end", "2024-01-03")
+            .option("zones", "SE1")
+            .option("fixture_dir", str(tmp_path / "api"))
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.load()
+
+    rows = read(skip_missing="true").collect()
+    assert len(rows) == 1 and rows[0].date.day == 1
+
+    with pytest.raises(Exception, match="FileNotFoundError|No such file"):
+        read().collect()
+
+
+def test_compact_parquet_reduces_files_preserving_content(spark, sf_dir, tmp_path):
+    """Compaction: 40 tiny files -> the byte-sized target count, rows
+    and values identical, and sort_cols keeps per-file min/max ranges
+    non-spanning on the sort key."""
+    from energi_data_etl_spark.sources.maintenance import compact_parquet, parquet_layout_stats
+    from energi_data_etl_spark.sources.tables import load_table
+
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compact")
+    orders = load_table(spark, "orders", sf_dir)
+    orders.repartition(40).write.parquet(src)
+    n_before, total = parquet_layout_stats(spark, src)
+    assert n_before >= 40
+
+    stats = compact_parquet(
+        spark, src, dest, target_file_bytes=max(1, total // 4), sort_cols=["o_orderkey"]
+    )
+    assert stats.n_files_before == n_before
+    assert 1 <= stats.n_files_after <= 8
+    assert stats.n_files_after < n_before
+    assert stats.n_rows == orders.count()
+
+    # content identical (order-insensitive)
+    a = spark.read.parquet(dest).groupBy().agg(
+        F.sum("o_orderkey"), F.sum(F.hash("o_orderstatus", "o_orderpriority").cast("bigint"))
+    ).collect()
+    b = orders.groupBy().agg(
+        F.sum("o_orderkey"), F.sum(F.hash("o_orderstatus", "o_orderpriority").cast("bigint"))
+    ).collect()
+    assert a == b
+
+    # within-file clustering: files' o_orderkey ranges should not all
+    # span the whole key space (sortWithinPartitions keeps footer
+    # min/max selective)
+    per_file = (
+        spark.read.parquet(dest)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == stats.n_files_after
