@@ -16,7 +16,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_fact_table", "latest_watermark"]
+__all__ = ["write_fact_table", "latest_watermark", "align_to_table_schema"]
 
 
 def write_fact_table(
@@ -83,3 +83,40 @@ def latest_watermark(spark: SparkSession, path: str, col: str = "date"):
         return None
     row = df.agg(F.max(col).alias("wm")).first()
     return row["wm"] if row else None
+
+
+def align_to_table_schema(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-safe append alignment: project `df` onto the
+    UNION of the existing table's columns and its own.
+
+    Long-running append pipelines evolve — a batch adds a column the
+    table lacks, or stops producing one the table has. Parquet appends
+    are schema-on-read, so nothing fails at write time; the damage
+    surfaces later as readers seeing ragged schemas. This helper makes
+    the contract explicit at append time, entirely driver-side (one
+    schema fetch, zero data movement):
+
+    * columns the table has but the batch lacks → NULL-filled with the
+      table's type (so `mergeSchema` readers see one consistent type);
+    * columns the batch adds → kept, CAST-checked later by the reader's
+      mergeSchema union;
+    * column ORDER follows the table, new columns appended last —
+      parquet matches by name, but deterministic order keeps file
+      footers uniform.
+
+    Returns `df` unchanged for a cold-start (no table yet).
+    """
+    try:
+        existing = spark.read.parquet(path).schema
+    except Exception:  # noqa: BLE001 — cold start, nothing to align to
+        return df
+    have = {f.name for f in df.schema.fields}
+    cols = []
+    for field in existing:
+        if field.name in have:
+            cols.append(F.col(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    table_names = {f.name for f in existing}
+    cols.extend(F.col(f.name) for f in df.schema.fields if f.name not in table_names)
+    return df.select(*cols)

@@ -149,3 +149,39 @@ def test_partition_pruning_on_fact_table(spark, tmp_path):
     plan = explain_str(q)
     assert "PartitionFilters" in plan
     assert q.count() == 1
+
+
+def test_schema_evolution_aligned_append(spark, tmp_path):
+    """A batch with a NEW column and a MISSING column appends cleanly
+    after align_to_table_schema: old rows read back with NULL for the
+    added column, the aligned batch carries NULL for the column it
+    stopped producing, and mergeSchema presents one union schema."""
+    from energi_data_etl_spark.sources.sinks import align_to_table_schema, write_fact_table
+
+    path = str(tmp_path / "fact")
+    v1 = spark.createDataFrame(
+        [("SE1", datetime.date(2024, 1, 1), 10.0)], "zone string, date date, avg_price double"
+    )
+    write_fact_table(v1, path, audit=False)
+
+    # v2 drops avg_price, adds n_obs
+    v2 = spark.createDataFrame(
+        [("SE1", datetime.date(2024, 1, 2), 24)], "zone string, date date, n_obs bigint"
+    )
+    aligned = align_to_table_schema(v2, spark, path)
+    # table order (partition column 'date' reads back last) + new cols
+    assert aligned.columns == ["zone", "avg_price", "date", "n_obs"]
+    write_fact_table(aligned, path, audit=False)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path).orderBy("date")
+    rows = merged.collect()
+    assert set(merged.columns) == {"zone", "date", "avg_price", "n_obs"}
+    assert rows[0].avg_price == 10.0 and rows[0].n_obs is None
+    assert rows[1].avg_price is None and rows[1].n_obs == 24
+
+
+def test_schema_alignment_cold_start_passthrough(spark, tmp_path):
+    from energi_data_etl_spark.sources.sinks import align_to_table_schema
+
+    df = spark.createDataFrame([(1,)], "x int")
+    assert align_to_table_schema(df, spark, str(tmp_path / "nope")) is df
