@@ -85,7 +85,9 @@ class EnergiPricesReader(DataSourceReader):
             for i in range(n_days)
         ]
 
-    def read(self, partition: ZoneDayPartition):
+    def fetch_records(self, partition: ZoneDayPartition) -> list[dict]:
+        """The day's raw API documents (fixture replay or HTTP+retry);
+        [] when skip_missing tolerates an unpublished day."""
         day = Date.fromisoformat(partition.day)
         if self.fixture_dir is not None:
             path = (
@@ -94,10 +96,10 @@ class EnergiPricesReader(DataSourceReader):
             )
             try:
                 with open(path) as f:
-                    records = json.load(f)
+                    return json.load(f)
             except FileNotFoundError:
                 if self.skip_missing:
-                    return
+                    return []
                 raise
         else:  # pragma: no cover - no network in the test container
             import urllib.error
@@ -114,13 +116,18 @@ class EnergiPricesReader(DataSourceReader):
                     return json.loads(resp.read().decode("utf-8"))
 
             try:
-                records = with_retry(fetch, self.num_retries, self.retry_sleep_s)
+                return with_retry(fetch, self.num_retries, self.retry_sleep_s)
             except urllib.error.HTTPError as exc:
                 if self.skip_missing and exc.code == 404:
-                    return
+                    return []
                 raise
-        for rec in records:
-            yield (
+
+    def rows(self, partition: ZoneDayPartition) -> list[tuple]:
+        """Row-tuple form of a partition (the stream reader's prefetch
+        cache pickles these for exactly-once replay)."""
+        day = Date.fromisoformat(partition.day)
+        return [
+            (
                 partition.zone,
                 day,
                 rec.get("SEK_per_kWh"),
@@ -129,6 +136,31 @@ class EnergiPricesReader(DataSourceReader):
                 rec.get("time_start"),
                 rec.get("time_end"),
             )
+            for rec in self.fetch_records(partition)
+        ]
+
+    def read(self, partition: ZoneDayPartition):
+        records = self.fetch_records(partition)
+        if not records:
+            return
+        # one Arrow RecordBatch per partition (the Python DataSource
+        # vectorized path): the day's whole response moves to the JVM
+        # as one columnar batch instead of per-row pickled tuples
+        import pyarrow as pa
+
+        day = Date.fromisoformat(partition.day)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([partition.zone] * len(records), pa.string()),
+                pa.array([day] * len(records), pa.date32()),
+                pa.array([r.get("SEK_per_kWh") for r in records], pa.float64()),
+                pa.array([r.get("EUR_per_kWh") for r in records], pa.float64()),
+                pa.array([r.get("EXR") for r in records], pa.float64()),
+                pa.array([r.get("time_start") for r in records], pa.string()),
+                pa.array([r.get("time_end") for r in records], pa.string()),
+            ],
+            names=["zone", "date", "SEK_per_kWh", "EUR_per_kWh", "EXR", "time_start", "time_end"],
+        )
 
 
 class EnergiPricesStreamReader(SimpleDataSourceStreamReader):
@@ -146,11 +178,12 @@ class EnergiPricesStreamReader(SimpleDataSourceStreamReader):
         return {"next_day": self._batch.start.isoformat()}
 
     def _day_rows(self, day_iso: str) -> list:
-        # materialized (not a generator): the prefetch cache pickles the
-        # batch to serve exactly-once replay via readBetweenOffsets
+        # materialized tuples (not a generator, not arrow batches): the
+        # prefetch cache pickles them to serve exactly-once replay via
+        # readBetweenOffsets
         rows = []
         for zone in self._batch.zones:
-            rows.extend(self._batch.read(ZoneDayPartition(zone=zone, day=day_iso)))
+            rows.extend(self._batch.rows(ZoneDayPartition(zone=zone, day=day_iso)))
         return rows
 
     def read(self, start: dict):
