@@ -111,6 +111,9 @@ def pagerank(
         # duplicate edges would double-count contributions; callers whose
         # edge build already dedups can skip this full-edge shuffle
         e = e.distinct()
+    # e feeds THREE setup frames (ew, nodes, dangling anti-join) — persist
+    # or the upstream edge build (+ the distinct) recomputes per consumer
+    e = e.persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # per-edge contribution weight, partitioned on the join key ONCE
     ew = (
@@ -164,6 +167,7 @@ def pagerank(
             )
             .localCheckpoint(eager=((it + 1) % eager_every == 0))
         )
+    e.unpersist()
     ew.unpersist()
     nodes.unpersist()
     if handle_dangling:

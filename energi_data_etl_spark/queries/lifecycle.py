@@ -119,16 +119,23 @@ _API_ZONES = ("SE1", "SE2", "SE3", "SE4")
 
 def _write_api_fixtures(start, end) -> str:
     """Lay per-day JSON fixtures out exactly like the API URL space
-    ({year}/{month:02d}-{day:02d}_{zone}.json) under a fresh tempdir,
-    with the lifecycle fixture's exact-arithmetic hourly prices
-    (zi*1000 + day_no*10 + hour) so oracles re-derive every value in
-    closed form. Returns the fixture root."""
+    ({year}/{month:02d}-{day:02d}_{zone}.json), with the lifecycle
+    fixture's exact-arithmetic hourly prices (zi*1000 + day_no*10 +
+    hour) so oracles re-derive every value in closed form. Returns the
+    fixture root.
+
+    The root is DETERMINISTIC per date range (content is a pure
+    function of the range) and rewritten idempotently — repeated
+    parity/bench/driver runs reuse one directory instead of littering
+    a fresh mkdtemp per call."""
     import datetime
     import json
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="api_src_")
+    base = os.path.join(
+        tempfile.gettempdir(), f"api_src_{start.isoformat()}_{end.isoformat()}"
+    )
     day = start
     while day <= end:
         day_no = (day - datetime.date(2024, 1, 1)).days

@@ -40,7 +40,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from .http_json import DEFAULT_ZONES, with_retry
+from .http_json import DEFAULT_URL_TEMPLATE, DEFAULT_ZONES, with_retry
 
 #: the schema every partition yields — matches http_json.LANDING_SCHEMA
 #: minus the free-form passthrough fields the API never populates
@@ -62,10 +62,7 @@ class EnergiPricesReader(DataSourceReader):
         self.end = Date.fromisoformat(options["end"])
         self.zones = tuple(z.strip() for z in options.get("zones", ",".join(DEFAULT_ZONES)).split(","))
         self.fixture_dir = options.get("fixture_dir")
-        self.url_template = options.get(
-            "url_template",
-            "https://www.elprisetjustnu.se/api/v1/prices/{year}/{month:02d}-{day:02d}_{zone}.json",
-        )
+        self.url_template = options.get("url_template", DEFAULT_URL_TEMPLATE)
         self.api_token = options.get("api_token")
         self.num_retries = int(options.get("num_retries", "3"))
         self.retry_sleep_s = float(options.get("retry_sleep_s", "5"))
@@ -110,17 +107,21 @@ class EnergiPricesReader(DataSourceReader):
             )
             headers = {"Authorization": f"Bearer {self.api_token}"} if self.api_token else {}
 
-            def fetch() -> list[dict]:
-                req = urllib.request.Request(url, headers=headers)  # noqa: S310
-                with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
-                    return json.loads(resp.read().decode("utf-8"))
+            def fetch():
+                try:
+                    req = urllib.request.Request(url, headers=headers)  # noqa: S310
+                    with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+                        return json.loads(resp.read().decode("utf-8"))
+                except urllib.error.HTTPError as exc:
+                    # a 404 is deterministic (day not published) — when
+                    # tolerated, short-circuit INSIDE the retry loop so
+                    # skip_missing never burns the 3x5s retry budget on it
+                    if self.skip_missing and exc.code == 404:
+                        return None
+                    raise
 
-            try:
-                return with_retry(fetch, self.num_retries, self.retry_sleep_s)
-            except urllib.error.HTTPError as exc:
-                if self.skip_missing and exc.code == 404:
-                    return []
-                raise
+            records = with_retry(fetch, self.num_retries, self.retry_sleep_s)
+            return records if records is not None else []
 
     def rows(self, partition: ZoneDayPartition) -> list[tuple]:
         """Row-tuple form of a partition (the stream reader's prefetch

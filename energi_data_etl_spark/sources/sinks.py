@@ -104,19 +104,30 @@ def align_to_table_schema(df: DataFrame, spark: SparkSession, path: str) -> Data
       parquet matches by name, but deterministic order keeps file
       footers uniform.
 
-    Returns `df` unchanged for a cold-start (no table yet).
+    Returns `df` unchanged for a cold-start (no table yet). Column
+    matching is case-insensitive (Spark's default resolution), so a
+    case-variant rename upstream aligns to the table's spelling instead
+    of producing a NULL-filled duplicate.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(path).schema
-    except Exception:  # noqa: BLE001 — cold start, nothing to align to
-        return df
-    have = {f.name for f in df.schema.fields}
+    except AnalysisException as exc:
+        # ONLY path-not-found means cold start; a corrupt footer or a
+        # transient storage error must propagate, not silently disable
+        # the alignment this helper exists to guarantee
+        klass = exc.getErrorClass() if hasattr(exc, "getErrorClass") else None
+        if klass == "PATH_NOT_FOUND" or "Path does not exist" in str(exc):
+            return df
+        raise
+    have = {f.name.lower(): f.name for f in df.schema.fields}
     cols = []
     for field in existing:
-        if field.name in have:
-            cols.append(F.col(field.name))
+        if field.name.lower() in have:
+            cols.append(F.col(have[field.name.lower()]).alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-    table_names = {f.name for f in existing}
-    cols.extend(F.col(f.name) for f in df.schema.fields if f.name not in table_names)
+    table_names = {f.name.lower() for f in existing}
+    cols.extend(F.col(f.name) for f in df.schema.fields if f.name.lower() not in table_names)
     return df.select(*cols)

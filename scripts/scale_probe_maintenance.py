@@ -102,6 +102,9 @@ def probe_pagerank(spark, path: str, n: int) -> float:
         (F.abs(F.xxhash64("k")) % (n // 10)).alias("src"),
         (F.abs(F.xxhash64("k", F.lit(7))) % (n // 10)).alias("dst"),
     )
+    # hash-generated pairs collide (~50 dupes regardless of n) — honor
+    # the operator's assume_distinct precondition
+    edges = edges.distinct()
     t0 = time.perf_counter()
     pagerank(edges, iterations=3, assume_distinct=True).write.mode("overwrite").format(
         "noop"

@@ -185,3 +185,21 @@ def test_schema_alignment_cold_start_passthrough(spark, tmp_path):
 
     df = spark.createDataFrame([(1,)], "x int")
     assert align_to_table_schema(df, spark, str(tmp_path / "nope")) is df
+
+
+def test_schema_alignment_is_case_insensitive(spark, tmp_path):
+    """A case-variant rename upstream ('Zone' for 'zone') aligns to the
+    table's spelling instead of NULL-filling a duplicate column."""
+    from energi_data_etl_spark.sources.sinks import align_to_table_schema, write_fact_table
+
+    path = str(tmp_path / "fact")
+    v1 = spark.createDataFrame(
+        [("SE1", datetime.date(2024, 1, 1), 10.0)], "zone string, date date, avg_price double"
+    )
+    write_fact_table(v1, path, audit=False)
+    v2 = spark.createDataFrame(
+        [("SE2", datetime.date(2024, 1, 2), 11.0)], "Zone string, date date, avg_price double"
+    )
+    aligned = align_to_table_schema(v2, spark, path)
+    assert aligned.columns.count("zone") == 1 and "Zone" not in aligned.columns
+    assert aligned.filter(F.col("zone") == "SE2").count() == 1
