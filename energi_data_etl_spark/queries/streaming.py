@@ -256,3 +256,61 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "streaming_interval_join_louter",
+    tier="T-series J2 (stream-stream LEFT OUTER interval join: watermark-finalized nulls)",
+    oracle="""
+        -- outer-join nulls emit only once the GLOBAL watermark (the MIN
+        -- of both inputs' max event times, delay 0s here) proves no
+        -- match can still arrive: watermark > click_ts + interval. The
+        -- oracle applies the same finalization cut; matched rows emit
+        -- immediately and need none. Boundary pinned empirically:
+        -- strict '<' (a click at exactly wm-30min stays in state).
+        WITH c AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p)) AS w
+        ), j AS (
+            SELECT c.user_id, c.ts, c.value, p.ts AS pts
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND c.ts > p.ts - INTERVAL 30 MINUTE
+             AND c.ts <= p.ts
+        ), emitted AS (
+            SELECT j.* FROM j CROSS JOIN wm
+            WHERE j.pts IS NOT NULL OR j.ts + INTERVAL 30 MINUTE < wm.w
+        )
+        SELECT user_id,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END) AS n_attributed,
+               SUM(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS n_unattributed,
+               ROUND(SUM(value), 4) AS click_value
+        FROM emitted GROUP BY user_id
+    """,
+)
+def streaming_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the attribution report
+    that also SHOWS the unattributed clicks: every click joined to
+    same-user purchases within the following 30 minutes, null-extended
+    when the watermark proves no purchase can still arrive (Spark holds
+    unmatched left rows in join state until watermark > l_ts + upper;
+    emission is correct-but-late by exactly the interval + delay — the
+    documented outer-join contract, here certified value-level against
+    the batch twin + finalization cut). Same bounded dual-state plan as
+    the inner form; the null path adds no extra shuffle."""
+    clicks = events_stream(spark, _events_path(sf_dir)).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, _events_path(sf_dir)).filter(F.col("event_type") == "purchase")
+    joined = interval_self_join(
+        clicks, purchases, upper="interval 30 minutes", watermark="0 seconds", how="left_outer"
+    )
+    drained = run_to_memory(joined, output_mode="append")
+    return drained.groupBy(F.col("l_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("r_user").isNotNull().cast("bigint")).alias("n_attributed"),
+        F.sum(F.col("r_user").isNull().cast("bigint")).alias("n_unattributed"),
+        F.round(F.sum("l_value"), 4).alias("click_value"),
+    )

@@ -234,13 +234,21 @@ def interval_self_join(
     lower: str = "interval 0 seconds",
     upper: str = "interval 30 minutes",
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    right rows join left rows of the same user whose timestamp falls in
+    """Stream-stream join with an event-time interval condition: right
+    rows join left rows of the same user whose timestamp falls in
     (right.ts - upper, right.ts - lower]. Both sides carry watermarks so
     the join state (buffered left rows awaiting possible right matches)
     is bounded by the interval + watermark horizon — the canonical
     Spark stream-stream join shape (attribution/funnel analysis).
+
+    `how="left_outer"` additionally emits null-extended left rows once
+    the global watermark proves no match can still arrive (watermark >
+    l_ts + upper); Spark holds them in state until then, so outer
+    results are correct-but-late by exactly the interval + delay — the
+    documented outer-join semantics, certified in
+    queries/streaming.py::streaming_interval_join_louter.
 
     Columns are prefixed l_/r_ to keep the joined schema unambiguous.
     """
@@ -253,7 +261,7 @@ def interval_self_join(
     return lt.join(
         rt,
         F.expr(f"l_user = r_user AND l_ts > r_ts - {upper} AND l_ts <= r_ts - {lower}"),
-        "inner",
+        how,
     )
 
 
