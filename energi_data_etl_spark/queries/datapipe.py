@@ -123,8 +123,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles also appear anywhere in the benchmark. The
     benchmark shingle set is tiny → broadcast; the train side explodes
     once and joins without shuffle. Never all-pairs: cost is linear in
-    total shingles (the dedup-tier discipline applied to eval hygiene)."""
-    d = load_table(spark, "documents", sf_dir).withColumn("hs", P.shingle_hashes("text", k=3))
+    total shingles (the dedup-tier discipline applied to eval hygiene).
+
+    Hashing is xxhash64, not the cross-engine md5 kernel: both join
+    sides are hashed by THIS engine in the same job, and the oracle
+    compares only the COUNT of shared distinct shingles — a
+    hash-function-independent quantity (same trick as
+    repetition_topgram_stats; md5+hex-parse was the query's whole
+    hot-path cost)."""
+    d = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).withColumn("hs", P.shingle_hashes("text", k=3, hash_fn="xxhash64"))
     bench = (
         d.filter(F.col("doc_id") < 25)
         .select(F.explode("hs").alias("h"))
@@ -672,12 +681,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: ONE shuffle on the shingle hash — groupBy(h) →
     collect_set(source) (bounded by |sources|) → JVM pair expansion in
     place, then a |sources|²-cell agg. The equi-self-join form the
-    oracle uses would pay that shuffle twice plus two sorts
-    (operators/pipeline.py::shingle_hashes is the shared md5 kernel,
-    cross-engine exact)."""
+    oracle uses would pay that shuffle twice plus two sorts. Hashing is
+    xxhash64 (engine-local): the oracle compares only per-pair COUNTS
+    of shared distinct shingles, which any collision-free hash
+    reproduces — the md5 kernel's hex-parse was this query's hot-path
+    cost."""
     d = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).withColumn("hs", P.shingle_hashes("text", k=3))
+    ).withColumn("hs", P.shingle_hashes("text", k=3, hash_fn="xxhash64"))
     per_h = (
         d.select("source", F.explode("hs").alias("h"))
         .groupBy("h")
