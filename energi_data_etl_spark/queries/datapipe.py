@@ -1225,3 +1225,52 @@ def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("p_new") - F.col("p_old")), 6).alias("abs_shift"),
         F.round(F.col("p_new") * F.log(F.col("p_new") / F.col("p_old")), 6).alias("kl_term"),
     )
+
+
+@query(
+    "skew_diagnosis_report",
+    tier="§4.3-obs (key-skew diagnosis: per-type hot-key distribution metrics)",
+    oracle="""
+        WITH per_key AS (
+            SELECT event_type, user_id, COUNT(*) AS c
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               COUNT(*) AS n_keys,
+               SUM(c) AS n_events,
+               MAX(c) AS max_key_count,
+               -- hot-key share is a raw quotient -> FLOOR-truncate
+               FLOOR(MAX(c) * 1000000.0 / SUM(c)) / 1000000.0 AS max_key_share,
+               QUANTILE_CONT(c, 0.5) AS p50_key_count,
+               QUANTILE_CONT(c, 0.99) AS p99_key_count,
+               FLOOR(QUANTILE_CONT(c, 0.99) * 1000000.0 / QUANTILE_CONT(c, 0.5)) / 1000000.0 AS skew_ratio
+        FROM per_key GROUP BY event_type
+    """,
+)
+def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement side of the skew story (`join_skew_salted` /
+    `salted_aggregation` are the mitigations; this tells you WHEN to
+    reach for them): per-key cardinalities, hot-key share, and the
+    p99/p50 key-count ratio that predicts straggler tasks in any
+    groupBy/join on that key. Two partial-aggregated shuffles — per-key
+    counts, then the per-type distribution fold; the percentile over
+    per-key counts uses Spark `percentile` == DuckDB QUANTILE_CONT
+    (shared rank = p·(n-1) linear interpolation, exact on integer
+    counts — the length_winsorize_stats recipe); quotients are
+    FLOOR-truncated per the cross-engine rule. At 100 TB the per-key
+    frame is |keys|-sized (≪ events) and the report swaps `percentile`
+    for `approx_percentile` with no plan change."""
+    ev = load_table(spark, "events", sf_dir)
+    per_key = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_events"),
+        F.max("c").alias("max_key_count"),
+        (F.floor(F.max("c") * 1000000.0 / F.sum("c")) / 1000000.0).alias("max_key_share"),
+        F.expr("percentile(c, 0.5)").alias("p50_key_count"),
+        F.expr("percentile(c, 0.99)").alias("p99_key_count"),
+        (
+            F.floor(F.expr("percentile(c, 0.99)") * 1000000.0 / F.expr("percentile(c, 0.5)"))
+            / 1000000.0
+        ).alias("skew_ratio"),
+    )
