@@ -36,8 +36,8 @@ from datetime import timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 from .http_json import DEFAULT_URL_TEMPLATE, DEFAULT_ZONES, with_retry
@@ -124,8 +124,8 @@ class EnergiPricesReader(DataSourceReader):
             return records if records is not None else []
 
     def rows(self, partition: ZoneDayPartition) -> list[tuple]:
-        """Row-tuple form of a partition (the stream reader's prefetch
-        cache pickles these for exactly-once replay)."""
+        """Row-tuple form of a partition (the streaming runner consumes
+        row tuples; the batch path yields Arrow batches instead)."""
         day = Date.fromisoformat(partition.day)
         return [
             (
@@ -164,13 +164,22 @@ class EnergiPricesReader(DataSourceReader):
         )
 
 
-class EnergiPricesStreamReader(SimpleDataSourceStreamReader):
-    """Incremental poll of the same API: offset = the next unread day;
-    each trigger catches up on EVERY day between the offset and `end` —
-    the streaming twin of the reference's daily incremental run
-    (energy_etl.py:39-48 reads the watermark, fetches all missing days;
-    here the offset log IS the watermark, checkpoint-durable and
-    exactly-once by construction)."""
+class EnergiPricesStreamReader(DataSourceStreamReader):
+    """Incremental poll of the same API via the FULL stream-reader API:
+    offset = the next unread day; each trigger catches up on EVERY day
+    between the offset and `end` — the streaming twin of the
+    reference's daily incremental run (energy_etl.py:39-48 reads the
+    watermark, fetches all missing days; here the offset log IS the
+    watermark, checkpoint-durable and exactly-once by construction).
+
+    Full (not Simple) reader on purpose: SimpleDataSourceStreamReader
+    fetches on the DRIVER, serializing a backfill through one process.
+    Here `partitions(start, end)` plans one InputPartition per zone-day
+    inside the offset range and `read(partition)` runs on EXECUTORS —
+    a year's stream catch-up fans out ~1460 ways with per-task retry,
+    exactly like the batch reader. Replay after restart is derived from
+    the committed offset range (partitions are a pure function of it),
+    so exactly-once needs no driver-side row cache."""
 
     def __init__(self, options: dict) -> None:
         self._batch = EnergiPricesReader(options)
@@ -178,36 +187,32 @@ class EnergiPricesStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"next_day": self._batch.start.isoformat()}
 
-    def _day_rows(self, day_iso: str) -> list:
-        # materialized tuples (not a generator, not arrow batches): the
-        # prefetch cache pickles them to serve exactly-once replay via
-        # readBetweenOffsets
-        rows = []
-        for zone in self._batch.zones:
-            rows.extend(self._batch.rows(ZoneDayPartition(zone=zone, day=day_iso)))
-        return rows
+    def latestOffset(self) -> dict:
+        # everything up to the configured end is available; each
+        # trigger's batch covers the whole remaining range (catch-up
+        # semantics, same as the reference's incremental run)
+        return {"next_day": (self._batch.end + timedelta(days=1)).isoformat()}
 
-    def read(self, start: dict):
-        day = Date.fromisoformat(start["next_day"])
-        if day > self._batch.end:
-            # caught up: same offset, no rows. iter(list) — NOT a bare
-            # list (the prefetch cache next()s it) and NOT a generator
-            # (the cache entry must pickle): list iterators do both.
-            return iter([]), start
-        rows = []
-        while day <= self._batch.end:
-            rows.extend(self._day_rows(day.isoformat()))
-            day = day + timedelta(days=1)
-        return iter(rows), {"next_day": day.isoformat()}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> list:
+    def partitions(self, start: dict, end: dict) -> list[ZoneDayPartition]:
         day = Date.fromisoformat(start["next_day"])
         stop = Date.fromisoformat(end["next_day"])
-        rows = []
+        parts = []
         while day < stop:
-            rows.extend(self._day_rows(day.isoformat()))
+            parts.extend(
+                ZoneDayPartition(zone=z, day=day.isoformat()) for z in self._batch.zones
+            )
             day = day + timedelta(days=1)
-        return rows
+        return parts
+
+    def read(self, partition: ZoneDayPartition):
+        # executor-side: same fetch/parse as the batch reader, tuple
+        # form (the streaming runner consumes row tuples)
+        return iter(self._batch.rows(partition))
+
+    def commit(self, end: dict) -> None:
+        # offsets are externally durable (the API's history is
+        # immutable); nothing to clean up
+        return
 
 
 class EnergiPricesDataSource(DataSource):
@@ -223,5 +228,5 @@ class EnergiPricesDataSource(DataSource):
     def reader(self, schema) -> EnergiPricesReader:  # noqa: ANN001
         return EnergiPricesReader(self.options)
 
-    def simpleStreamReader(self, schema) -> EnergiPricesStreamReader:  # noqa: ANN001
+    def streamReader(self, schema) -> EnergiPricesStreamReader:  # noqa: ANN001
         return EnergiPricesStreamReader(self.options)
