@@ -155,6 +155,12 @@ def test_python_datasource_streams_day_per_microbatch(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).orderBy("date").collect()
     assert [r.SEK_per_kWh for r in rows] == [1.0, 2.0, 3.0]
     assert {r.zone for r in rows} == {"SE1"}
+    # full DataSourceStreamReader: the catch-up batch plans one
+    # partition per zone-day and reads them on executors — the sink
+    # writes one file per task, so >1 data file proves the fan-out
+    # (a driver-side Simple reader would emit a single partition)
+    data_files = [p for p in (tmp_path / "out").glob("*.parquet")]
+    assert len(data_files) == 3, data_files
 
     # exactly-once: a restart on the same checkpoint finds the offset
     # caught up and re-reads nothing
