@@ -385,3 +385,46 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree GROUP BY depth
         """
     )
+
+
+@query(
+    "moment_statistics",
+    tier="A5+ (higher statistical moments: stddev both flavors, skewness, kurtosis)",
+    oracle="""
+        -- Spark's skewness/kurtosis are POPULATION moments: kurtosis
+        -- maps to DuckDB KURTOSIS_POP directly (verified bit-close,
+        -- ~1e-12); DuckDB's skewness is the SAMPLE estimator, so the
+        -- population form is re-derived two-pass (m3 / m2^1.5) — the
+        -- same mathematical quantity as Spark's one-pass moment
+        -- formula, ROUND(6) absorbing the float-path difference.
+        WITH mu AS (
+            SELECT event_type, AVG(value) AS m FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               ROUND(STDDEV_SAMP(e.value), 6) AS sd_samp,
+               ROUND(STDDEV_POP(e.value), 6) AS sd_pop,
+               ROUND(AVG(POW(e.value - mu.m, 3)) / POW(AVG(POW(e.value - mu.m, 2)), 1.5), 6) AS skew_pop,
+               ROUND(KURTOSIS_POP(e.value), 6) AS kurt_pop
+        FROM events e JOIN mu ON e.event_type = mu.event_type
+        GROUP BY e.event_type
+    """,
+)
+def moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the statistical-aggregate surface beyond
+    `regression_aggregates` (corr/covar/regr): per-type standard
+    deviation in both sample and population flavors, plus the third
+    and fourth standardized moments (skewness, excess kurtosis) — the
+    distribution-shape screens a data-quality pass runs before
+    assuming normality (z-score screens, SPC limits). All four are
+    single-pass JVM aggregates in one partial-aggregated groupBy; the
+    oracle re-derives population skewness two-pass since DuckDB only
+    ships the sample estimator."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_samp"),
+        F.round(F.stddev_pop("value"), 6).alias("sd_pop"),
+        F.round(F.skewness("value"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("value"), 6).alias("kurt_pop"),
+    )
