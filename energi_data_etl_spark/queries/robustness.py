@@ -428,3 +428,39 @@ def moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("value"), 6).alias("skew_pop"),
         F.round(F.kurtosis("value"), 6).alias("kurt_pop"),
     )
+
+
+@query(
+    "argminmax_aggregates",
+    tier="A5+ (bool_and/bool_or/count_if + max_by/min_by arg-extrema)",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               BOOL_AND(o_totalprice > 0) AS all_positive,
+               BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+               SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
+               -- arg-extrema keyed on the UNIQUE o_orderkey: ties are
+               -- impossible, so max_by/arg_max agree deterministically
+               ARG_MAX(o_orderpriority, o_orderkey) AS latest_priority,
+               ARG_MIN(o_orderpriority, o_orderkey) AS first_priority
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def argminmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean / conditional / arg-extremum aggregate family:
+    bool_and == DuckDB BOOL_AND, count_if == the SUM(CASE) twin, and
+    max_by/min_by == ARG_MAX/ARG_MIN — the 'attribute of the extreme
+    row' aggregate that replaces a self-join-on-max at any scale (one
+    partial-aggregated groupBy instead of agg + join back). The
+    ordering key is the UNIQUE o_orderkey so the arg-extrema are
+    deterministic cross-engine; max_by over a tied key is
+    engine-arbitrary and must never be oracle-compared."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("latest_priority"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+    )
