@@ -129,3 +129,72 @@ def test_salted_agg_always_equals_direct(spark, values, buckets):
     for k in want:
         assert got[k][0] == want[k][0] and got[k][1] == want[k][1] and got[k][2] == want[k][2]
         assert math.isclose(got[k][3], want[k][3], rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --- snapshot-diff algebra (r06 maintenance tier) -----------------------
+
+snap_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=60),  # key
+        st.sampled_from(["O", "F", "P"]),
+        st.integers(min_value=0, max_value=10_000),  # cents
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+def _diff_counts(spark, old_rows, new_rows):
+    from pyspark.sql import functions as SF
+
+    old_df = spark.createDataFrame(old_rows or [(0, "O", 0)], "k long, s string, c long")
+    new_df = spark.createDataFrame(new_rows or [(0, "O", 0)], "k long, s string, c long")
+    if not old_rows:
+        old_df = old_df.filter("k < 0")
+    if not new_rows:
+        new_df = new_df.filter("k < 0")
+    h = lambda: SF.md5(SF.concat(SF.col("s"), SF.lit("|"), SF.col("c").cast("string")))  # noqa: E731
+    j = old_df.select(SF.col("k").alias("ok"), h().alias("oh")).join(
+        new_df.select(SF.col("k").alias("nk"), h().alias("nh")),
+        SF.col("ok") == SF.col("nk"),
+        "full_outer",
+    )
+    out = j.select(
+        SF.when(SF.col("ok").isNull(), "added")
+        .when(SF.col("nk").isNull(), "removed")
+        .when(SF.col("oh") != SF.col("nh"), "changed")
+        .otherwise("unchanged")
+        .alias("t")
+    ).groupBy("t").count()
+    return {r.t: r["count"] for r in out.collect()}
+
+
+@given(old=snap_strategy, new=snap_strategy)
+@settings(**SETTINGS)
+def test_snapshot_diff_partitions_key_union(spark, old, new):
+    """added+removed+changed+unchanged == |keys(old) ∪ keys(new)|, and
+    each class equals its set-theoretic definition — for ANY pair of
+    snapshots, not just the fixture's modular construction."""
+    counts = _diff_counts(spark, old, new)
+    ok = {t[0] for t in old}
+    nk = {t[0] for t in new}
+    by_key_old = {t[0]: (t[1], t[2]) for t in old}
+    by_key_new = {t[0]: (t[1], t[2]) for t in new}
+    expected = {
+        "added": len(nk - ok),
+        "removed": len(ok - nk),
+        "changed": sum(1 for k in ok & nk if by_key_old[k] != by_key_new[k]),
+        "unchanged": sum(1 for k in ok & nk if by_key_old[k] == by_key_new[k]),
+    }
+    expected = {k: v for k, v in expected.items() if v}
+    assert counts == expected
+    assert sum(counts.values()) == len(ok | nk)
+
+
+@given(snap=snap_strategy)
+@settings(**SETTINGS)
+def test_snapshot_diff_self_is_all_unchanged(spark, snap):
+    counts = _diff_counts(spark, snap, snap)
+    assert set(counts) <= {"unchanged"}
+    assert counts.get("unchanged", 0) == len(snap)
