@@ -22,6 +22,7 @@ __all__ = [
     "assign_split",
     "pack_into_chunks",
     "shingle_hashes",
+    "snapshot_diff",
 ]
 
 
@@ -88,3 +89,46 @@ def shingle_hashes(text_col: str, k: int = 3, hash_fn: str = "md5") -> Column:
     return F.array_distinct(
         F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"))
     )
+
+
+def snapshot_diff(
+    old_snap: DataFrame,
+    new_snap: DataFrame,
+    key: str = "k",
+    row_hash: str = "h",
+    measure: str | None = None,
+) -> DataFrame:
+    """Classify a run-to-run table diff: full-outer join two snapshots
+    (each already carrying a map-stage `row_hash` over its value
+    columns) on `key` and label every key `added` / `removed` /
+    `changed` / `unchanged`. One shuffle per side — or zero when both
+    snapshots are bucketed by key on disk. With `measure`, also emits
+    `delta` = COALESCE(new.measure,0) − COALESCE(old.measure,0) so the
+    caller can audit what the diff moved (exact for integer measures).
+
+    This is THE classifier — queries/datapipe.py::snapshot_diff_orders
+    certifies it against a DuckDB oracle and
+    tests/test_properties.py proves the set-theoretic algebra on
+    arbitrary snapshots; both call this function, not a copy.
+    """
+    ocols = [F.col(key).alias("__ok"), F.col(row_hash).alias("__oh")]
+    ncols = [F.col(key).alias("__nk"), F.col(row_hash).alias("__nh")]
+    if measure is not None:
+        ocols.append(F.col(measure).alias("__om"))
+        ncols.append(F.col(measure).alias("__nm"))
+    j = old_snap.select(*ocols).join(
+        new_snap.select(*ncols), F.col("__ok") == F.col("__nk"), "full_outer"
+    )
+    out_cols = [
+        F.when(F.col("__ok").isNull(), "added")
+        .when(F.col("__nk").isNull(), "removed")
+        .when(F.col("__oh") != F.col("__nh"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("__ok", "__nk").alias(key),
+    ]
+    if measure is not None:
+        out_cols.append(
+            (F.coalesce(F.col("__nm"), F.lit(0)) - F.coalesce(F.col("__om"), F.lit(0))).alias("delta")
+        )
+    return j.select(*out_cols)

@@ -1015,19 +1015,13 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cents + F.when(F.col("o_orderkey") % 97 == 0, 500).otherwise(0)).alias("c"),
         )
     )
-    row_hash = lambda s, c: F.md5(F.concat(F.col(s), F.lit("|"), F.col(c).cast("string")))  # noqa: E731
-    old_h = old_snap.select("k", row_hash("s", "c").alias("oh"), F.col("c").alias("oc"))
-    new_h = new_snap.select("k", row_hash("s", "c").alias("nh"), F.col("c").alias("nc"))
-    j = old_h.withColumnRenamed("k", "ok").join(
-        new_h.withColumnRenamed("k", "nk"), F.col("ok") == F.col("nk"), "full_outer"
-    )
-    classified = j.select(
-        F.when(F.col("ok").isNull(), "added")
-        .when(F.col("nk").isNull(), "removed")
-        .when(F.col("oh") != F.col("nh"), "changed")
-        .otherwise("unchanged")
-        .alias("change_type"),
-        (F.coalesce(F.col("nc"), F.lit(0)) - F.coalesce(F.col("oc"), F.lit(0))).alias("delta"),
+    row_hash = lambda: F.md5(F.concat(F.col("s"), F.lit("|"), F.col("c").cast("string")))  # noqa: E731
+    classified = P.snapshot_diff(
+        old_snap.withColumn("h", row_hash()),
+        new_snap.withColumn("h", row_hash()),
+        key="k",
+        row_hash="h",
+        measure="c",
     )
     return classified.groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_rows"),

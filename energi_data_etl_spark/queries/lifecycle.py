@@ -225,11 +225,12 @@ def api_source_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def api_source_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING side of the Python DataSource under the driver
-    contract: `spark.readStream.format("energi_prices")` — the
-    SimpleDataSourceStreamReader whose offset log IS the reference's
-    watermark (sources/api_datasource.py) — drained with
-    Trigger.AvailableNow into the daily-average rollup. Each trigger
-    catches up on every day past the offset exactly once
+    contract: `spark.readStream.format("energi_prices")` — the full
+    DataSourceStreamReader whose offset log IS the reference's
+    watermark and whose catch-up batches plan one partition per
+    zone-day read ON EXECUTORS (sources/api_datasource.py) — drained
+    with Trigger.AvailableNow into the daily-average rollup. Each
+    trigger catches up on every day past the offset exactly once
     (checkpoint-durable; restart re-reads nothing, pinned in
     tests/test_api_and_formats.py); complete-mode aggregation needs no
     event-time watermark. Values are the exact-arithmetic fixture

@@ -146,7 +146,12 @@ snap_strategy = st.lists(
 
 
 def _diff_counts(spark, old_rows, new_rows):
+    """Runs the PRODUCTION classifier (operators/pipeline.snapshot_diff
+    — the same one snapshot_diff_orders certifies) on arbitrary
+    generated snapshots; no reimplementation of the algebra."""
     from pyspark.sql import functions as SF
+
+    from energi_data_etl_spark.operators.pipeline import snapshot_diff
 
     old_df = spark.createDataFrame(old_rows or [(0, "O", 0)], "k long, s string, c long")
     new_df = spark.createDataFrame(new_rows or [(0, "O", 0)], "k long, s string, c long")
@@ -155,18 +160,9 @@ def _diff_counts(spark, old_rows, new_rows):
     if not new_rows:
         new_df = new_df.filter("k < 0")
     h = lambda: SF.md5(SF.concat(SF.col("s"), SF.lit("|"), SF.col("c").cast("string")))  # noqa: E731
-    j = old_df.select(SF.col("k").alias("ok"), h().alias("oh")).join(
-        new_df.select(SF.col("k").alias("nk"), h().alias("nh")),
-        SF.col("ok") == SF.col("nk"),
-        "full_outer",
-    )
-    out = j.select(
-        SF.when(SF.col("ok").isNull(), "added")
-        .when(SF.col("nk").isNull(), "removed")
-        .when(SF.col("oh") != SF.col("nh"), "changed")
-        .otherwise("unchanged")
-        .alias("t")
-    ).groupBy("t").count()
+    out = snapshot_diff(
+        old_df.withColumn("h", h()), new_df.withColumn("h", h()), key="k", row_hash="h"
+    ).groupBy(SF.col("change_type").alias("t")).count()
     return {r.t: r["count"] for r in out.collect()}
 
 

@@ -11,7 +11,7 @@ import pytest
 
 from energi_data_etl_spark.queries import QUERIES
 
-TINY = "/root/testdata/sf0.001"
+from conftest import SF_TEST_DIR
 
 
 @pytest.mark.slow
@@ -20,7 +20,7 @@ def test_every_query_survives_tiny_sf(spark):
     for name, q in QUERIES.items():
         try:
             # count() forces full execution of every partition
-            q.fn(spark, TINY).count()
+            q.fn(spark, SF_TEST_DIR).count()
         except Exception as exc:  # noqa: BLE001 — collecting the full tally
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "queries failing at sf0.001:\n" + "\n".join(failures)
