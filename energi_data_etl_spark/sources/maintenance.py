@@ -61,24 +61,37 @@ def compact_parquet(
     dest_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> CompactionStats:
     """Rewrite a many-small-files parquet table into ~target-sized files.
 
     Output file count = ceil(on-disk bytes / target): sizing from the
     compressed footprint (not row counts) is what keeps post-compaction
     files near the target regardless of schema width or codec. The
-    rewrite is one read + one round-robin `repartition` exchange + one
-    write — linear, no driver materialization; `sort_cols` adds a
+    rewrite is one read + one `repartition` exchange + one write —
+    linear, no driver materialization; `sort_cols` adds a
     within-partition sort so min/max footer stats stay selective on
     those columns (pair with the Z-order audit for multi-dim layouts).
-    """
+
+    `partition_by` PRESERVES a hive-partitioned layout (date=.../):
+    the repartition keys on the partition columns so each output task
+    holds whole partitions (≈1 file per partition directory instead of
+    n_tasks × n_partitions fragments — compacting a date-partitioned
+    fact table without it would flatten the layout and break the
+    partition-pruned watermark/date queries)."""
     n_before, total_bytes = parquet_layout_stats(spark, src_path)
     n_target = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(src_path)
-    out = df.repartition(n_target)
+    if partition_by:
+        out = df.repartition(n_target, *[df[c] for c in partition_by])
+    else:
+        out = df.repartition(n_target)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("error").parquet(dest_path)
+    writer = out.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest_path)
     n_after, _ = parquet_layout_stats(spark, dest_path)
     n_rows = spark.read.parquet(dest_path).count()
     return CompactionStats(

@@ -246,3 +246,36 @@ def test_compact_parquet_reduces_files_preserving_content(spark, sf_dir, tmp_pat
         .collect()
     )
     assert len(per_file) == stats.n_files_after
+
+
+def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting a date-partitioned fact table with partition_by keeps
+    the hive layout (date=.../ directories survive, pruning still
+    works) and collapses each partition's file fragments."""
+    import datetime
+
+    from energi_data_etl_spark.plans.inspect import explain_str
+    from energi_data_etl_spark.sources.maintenance import compact_parquet
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1 + d % 3), "SE1", float(i)) for i, d in enumerate(range(60))],
+        "date date, zone string, avg_price double",
+    )
+    # 10 round-robin tasks x 3 date partitions = ~30 file fragments
+    df.repartition(10).write.partitionBy("date").parquet(src)
+    frag_files = list((tmp_path / "frag").glob("date=*/*.parquet"))
+    assert len(frag_files) >= 20
+
+    stats = compact_parquet(spark, src, dest, target_file_bytes=1 << 30, partition_by=["date"])
+    assert stats.n_rows == 60
+    out_dirs = sorted(p.name for p in (tmp_path / "compact").glob("date=*"))
+    assert out_dirs == ["date=2024-01-01", "date=2024-01-02", "date=2024-01-03"]
+    out_files = list((tmp_path / "compact").glob("date=*/*.parquet"))
+    # one exchange keyed on the partition column -> each date's rows
+    # land in one task: exactly one data file per partition directory
+    assert len(out_files) == 3, out_files
+
+    q = spark.read.parquet(dest).filter("date = DATE'2024-01-02'")
+    assert "PartitionFilters" in explain_str(q)
+    assert q.count() == spark.read.parquet(src).filter("date = DATE'2024-01-02'").count()
