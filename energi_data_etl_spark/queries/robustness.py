@@ -464,3 +464,38 @@ def argminmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderpriority", "o_orderkey").alias("latest_priority"),
         F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
     )
+
+
+@query(
+    "percentile_disc_surface",
+    tier="A5 (discrete order statistics: percentile_disc WITHIN GROUP)",
+    oracle="""
+        SELECT l_returnflag,
+               QUANTILE_DISC(l_extendedprice, 0.25) AS p25,
+               QUANTILE_DISC(l_extendedprice, 0.50) AS p50,
+               QUANTILE_DISC(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_disc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISCRETE order-statistic flavor (SQL-standard
+    `percentile_disc(p) WITHIN GROUP (ORDER BY x)` == DuckDB
+    QUANTILE_DISC): returns the smallest actual data value whose
+    cumulative share reaches p — an element of the input, never an
+    interpolation, so the comparison is bit-exact with NO rounding
+    (unlike the interpolated `percentile_surface` twin). Same
+    memory-heavy exact-aggregate caveat: at 100 TB prefer the
+    approx_percentile sketch; the fan-out repartition spreads the
+    value-buffering partial aggregation off the single-row-group scan."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
+    li = li.repartition(spark.sparkContext.defaultParallelism)
+    li.createOrReplaceTempView("__pdisc_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+        FROM __pdisc_lineitem GROUP BY l_returnflag
+        """
+    )
