@@ -499,3 +499,40 @@ def percentile_disc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __pdisc_lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "listagg_ordered",
+    tier="F2+A5 (SQL-standard listagg WITHIN GROUP == STRING_AGG ORDER BY)",
+    oracle="""
+        SELECT n.n_regionkey AS region_key,
+               r.r_name AS region_name,
+               COUNT(*) AS n_nations,
+               STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_regionkey, r.r_name
+    """,
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4's SQL-standard
+    `listagg(x, d) WITHIN GROUP (ORDER BY x)` == DuckDB
+    `STRING_AGG(x, d ORDER BY x)`): the report-formatting aggregate
+    that is deterministic ONLY with the explicit WITHIN GROUP order —
+    an unordered listagg is engine- and partition-arbitrary and must
+    never be oracle-compared. Broadcast dim join + one
+    partial-aggregated groupBy; string size grows with group
+    cardinality, so at scale cap membership (slice a sorted
+    collect_list) before formatting."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    j.createOrReplaceTempView("__listagg_nr")
+    return spark.sql(
+        """
+        SELECT n_regionkey AS region_key,
+               r_name AS region_name,
+               COUNT(*) AS n_nations,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv
+        FROM __listagg_nr GROUP BY n_regionkey, r_name
+        """
+    )
