@@ -7,6 +7,7 @@ the driver runs it (SURVEY.md §5.2 item 1).
 
 from __future__ import annotations
 
+import decimal
 import math
 from dataclasses import dataclass
 
@@ -50,6 +51,8 @@ def _canon_value(v):
         return tuple(_canon_value(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
     if isinstance(v, float):
         return round(v, 9)
     return v
@@ -70,6 +73,37 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.map(_canon_value)
     out = out.sort_values(by=list(out.columns), kind="mergesort", na_position="last").reset_index(drop=True)
     return out
+
+
+def _dtype_family(s: pd.Series) -> str | None:
+    """Numeric family of a result column: 'int' / 'float' / 'bool', or
+    None for temporals/strings/complex (value-canonicalized elsewhere).
+
+    The REAL driver's value hash distinguishes int 123 from float 123.0
+    (r06: DuckDB SUM(int)→HUGEINT→float64 vs Spark int64 failed 11 hash
+    gates while this harness's float() coercion passed them all). Width
+    within a family (int32 vs int64) does NOT matter to the driver —
+    certified queries with INTEGER-vs-BIGINT parity pass — so the check
+    is family-level, not itemsize-level."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "O":
+        for v in s:
+            if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)):
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, (float, decimal.Decimal)):
+                return "float"
+            return None
+    return None
 
 
 def _values_equal(a, b) -> bool:
@@ -99,6 +133,14 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         return ParityResult(name, False, f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}")
     if len(spark_pdf) != len(oracle_pdf):
         return ParityResult(name, False, f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    for c in sorted(spark_pdf.columns):
+        fa, fb = _dtype_family(spark_pdf[c]), _dtype_family(oracle_pdf[c])
+        if fa is not None and fb is not None and fa != fb:
+            return ParityResult(
+                name, False,
+                f"dtype-family mismatch col={c}: spark={fa}({spark_pdf[c].dtype}) "
+                f"oracle={fb}({oracle_pdf[c].dtype}) — the driver hash distinguishes 123 from 123.0",
+            )
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()

@@ -19,52 +19,47 @@ from . import behavior  # noqa: F401,E402
 
 # ORDER MATTERS: the driver's per-round correctness file records only the
 # FIRST 50 queries in registration order, so the window is rotated
-# round-to-round until every query has a driver-certified row. Round 6
-# front-loads the 40 that have never met the real driver — 22 sim-only
-# r05 additions (7 TPC-H shapes, 5 robustness extras, multimodal frame
-# sample, the 7-query datapipe tier, the 2-query timeseries tier) plus
-# the 18 new r06 queries (lifecycle, lsh_bucket_stats,
-# streaming_rollup_parquet, the 4-query cleaning tier, scd2, z-score
-# anomaly, the 4-query behavior tier, basket/RFM/centroids,
-# histogram, open-orders sweep) — then 5 regression canaries
-# (flagship, one join, one window, streaming_interval_join for the
-# drain-conf change, one relational) and the 5 oldest r≤4-certified
-# rows (extensions, llm dedup/knn).
-# 40+5+5 = 50. Queries not listed keep registration order after 50.
+# round-to-round until every query has a driver-certified row.
+#
+# Round 7 window = every oracled query that has never produced a
+# hash_match=true row in CORRECTNESS_r01..r06 (33 of them — the 11 r06
+# HUGEINT-oracle failures now fixed with CAST AS BIGINT, plus the 22
+# r06-late additions that never met the real driver), then the entry
+# canary, then the 16 stalest certified rows (all last certified r04)
+# to refresh their certification. 33+1+16 = 50.
+#
+# ROWS-ONLY QUERIES STAY OUT OF THE WINDOW: the driver records a
+# no-oracle query as an `err: no_oracle` row (CORRECTNESS_r06
+# lsh_bucket_stats), i.e. it consumes a slot without producing a
+# certification. The 6 rows-only queries (lsh_bucket_stats, pagerank,
+# neardup_minhash/simhash, ann_ivf/lsh_topk) are carried by exact-method
+# tests in tests/ instead (SURVEY.md §5.2).
 FIRST_50 = [
-    # -- 22 never driver-certified (VERDICT r05 top item) --
-    "tpch_q6_forecast_revenue", "tpch_q9_product_profit", "tpch_q11_important_stock",
-    "tpch_q17_small_qty_revenue", "tpch_q2_min_cost_supplier", "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "window_distribution_surface", "sort_nulls_policy", "regression_aggregates",
-    "timezone_conversion", "recursive_cte_hierarchy",
-    "multimodal_frame_sample",
-    "split_train_val_test", "split_cluster_aware", "contamination_ngram_overlap",
-    "token_budget_packing", "stratified_sample_by_lang", "pipeline_end_to_end",
-    "dedup_incremental_delta",
-    "gapfill_forward", "merge_upsert_orders",
-    # -- 18 new in r06 --
-    "pipeline_incremental_lifecycle", "lsh_bucket_stats", "streaming_rollup_parquet",
-    "pii_redaction_stats", "repetition_topgram_stats", "domain_mixture_plan",
-    "cleaning_funnel_report", "scd2_customer_status", "anomaly_zscore_events",
-    "sessionize_events_batch", "funnel_view_click_purchase",
-    "cohort_weekly_retention", "event_transition_matrix",
-    "market_basket_pairs", "rfm_customer_segments", "embedding_label_centroids",
-    "value_histogram_by_type", "open_orders_daily",
-    # -- 5 regression canaries --
-    "flagship_daily_avg", "join_star_revenue", "window_rank_topk",
-    "streaming_interval_join", "pricing_summary",
-    # -- 5 oldest driver rows (last certified r≤4); near-twins of rows
-    # still in the window were dropped to make room for r06 additions:
-    # regex_surface (pii_redaction_stats), quality_scores
-    # (cleaning_funnel_report), collect_aggregates, salted_aggregation,
-    # dedup_bag_exact, token_counts_per_doc, null_safety_surface,
-    # percentile_surface (approx sketch retained), lang_id_scores
-    # (text_stats retained), embedding_neardup_exact (knn retained) --
-    "data_quality_report",
-    "grouped_median_udaf", "dedup_clusters",
-    "dedup_exact",
-    "knn_exact_cosine",
+    # -- 11 r06 hash-gate failures, re-certifying with BIGINT-cast oracles --
+    "split_train_val_test", "token_budget_packing", "stratified_sample_by_lang",
+    "pipeline_end_to_end", "pii_redaction_stats", "repetition_topgram_stats",
+    "domain_mixture_plan", "cleaning_funnel_report", "scd2_customer_status",
+    "anomaly_zscore_events", "sessionize_events_batch",
+    # -- 22 oracled but never yet in a driver window (r06-late additions) --
+    "api_source_daily_rollup", "api_source_stream_rollup",
+    "streaming_interval_join_louter",
+    "tpch_q13_custdist", "gapfill_linear_interpolate", "hll_merge_weekly_users",
+    "join_skew_salted", "doc_chunk_sliding", "global_row_index",
+    "zorder_layout_audit", "skew_diagnosis_report",
+    "moment_statistics", "argminmax_aggregates", "percentile_disc_surface",
+    "listagg_ordered",
+    "token_entropy_scores", "source_overlap_matrix", "length_winsorize_stats",
+    "snapshot_diff_orders", "dedup_survivorship_quality",
+    "crosssplit_leakage_audit", "event_type_drift",
+    # -- entry canary --
+    "flagship_daily_avg",
+    # -- 16 stalest certified rows (all last certified r04) --
+    "dedup_bag_exact", "ngram_jaccard_pairs", "embedding_neardup_exact",
+    "tpch_q3_shipping_priority", "tpch_q5_local_volume", "tpch_q10_returned_items",
+    "having_large_orders", "tpch_q4_order_priority", "tpch_q12_priority_lines",
+    "tpch_q14_promo_ratio", "tpch_q16_supplier_cnt", "tpch_q18_large_volume",
+    "tpch_q19_disjunctive", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
 ]
 
 

@@ -56,9 +56,9 @@ def _with_epoch_s(ev: DataFrame) -> DataFrame:
         )
         SELECT user_id,
                COUNT(*) AS n_sessions,
-               SUM(n_ev) AS n_events,
+               CAST(SUM(n_ev) AS BIGINT) AS n_events,
                MAX(n_ev) AS longest_session_events,
-               SUM(dur) AS total_active_secs
+               CAST(SUM(dur) AS BIGINT) AS total_active_secs
         FROM per GROUP BY user_id
     """,
 )

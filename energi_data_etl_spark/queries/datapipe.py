@@ -31,7 +31,7 @@ _DUCK_BUCKET = "CAST(CONCAT('0x', SUBSTRING(MD5(CAST({key} AS VARCHAR)), 1, 8)) 
                         ELSE 'test' END AS split
             FROM documents
         )
-        SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+        SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         FROM assigned GROUP BY split
     """,
 )
@@ -163,7 +163,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT chunk_id,
                COUNT(*) AS n_docs,
-               SUM(n_tok) AS n_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc
         FROM packed GROUP BY chunk_id
@@ -196,7 +196,7 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                COUNT(*) AS n_total,
-               SUM(keep) AS n_sampled,
+               CAST(SUM(keep) AS BIGINT) AS n_sampled,
                ROUND(SUM(keep) * 1.0 / COUNT(*), 4) AS sample_rate
         FROM s GROUP BY lang
     """,
@@ -251,7 +251,7 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT split,
                COUNT(*) AS n_docs,
-               SUM(n_tok) AS n_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                CAST(CEIL(SUM(n_tok) / 512.0) AS BIGINT) AS n_chunks
         FROM assigned GROUP BY split
     """,
@@ -365,10 +365,10 @@ _PHONE_RE = r"\+[0-9]{2}-[0-9]{2}-[0-9]{3}-[0-9]{4}"
         )
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
-               SUM(n_emails) AS total_emails,
-               SUM(n_phones) AS total_phones,
-               SUM(chars_removed) AS chars_removed
+               CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+               CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+               CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+               CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
         FROM hits GROUP BY source
     """,
 )
@@ -438,7 +438,7 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                COUNT(*) AS n_docs,
                ROUND(AVG(top_gram_ratio), 6) AS avg_top_gram_ratio,
-               SUM(CASE WHEN top_gram_ratio > 0.2 THEN 1 ELSE 0 END) AS n_repetitive
+               CAST(SUM(CASE WHEN top_gram_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         FROM per_doc GROUP BY lang
     """,
 )
@@ -498,7 +498,8 @@ def repetition_topgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    t.total_docs
             FROM per p CROSS JOIN tot t
         )
-        SELECT source, n_docs, n_tokens, target_weight,
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(target_weight AS DOUBLE) AS target_weight,
                CAST(FLOOR(target_weight * total_docs) AS BIGINT) AS planned_docs,
                -- sampling rate is a raw quotient -> FLOOR-truncate, and cap at 1
                LEAST(FLOOR(target_weight * total_docs * 1000000.0 / n_docs) / 1000000.0, 1.0) AS sampling_rate
@@ -559,9 +560,9 @@ def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT source,
                COUNT(*) AS n_total,
-               SUM(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS n_len_ok,
-               SUM(CASE WHEN n_chars >= 150 AND q >= 0.4 THEN 1 ELSE 0 END) AS n_quality_ok,
-               SUM(CASE WHEN n_chars >= 150 AND q >= 0.4 AND rn = 1 THEN 1 ELSE 0 END) AS n_survivors
+               CAST(SUM(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+               CAST(SUM(CASE WHEN n_chars >= 150 AND q >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+               CAST(SUM(CASE WHEN n_chars >= 150 AND q >= 0.4 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
         FROM m GROUP BY source
     """,
 )
@@ -724,8 +725,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.source,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN d.n_chars < c.lo THEN 1 ELSE 0 END) AS n_below,
-               SUM(CASE WHEN d.n_chars > c.hi THEN 1 ELSE 0 END) AS n_above,
+               CAST(SUM(CASE WHEN d.n_chars < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN d.n_chars > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
                ROUND(SUM(LEAST(GREATEST(d.n_chars, c.lo), c.hi)), 2) AS clipped_char_sum
         FROM documents d JOIN cuts c ON d.source = c.source
         GROUP BY d.source
@@ -984,7 +985,7 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN oh <> nh THEN 'changed'
                     ELSE 'unchanged' END AS change_type,
                COUNT(*) AS n_rows,
-               SUM(nc - oc) AS net_cents_delta
+               CAST(SUM(nc - oc) AS BIGINT) AS net_cents_delta
         FROM j GROUP BY 1
     """,
 )
@@ -1065,10 +1066,10 @@ def _prefix_cluster_key() -> "F.Column":
         )
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_survivors,
-               COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_dropped,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+               CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
                ROUND(AVG(CASE WHEN rn = 1 THEN q END), 6) AS avg_survivor_q,
-               SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS survivor_chars
+               CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS survivor_chars
         FROM ranked GROUP BY source
     """,
 )
@@ -1120,7 +1121,7 @@ def dedup_survivorship_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_docs,
                COUNT(DISTINCT a.ck) AS n_clusters,
                COUNT(DISTINCT CASE WHEN s.ns > 1 THEN a.ck END) AS n_leaked_clusters,
-               SUM(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS n_leaked_docs
+               CAST(SUM(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs
         FROM assigned a JOIN spread s ON a.ck = s.ck
         GROUP BY a.split
     """,
@@ -1175,7 +1176,8 @@ def crosssplit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FLOOR(n_new * 1000000.0 / t_new) / 1000000.0 AS p_new
             FROM c CROSS JOIN tot
         )
-        SELECT event_type, n_old, n_new, p_old, p_new,
+        SELECT event_type, CAST(n_old AS BIGINT) AS n_old,
+               CAST(n_new AS BIGINT) AS n_new, p_old, p_new,
                ROUND(ABS(p_new - p_old), 6) AS abs_shift,
                ROUND(p_new * LN(p_new / p_old), 6) AS kl_term
         FROM p
@@ -1231,7 +1233,7 @@ def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                COUNT(*) AS n_keys,
-               SUM(c) AS n_events,
+               CAST(SUM(c) AS BIGINT) AS n_events,
                MAX(c) AS max_key_count,
                -- hot-key share is a raw quotient -> FLOOR-truncate
                FLOOR(MAX(c) * 1000000.0 / SUM(c)) / 1000000.0 AS max_key_share,

@@ -69,7 +69,7 @@ def _fixture_fetcher(url: str, headers: dict | None = None) -> list[dict]:
                COUNT(*) AS n_days,
                MIN(date) AS first_date,
                MAX(date) AS last_date,
-               ROUND(SUM(avg_price), 4) AS sum_avg_price
+               ROUND(CAST(SUM(avg_price) AS DOUBLE), 4) AS sum_avg_price
         FROM daily
         GROUP BY zone
     """,
@@ -170,8 +170,8 @@ def _write_api_fixtures(start, end) -> str:
         -- avg over h=0..23 of (zi*1000 + day_no*10 + h): the closed form
         -- is a half-integer, exactly representable, so no rounding needed
         SELECT z.zone, d.date,
-               24 AS n_obs,
-               z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS avg_price
+               CAST(24 AS BIGINT) AS n_obs,
+               CAST(z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS DOUBLE) AS avg_price
         FROM zones z CROSS JOIN days d
     """,
 )
@@ -218,8 +218,8 @@ def api_source_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-02-20', DATE '2024-02-22', INTERVAL 1 DAY)) AS DATE) AS date
         )
         SELECT z.zone, d.date,
-               24 AS n_obs,
-               z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS avg_price
+               CAST(24 AS BIGINT) AS n_obs,
+               CAST(z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS DOUBLE) AS avg_price
         FROM zones z CROSS JOIN days d
     """,
 )

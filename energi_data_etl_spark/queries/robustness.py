@@ -438,7 +438,7 @@ def moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n,
                BOOL_AND(o_totalprice > 0) AS all_positive,
                BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
-               SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_large,
+               CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
                -- arg-extrema keyed on the UNIQUE o_orderkey: ties are
                -- impossible, so max_by/arg_max agree deterministically
                ARG_MAX(o_orderpriority, o_orderkey) AS latest_priority,

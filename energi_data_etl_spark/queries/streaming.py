@@ -286,8 +286,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END) AS n_attributed,
-               SUM(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS n_unattributed,
+               CAST(SUM(CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               CAST(SUM(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unattributed,
                ROUND(SUM(value), 4) AS click_value
         FROM emitted GROUP BY user_id
     """,

@@ -154,8 +154,8 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT cust AS c_custkey,
                COUNT(*) AS n_versions,
-               MAX(version) AS current_version,
-               SUM(n_orders) AS n_orders,
+               CAST(MAX(version) AS BIGINT) AS current_version,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
                MIN(valid_from) AS first_date,
                MAX(last_seen) AS last_date
         FROM versions GROUP BY cust
@@ -217,7 +217,7 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                ROUND(MAX(z), 6) AS max_z,
                ROUND(MIN(z), 6) AS min_z
         FROM scored GROUP BY event_type
