@@ -165,7 +165,13 @@ def pagerank(
                     + damping * (F.coalesce("contrib", F.lit(0.0)) + F.col("__dm") / F.col("__n"))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=((it + 1) % eager_every == 0))
+            # final round is ALWAYS eager: the setup caches (e/ew/nodes/
+            # dangling_ids) are unpersisted right below, so the returned
+            # frame must be materialized while they still serve the
+            # per-iteration joins — otherwise (iterations < eager_every)
+            # no eager round ever fires and the persists are dead weight
+            # recomputed at the caller's first action (ADVICE r06)
+            .localCheckpoint(eager=((it + 1) % eager_every == 0 or it == iterations - 1))
         )
     e.unpersist()
     ew.unpersist()

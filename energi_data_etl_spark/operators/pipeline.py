@@ -122,7 +122,10 @@ def snapshot_diff(
     out_cols = [
         F.when(F.col("__ok").isNull(), "added")
         .when(F.col("__nk").isNull(), "removed")
-        .when(F.col("__oh") != F.col("__nh"), "changed")
+        # null-SAFE inequality: F.concat/md5 row hashes go NULL when any
+        # value column is NULL, and a plain != would evaluate to NULL and
+        # silently fall through to 'unchanged' (ADVICE r06)
+        .when(~F.col("__oh").eqNullSafe(F.col("__nh")), "changed")
         .otherwise("unchanged")
         .alias("change_type"),
         F.coalesce("__ok", "__nk").alias(key),

@@ -75,8 +75,16 @@ def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard an i.i.d. split lacks. n_leaked_clusters (fingerprints seen in
     >1 split) is emitted and must be 0 by construction; the oracle
     recomputes it independently rather than trusting the invariant."""
-    d = load_table(spark, "documents", sf_dir).withColumn("f", X.fingerprint("text"))
-    assigned = d.withColumn("split", P.assign_split(F.col("f"))).persist()
+    # fan out BEFORE the md5 map stage: the fixture file is a single row
+    # group, so without this the fingerprint hash runs as ONE task
+    # (measured 2.07 s vs 0.49 s across 32 at sf0.1 — the r06 "regression"
+    # was exactly this serial stage meeting a contended host)
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("f", X.fingerprint("text"))
+    )
+    assigned = d.withColumn("split", P.assign_split(F.col("f"))).localCheckpoint(eager=False)
     leaks = (
         assigned.groupBy("f")
         .agg(F.countDistinct("split").alias("__ns"))
@@ -856,7 +864,10 @@ def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         d.repartitionByRange(parts, "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        # lazy localCheckpoint (not persist): materialized by the bounded
+        # counts .collect() below, reused by the returned frame, and
+        # gc-cleaned instead of lingering in the CacheManager
+        .localCheckpoint(eager=False)
     )
     counts = {r["pid"]: r["c"] for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
     offsets, acc = {}, 0
@@ -1142,7 +1153,11 @@ def crosssplit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _prefix_cluster_key().alias("ck"),
         P.assign_split(F.col("doc_id")).alias("split"),
-    ).persist()  # consumed by spread AND the join-back — don't rescan+rehash
+        # lazy localCheckpoint, not persist: consumed by spread AND the
+        # join-back (computed once at first action), but leaves no
+        # CacheManager entry to accumulate across a 157-query session
+        # (ADVICE r06 — query-level persists here were never unpersisted)
+    ).localCheckpoint(eager=False)
     spread = assigned.groupBy("ck").agg(F.countDistinct("split").alias("ns"))
     j = assigned.join(spread, "ck")
     return j.groupBy("split").agg(
@@ -1203,7 +1218,9 @@ def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = labeled.groupBy("event_type").agg(
         F.sum((F.col("period") == "old").cast("bigint")).alias("n_old"),
         F.sum((F.col("period") == "new").cast("bigint")).alias("n_new"),
-    ).persist()  # one row per type; totals derive from it, not a rescan
+    ).localCheckpoint(eager=False)  # one row per type; totals derive from
+    # it, not a rescan — lazy checkpoint instead of a never-unpersisted
+    # persist (ADVICE r06: no lingering CacheManager entry)
     tot = c.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
     p = c.crossJoin(F.broadcast(tot)).select(
         "event_type",

@@ -152,8 +152,16 @@ def _write_api_fixtures(start, end) -> str:
                 }
                 for h in range(24)
             ]
-            with open(f"{fdir}/{day.month:02d}-{day.day:02d}_{zone}.json", "w") as f:
+            # atomic publish: concurrent runs share this deterministic
+            # directory (bench alongside driver_sim), so a plain open/
+            # dump could expose a half-written file to another reader —
+            # write to a unique temp name and os.replace() into place
+            # (ADVICE r06)
+            final = f"{fdir}/{day.month:02d}-{day.day:02d}_{zone}.json"
+            tmp = f"{final}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
                 json.dump(recs, f)
+            os.replace(tmp, final)
         day += datetime.timedelta(days=1)
     return base
 

@@ -194,3 +194,17 @@ def test_snapshot_diff_self_is_all_unchanged(spark, snap):
     counts = _diff_counts(spark, snap, snap)
     assert set(counts) <= {"unchanged"}
     assert counts.get("unchanged", 0) == len(snap)
+
+
+def test_snapshot_diff_null_hash_classifies_changed(spark):
+    """A NULL row_hash on exactly one side of a both-sides key must read
+    as 'changed', not fall through to 'unchanged' (ADVICE r06: plain !=
+    evaluates to NULL and skips the branch; F.concat/md5 hashes go NULL
+    whenever any value column is NULL, so this is easy to hit silently).
+    NULL-on-both-sides is 'unchanged' under eqNullSafe — same content."""
+    from energi_data_etl_spark.operators.pipeline import snapshot_diff
+
+    old_df = spark.createDataFrame([(1, None), (2, "aa"), (3, None)], "k long, h string")
+    new_df = spark.createDataFrame([(1, "bb"), (2, None), (3, None)], "k long, h string")
+    got = {r.k: r.change_type for r in snapshot_diff(old_df, new_df, key="k", row_hash="h").collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}
