@@ -1287,3 +1287,134 @@ def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "boilerplate_ngram_prune",
+    tier="L6 (C4-style cross-doc boilerplate blocklist: frequent-3-gram prune accounting)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ), g AS (
+            -- per-doc DISTINCT 3-grams: boilerplate df counts documents,
+            -- not occurrences
+            SELECT DISTINCT doc_id, source, u.g
+            FROM toks, UNNEST(LIST_TRANSFORM(
+                GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0)),
+                i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS u(g)
+        ), df AS (
+            SELECT g, COUNT(*) AS df FROM g GROUP BY g
+        ), boiler AS (
+            SELECT g FROM df WHERE df >= 5
+        ), hits AS (
+            SELECT g.doc_id, g.source, g.g FROM g JOIN boiler USING (g)
+        )
+        SELECT t.source,
+               CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS n_docs_hit,
+               CAST(COUNT(DISTINCT h.g) AS BIGINT) AS n_boiler_grams,
+               CAST(COUNT(h.g) AS BIGINT) AS n_hits
+        FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        GROUP BY t.source
+    """,
+)
+def boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/RefinedWeb boilerplate rule at corpus level: a 3-gram that
+    appears in >= 5 DISTINCT documents is boilerplate (nav bars, legal
+    footers, scraping artifacts), and every document is audited for how
+    much of it a blocklist prune would remove. Complements
+    repetition_topgram_stats (WITHIN-doc repetition) with the CROSS-doc
+    frequency rule.
+
+    Plan shape for 100 TB: the gram explode is a map stage (fanned out
+    past the single-row-group fixture scan); doc-frequency is one
+    partial-aggregated groupBy on the gram; the blocklist (df >= K) is
+    tiny by construction — broadcast back to the exploded grams, so the
+    audit join adds NO shuffle; the per-source report is a second small
+    agg. The gram->df frame is the only corpus-sized shuffle.
+    """
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .repartition(par)
+        .select("doc_id", "source", X.tokens("text").alias("t"))
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 2),
+                        lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    ).localCheckpoint(eager=False)  # feeds df-count AND the audit join-back
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    boiler = df_counts.filter(F.col("df") >= 5).select("g")
+    hits = grams.join(F.broadcast(boiler), "g")
+    per_doc = toks.select("doc_id", "source")
+    h = hits.select(F.col("doc_id").alias("h_doc"), F.col("g").alias("h_g"))
+    audited = per_doc.join(h, per_doc.doc_id == h.h_doc, "left")
+    return audited.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("h_doc").alias("n_docs_hit"),
+        F.countDistinct("h_g").alias("n_boiler_grams"),
+        F.count("h_g").alias("n_hits"),
+    )
+
+
+@query(
+    "sample_exact_k_per_stratum",
+    tier="L-pipeline (exact-k deterministic per-stratum sample: fixed SIZE, not fixed rate)",
+    oracle="""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY MD5(CAST(doc_id AS VARCHAR))
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_total
+            FROM documents
+        )
+        SELECT lang,
+               CAST(MAX(n_total) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rk <= 40 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM ranked GROUP BY lang
+    """,
+)
+def sample_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-SIZE sampling: keep exactly min(k, |stratum|) docs per lang,
+    chosen by md5(doc_id) rank — reproducible across runs and engines,
+    and the fixed-budget complement of stratified_sample_by_lang's
+    fixed-RATE Bernoulli sampler (eval sets and ablation corpora are
+    specced as '40 docs per language', not '10%').
+
+    One window shuffle on the stratum key. At 100 TB the full sort per
+    stratum is wasteful when k << |stratum|: pre-filter with an
+    approx_percentile threshold on the hash (keeping ~2k candidates per
+    stratum, a map stage against a broadcast threshold table), then run
+    this exact rank on the survivors — same output, window input
+    bounded by ~2k per stratum. The certified plan is the exact tail of
+    that pipeline."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "lang", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    w = Window.partitionBy("lang").orderBy("hk")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_total"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("n_total").alias("n_total"),
+        F.sum((F.col("rk") <= 40).cast("bigint")).alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 40, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
+    )

@@ -117,7 +117,7 @@ def pipeline_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
 _API_ZONES = ("SE1", "SE2", "SE3", "SE4")
 
 
-def _write_api_fixtures(start, end) -> str:
+def _write_api_fixtures(start, end, repeat: int = 1) -> str:
     """Lay per-day JSON fixtures out exactly like the API URL space
     ({year}/{month:02d}-{day:02d}_{zone}.json), with the lifecycle
     fixture's exact-arithmetic hourly prices (zi*1000 + day_no*10 +
@@ -133,8 +133,12 @@ def _write_api_fixtures(start, end) -> str:
     import os
     import tempfile
 
+    # repeat>1 models an at-least-once upstream (each hourly record
+    # delivered `repeat` times) for the stateful-dedup certification;
+    # the suffix keeps the deterministic roots disjoint per variant
+    suffix = f"_x{repeat}" if repeat > 1 else ""
     base = os.path.join(
-        tempfile.gettempdir(), f"api_src_{start.isoformat()}_{end.isoformat()}"
+        tempfile.gettempdir(), f"api_src_{start.isoformat()}_{end.isoformat()}{suffix}"
     )
     day = start
     while day <= end:
@@ -160,7 +164,7 @@ def _write_api_fixtures(start, end) -> str:
             final = f"{fdir}/{day.month:02d}-{day.day:02d}_{zone}.json"
             tmp = f"{final}.{os.getpid()}.tmp"
             with open(tmp, "w") as f:
-                json.dump(recs, f)
+                json.dump(recs * repeat, f)
             os.replace(tmp, final)
         day += datetime.timedelta(days=1)
     return base
@@ -266,3 +270,58 @@ def api_source_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("SEK_per_kWh").alias("avg_price"),
     )
     return run_to_memory(rolled, output_mode="complete")
+
+
+@query(
+    "api_source_dedup_stream",
+    tier="S1+T6 (at-least-once Python stream source -> dropDuplicatesWithinWatermark)",
+    oracle="""
+        WITH zones AS (
+            SELECT * FROM (VALUES (1, 'SE1'), (2, 'SE2'), (3, 'SE3'), (4, 'SE4')) AS t(zi, zone)
+        ), days AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-03-01', DATE '2024-03-03', INTERVAL 1 DAY)) AS DATE) AS date
+        )
+        SELECT z.zone, d.date,
+               CAST(24 AS BIGINT) AS n_obs,
+               CAST(z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS DOUBLE) AS avg_price
+        FROM zones z CROSS JOIN days d
+    """,
+)
+def api_source_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 on the full DataSourceStreamReader path: the fixture models an
+    AT-LEAST-ONCE upstream (every hourly record delivered twice, the
+    real failure mode of retrying HTTP collectors), and
+    dropDuplicatesWithinWatermark on the record's natural key
+    (zone, date, time_start) restores exactly-once downstream. n_obs is
+    the discriminator: 24 survivors per zone-day out of 48 delivered —
+    a plain rollup of the raw stream would return n_obs=48 and fail the
+    oracle, so the state store is doing the work, not the source.
+
+    State scale: one entry per key inside the watermark horizon —
+    bounded by |zones| x days x 24 within the delay, evicted as event
+    time advances; partitioned by key like any stateful op, so the
+    dedup scales horizontally with executors while each catch-up batch
+    still plans one InputPartition per zone-day read ON EXECUTORS."""
+    import datetime
+
+    from ..sources.api_datasource import EnergiPricesDataSource
+    from ..streaming.ops import dedup_within_watermark, run_to_memory
+
+    start, end = datetime.date(2024, 3, 1), datetime.date(2024, 3, 3)
+    base = _write_api_fixtures(start, end, repeat=2)
+    spark.dataSource.register(EnergiPricesDataSource)
+    stream = (
+        spark.readStream.format("energi_prices")
+        .option("start", start.isoformat())
+        .option("end", end.isoformat())
+        .option("zones", ",".join(_API_ZONES))
+        .option("fixture_dir", base)
+        .load()
+        .withColumn("ts", F.col("date").cast("timestamp"))
+    )
+    deduped = dedup_within_watermark(stream, ["zone", "date", "time_start"], watermark="30 days")
+    drained = run_to_memory(deduped, output_mode="append")
+    return drained.groupBy("zone", "date").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("SEK_per_kWh").alias("avg_price"),
+    )
