@@ -34,6 +34,8 @@ __all__ = [
     "ann_lsh_knn",
     "ann_lsh_bucket_stats",
     "ann_ivf_knn",
+    "gram_partials",
+    "covariance_matrix",
 ]
 
 
@@ -446,4 +448,78 @@ def ann_lsh_knn(
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cos_sim"))
+    )
+
+
+def gram_partials(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Single-pass distributed Gram accumulation — the PCA / covariance
+    precursor: every partition folds its vectors into one ``X.T @ X``
+    (d x d), a column sum (d) and a count, so the shuffle that follows
+    carries ``numPartitions`` rows of d² doubles instead of |corpus|
+    rows. THE way to get second-moment statistics out of a 100 TB
+    embedding table: the corpus is read once, all reduction is
+    map-side, and the final combine is O(partitions · d²) regardless of
+    row count.
+
+    Vectors are cast to float64 BEFORE accumulation (the column is
+    float32 on disk; float->double is exact, so both engines aggregate
+    identical values and only sum order differs at the last ulp).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        g = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[col].to_numpy()).astype(np.float64, copy=False)
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += x.shape[0]
+        if n:
+            yield pd.DataFrame({"g": [g.ravel().tolist()], "s": [s.tolist()], "n": [n]})
+
+    return df.select(col).mapInPandas(fold, schema="g array<double>, s array<double>, n bigint")
+
+
+def covariance_matrix(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Population covariance matrix from one corpus pass: reduce the
+    per-partition Gram partials (posexplode -> sum per flat index — a
+    shuffle of partitions·d² scalar rows, nothing corpus-sized), then
+    cov[i,j] = (Σxy − Σx·Σy / n) / n. Returns (i, j, cov) for the full
+    d x d (symmetric; callers filter). The eigen-decomposition that
+    turns this into PCA axes is a driver-side numpy call on a d x d
+    matrix — the only part of the pipeline that is not data-parallel,
+    and it is O(d³), data-size-independent."""
+    parts = gram_partials(df, col, dim).localCheckpoint(eager=False)
+    gsum = (
+        parts.select(F.posexplode("g").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("sxy"))
+        .select(
+            (F.col("idx") / dim).cast("int").alias("i"),
+            F.pmod("idx", F.lit(dim)).cast("int").alias("j"),
+            "sxy",
+        )
+    )
+    ssum = (
+        parts.select(F.posexplode("s").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("sx"))
+    )
+    n1 = parts.agg(F.sum("n").cast("double").alias("nn"))
+    si = ssum.select(F.col("idx").alias("i"), F.col("sx").alias("sx_i"))
+    sj = ssum.select(F.col("idx").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        gsum.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i",
+            "j",
+            ((F.col("sxy") - F.col("sx_i") * F.col("sx_j") / F.col("nn")) / F.col("nn")).alias("cov"),
+        )
     )

@@ -604,3 +604,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("int").alias("n_frames"),
         F.concat_ws("|", F.transform("frames", lambda b: F.decode(b, "UTF-8"))).alias("frames_str"),
     )
+
+
+@query(
+    "embedding_covariance_block",
+    tier="L3-ext (single-pass distributed covariance: the PCA precursor)",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), p AS (
+            SELECT gi.i AS i, gj.j AS j, e.v[gi.i + 1] AS vi, e.v[gj.j + 1] AS vj
+            FROM e, GENERATE_SERIES(0, 7) gi(i), GENERATE_SERIES(0, 7) gj(j)
+            WHERE gj.j <= gi.i
+        )
+        SELECT i, j,
+               -- same naive two-sum formula as the Spark kernel (NOT
+               -- COVAR_POP's streaming estimator), so only float sum
+               -- order differs; FLOOR-truncate per the quotient rule
+               FLOOR((SUM(vi * vj) - SUM(vi) * SUM(vj) / COUNT(*)) / COUNT(*) * 1000000.0)
+                   / 1000000.0 AS cov
+        FROM p GROUP BY i, j
+    """,
+)
+def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies operators/similarity.py::covariance_matrix — the
+    one-pass second-moment kernel behind PCA whitening / decorrelation
+    of an embedding corpus. Each partition folds its vectors into
+    X.T @ X + column sums via a numpy mapInPandas kernel, so the only
+    shuffle carries partitions x d² scalars (corpus read ONCE, no
+    row-level shuffle at any scale); the d x d eigen step that follows
+    in production is a driver-side O(d³) numpy call, data-independent.
+    The certified block is the lower triangle of the first 8 dims
+    (36 entries) against DuckDB's unnested pair aggregation — the same
+    naive formula, so the comparison pins the distributed fold's math,
+    while tests/test_llm_ops.py pins the FULL 64-dim matrix against
+    numpy at 1e-9."""
+    e = load_table(spark, "embeddings", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cov = S.covariance_matrix(e, "embedding", dim=64)
+    return cov.filter((F.col("i") < 8) & (F.col("j") <= F.col("i"))).select(
+        "i", "j", (F.floor(F.col("cov") * 1000000.0) / 1000000.0).alias("cov")
+    )

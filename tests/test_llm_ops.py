@@ -224,3 +224,24 @@ def test_fingerprints_detect_reorder(spark):
     assert r[1].fp != r[2].fp  # different order → different exact fp
     assert r[1].bfp == r[2].bfp  # same token set → same bag fp
     assert r[1].bfp != r[3].bfp
+
+
+def test_covariance_matrix_matches_numpy_exactly(spark, sf_dir):
+    """The distributed one-pass Gram kernel must reproduce the FULL
+    64x64 population covariance of the corpus to float64 round-off
+    (1e-9) against an in-memory numpy reference — the exact-method
+    check behind embedding_covariance_block's 8-dim certified slice.
+    Also pins symmetry, which the flat-index reduction must preserve."""
+    import numpy as np
+
+    from energi_data_etl_spark.operators.similarity import covariance_matrix
+    from energi_data_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", sf_dir).repartition(8)
+    got = np.zeros((64, 64))
+    for r in covariance_matrix(e, "embedding", dim=64).collect():
+        got[r.i, r.j] = r.cov
+    x = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in e.select("embedding").collect()])
+    want = np.cov(x, rowvar=False, bias=True)  # population (divide by n)
+    assert np.abs(got - want).max() < 1e-9
+    assert np.abs(got - got.T).max() < 1e-12
