@@ -464,7 +464,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (fp is already sorted+distinct md5 hex, so the join is
     order-stable): raw array columns crash the driver canonicalizer —
     the array_surface recipe (queries/functions.py)."""
-    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 120)
+    # fan out past the single-row-group scan: the rolling-hash transform
+    # is the cost (~md5 per k-gram per doc) and otherwise runs as ONE
+    # task (same lesson as split_cluster_aware, CLAUDE.md)
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     fp = X.winnowing_fingerprint("text", k=3, w=4)
     return d.select(
         "doc_id",
