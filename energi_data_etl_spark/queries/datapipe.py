@@ -1418,3 +1418,71 @@ def sample_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rk") <= 40).cast("bigint")).alias("n_kept"),
         F.sum(F.when(F.col("rk") <= 40, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
     )
+
+
+@query(
+    "shuffle_shard_plan",
+    tier="L-pipeline (reproducible global training shuffle: seeded shard + in-shard hash order)",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, n_chars,
+                   MD5(CONCAT('seed42:', CAST(doc_id AS VARCHAR))) AS k
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_chars, k,
+                   CAST(CONCAT('0x', SUBSTRING(k, 1, 8)) AS BIGINT) % 16 AS shard
+            FROM a
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS rk FROM s
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+               STRING_AGG(CASE WHEN rk <= 3 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY k) AS head_docs
+        FROM r GROUP BY shard
+    """,
+)
+def shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible GLOBAL training shuffle without a global sort — the
+    order-randomization step between packing and training. A seeded md5
+    of the doc id gives every document a pseudorandom rank; shard = the
+    rank's top 32 bits mod S is a pure map stage, and sorting WITHIN
+    each shard by the full hash yields a deterministic permutation of
+    the corpus (shard-major order) that is independent of input
+    partitioning, cluster size, and row arrival order — rerun it
+    anywhere, same epoch order. No stage ever holds a global order:
+    the one exchange is the shard partitioning, the sort is per-shard
+    (what writers do per output file anyway). Changing the seed string
+    is a fresh epoch permutation.
+
+    Certified surface: per-shard doc/char totals (assignment) plus the
+    first three doc ids IN HASH ORDER per shard (the order itself, via
+    a per-shard window — same sort the shard writer performs)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    k = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        k.alias("k"),
+        (F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint") % 16).alias("shard"),
+    )
+    totals = s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+    )
+    w = Window.partitionBy("shard").orderBy("k")
+    heads = (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("shard")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+            ).alias("head_docs")
+        )
+    )
+    return totals.join(heads, "shard")
