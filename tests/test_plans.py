@@ -461,3 +461,34 @@ def test_aqe_skew_split_fires_on_unsalted_counterfactual(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_boilerplate_blocklist_joins_by_broadcast(spark, sf_dir):
+    """The df>=K blocklist is tiny by construction and must come back to
+    the exploded grams as a broadcast — a shuffle join here would
+    re-shuffle the corpus-sized gram stream; the only corpus-sized
+    exchange allowed is the gram doc-frequency groupBy."""
+    plan = explain_str(QUERIES["boilerplate_ngram_prune"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_covariance_reads_corpus_once(spark, sf_dir):
+    """The Gram kernel is the single corpus pass: the numpy MapInPandas
+    fold lives inside a lazy localCheckpoint, so every downstream
+    consumer (gram sum, column sums, count) scans the CHECKPOINTED
+    partials RDD — partition-count sized — and the parquet corpus never
+    appears in the reduction plan at all."""
+    plan = explain_str(QUERIES["embedding_covariance_block"].fn(spark, sf_dir), mode="simple")
+    assert "Scan ExistingRDD" in plan, plan  # consumers read the partials
+    assert "parquet" not in plan, plan  # ...never the corpus again
+
+
+def test_shuffle_shard_plan_no_global_sort(spark, sf_dir):
+    """The reproducible shuffle must never plan a global order: shard
+    windows hash-partition on the shard key (no SinglePartition
+    anywhere) — the property that lets the permutation scale out."""
+    plan = explain_str(QUERIES["shuffle_shard_plan"].fn(spark, sf_dir), mode="simple")
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan, plan
