@@ -353,3 +353,47 @@ def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", F.sum("net").over(w).cast("long").alias("open_orders")
     )
+
+
+@query(
+    "rollup_cascade_weekly",
+    tier="A1+T1-ext (reaggregatable summary cascade: raw -> daily partials -> weekly)",
+    oracle="""
+        SELECT DATE_TRUNC('week', CAST(ts AS DATE)) AS week,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS total_value,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_cascade_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary-table cascade that powers dashboards at 100 TB:
+    weekly stats are derived from the DAILY rollup's partials — (sum,
+    count) per day, the reaggregatable form; an avg column would be
+    un-mergeable — so the raw fact table is scanned once for the finest
+    grain and every coarser grain reduces |days| rows, not |events|.
+    Same associativity story as hll_merge_weekly_users but for plain
+    moments; the oracle aggregates RAW events directly, certifying that
+    the cascade is exact, not an approximation. Both engines truncate
+    weeks to Monday (Spark date_trunc == DuckDB DATE_TRUNC)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("value").alias("s"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("week", F.col("date")).cast("date").alias("week"), "event_type"
+        )
+        .agg(F.sum("c").alias("n_events"), F.sum("s").alias("sv"))
+        .select(
+            "week",
+            "event_type",
+            "n_events",
+            F.round(F.col("sv"), 4).alias("total_value"),
+            F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
