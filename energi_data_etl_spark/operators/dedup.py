@@ -169,7 +169,7 @@ def lsh_candidate_pairs(
     """
     banded = _banded(sig_df, id_col, sig_col, bands, rows)
     if max_bucket_size is not None:
-        banded = banded.persist()
+        banded = banded.localCheckpoint(eager=False)
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
         dropped_keys = sizes.filter(F.col("__n") > max_bucket_size)
         if log_dropped:
@@ -244,7 +244,7 @@ def near_dup_minhash(
     base = (
         df.repartition(parallelism, id_col)
         .select(id_col, hashed_shingles(shingles(text_col, shingle_n)).alias("sh"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sigs = base.select(id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     cands = lsh_candidate_pairs(

@@ -430,7 +430,7 @@ def ann_lsh_knn(
     if max_bucket_frac is not None:
         # cb feeds the sizes groupBy AND the candidate join: persist, or
         # the numpy bucketize kernel recomputes per consumer
-        cb = cb.persist()
+        cb = cb.localCheckpoint(eager=False)
         sizes = cb.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("n_members"))
         dropped = _mega_bucket_caps(sizes, max_bucket_frac, min_bucket_cap).filter("dropped")
         cb = cb.join(F.broadcast(dropped.select("table", "bucket")), ["table", "bucket"], "left_anti")

@@ -134,7 +134,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     # persist: both sides of the pair self-join read this (and without it
     # the tokenize+sort+md5 fingerprint runs twice per CC iteration)
-    fps = d.select("doc_id", X.bag_fingerprint("text").alias("fp")).persist()
+    fps = d.select("doc_id", X.bag_fingerprint("text").alias("fp")).localCheckpoint(eager=False)
     a, b = fps.alias("a"), fps.alias("b")
     pairs = a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
         F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")

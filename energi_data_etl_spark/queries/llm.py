@@ -190,7 +190,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks.alias("toks"),
             F.size(toks).alias("sz"),
         )
-        .persist()
+        # lazy localCheckpoint (r07 cache-hygiene pattern): computed once,
+        # gc-cleaned, no CacheManager entry lingering across the session
+        .localCheckpoint(eager=False)
     )
     tok = base.select("doc_id", "lang", "len_bucket", "sz", F.explode("toks").alias("tok"))
     df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -204,7 +206,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(rarity))
         .filter(F.col("rn") <= F.floor((1 - tau) * F.col("sz")) + 1)
         .select("doc_id", "lang", "len_bucket", "sz", "tok")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     cands = (
         prefix.alias("a")

@@ -659,7 +659,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("part_value"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     threshold = contrib.agg((F.sum("part_value") * 0.001).alias("__thr"))
     return (
