@@ -351,3 +351,91 @@ def gapfill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("edge"))
         .alias("fill_kind"),
     )
+
+
+@query(
+    "scd2_pointintime_enrich",
+    tier="J5+S5 (point-in-time fact enrichment against the SCD2 dimension)",
+    oracle="""
+        WITH h AS (
+            SELECT o_custkey AS cust, o_orderdate AS d, o_orderkey AS k, o_orderstatus AS status,
+                   LAG(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ), runs AS (
+            SELECT cust, d, status,
+                   SUM(CASE WHEN prev_status IS NULL OR prev_status != status THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY cust ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS version
+            FROM h
+        ), versions AS (
+            SELECT cust, version, status, MIN(d) AS valid_from
+            FROM runs GROUP BY cust, version, status
+        ), dim AS (
+            SELECT cust, version, status, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY cust ORDER BY version) AS valid_to
+            FROM versions
+        ), fact AS (
+            SELECT o.o_custkey AS cust, l.l_shipdate AS ship, l.l_extendedprice AS price
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT d.status,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(DISTINCT d.cust) AS BIGINT) AS n_custs,
+               ROUND(SUM(f.price), 2) AS revenue
+        FROM fact f JOIN dim d
+          ON f.cust = d.cust
+         AND d.valid_from <= f.ship
+         AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+        GROUP BY d.status
+    """,
+)
+def scd2_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness — the reason SCD2 exists: every fact
+    row joins the dimension VERSION that was valid at the fact's event
+    time (here: each lineitem gets the customer-status version valid at
+    its ship date), never today's row. Dimension intervals come from
+    the same run-collapse build as scd2_customer_status with
+    valid_to = LEAD(valid_from) (half-open [from, to) — a same-day
+    status flip yields an empty interval, deterministically skipped by
+    both engines); the temporal join is an equi-join on the natural key
+    with the interval residual as a post-join filter, so it plans as a
+    co-partitioned SMJ on cust — at 100 TB the dimension is millions of
+    rows against billions of facts and this shape shuffles each side
+    once on the key it is already clustered by (no broadcast needed,
+    no per-row subquery)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("cust").orderBy("d", "k")
+    h = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+    ).withColumn("prev_status", F.lag("status").over(
+        Window.partitionBy("cust").orderBy("d", "k")
+    ))
+    runs = h.withColumn(
+        "version",
+        F.sum(
+            (F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status"))).cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = runs.groupBy("cust", "version", "status").agg(F.min("d").alias("valid_from"))
+    dim = versions.withColumn(
+        "valid_to", F.lead("valid_from").over(Window.partitionBy("cust").orderBy("version"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate", "l_extendedprice")
+    fact = li.join(
+        o.select(F.col("o_orderkey"), F.col("o_custkey").alias("cust")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("cust", F.col("l_shipdate").alias("ship"), F.col("l_extendedprice").alias("price"))
+    joined = fact.join(
+        dim,
+        (fact.cust == dim.cust)
+        & (dim.valid_from <= fact.ship)
+        & (dim.valid_to.isNull() | (fact.ship < dim.valid_to)),
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct(dim.cust).alias("n_custs"),
+        F.round(F.sum("price"), 2).alias("revenue"),
+    )

@@ -568,3 +568,14 @@ def test_runtime_bloom_filter_reaches_probe_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_pointintime_join_is_equi_on_key(spark, sf_dir):
+    """The temporal join must plan as an EQUI join on the natural key
+    with the interval residual as a post-join condition (broadcast at
+    fixture scale, co-partitioned SMJ at real scale) — never a
+    nested-loop or cartesian over the interval predicate."""
+    plan = explain_str(QUERIES["scd2_pointintime_enrich"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "valid_from" in plan, plan  # residual rides the hash/merge join
