@@ -523,3 +523,46 @@ def covariance_matrix(df: DataFrame, col: str = "embedding", dim: int = 64) -> D
             ((F.col("sxy") - F.col("sx_i") * F.col("sx_j") / F.col("nn")) / F.col("nn")).alias("cov"),
         )
     )
+
+
+def quantize_error_int8(df: DataFrame, col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-vector symmetric int8 quantization stats — the storage/ANN
+    compression step for a 100 TB embedding corpus (4 bytes → 1 byte
+    per dimension before any index build). Pure map stage: each vector
+    yields its scale (max-abs / 127) and reconstruction MSE, no
+    shuffle; aggregation is the caller's concern.
+
+    Arithmetic is pinned cross-engine: cast to float64 first (exact),
+    quantize with ``floor(x/scale + 0.5)`` clamped to [-127, 127] —
+    written out explicitly instead of ``round`` because numpy rounds
+    half-to-even while SQL engines round half-away — so any oracle can
+    replay the identical expression tree. Zero vectors (scale == 0)
+    are dropped on both sides by contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[col].to_numpy()).astype(np.float64, copy=False)
+            scale = np.abs(x).max(axis=1) / 127.0
+            ok = scale > 0.0
+            if not ok.any():
+                continue
+            xs, sc = x[ok], scale[ok]
+            q = np.clip(np.floor(xs / sc[:, None] + 0.5), -127.0, 127.0)
+            err = xs - q * sc[:, None]
+            mse = (err * err).sum(axis=1) / xs.shape[1]
+            yield pd.DataFrame(
+                {
+                    label_col: pdf[label_col].to_numpy()[ok],
+                    "scale": sc,
+                    "mse": mse,
+                }
+            )
+
+    return df.select(label_col, col).mapInPandas(
+        kernel, schema=f"{label_col} int, scale double, mse double"
+    )

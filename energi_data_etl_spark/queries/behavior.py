@@ -257,3 +257,65 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "theta_sketch_user_overlap",
+    tier="A6+L8 (theta sketch set algebra: distinct-user audience intersection)",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS saw,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(SUM(saw) AS BIGINT)          AS n_view_users,
+               CAST(SUM(bought) AS BIGINT)       AS n_purchase_users,
+               CAST(SUM(saw * bought) AS BIGINT) AS n_both_exact,
+               TRUE                              AS within_tol
+        FROM per_user
+    """,
+)
+def theta_sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via theta sketches — the sketch family whose
+    set ALGEBRA is closed: unlike HLL (union only), theta sketches
+    intersect and difference, which is what audience/cohort overlap
+    questions need at 100 TB (build one bounded sketch per segment in
+    one pass, combine sketches afterwards — never re-scan to intersect
+    two segments). The exact per-user flag rollup rides along as the
+    certification surface; the sketch's intersection estimate must land
+    within 5% (+1) of it or within_tol flips false and fails the hash
+    gate. DuckDB has no theta equivalent, so the oracle pins the exact
+    counts and expects the verdict column literally true — a Spark-side
+    sketch drift still breaks the compare."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("sv"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sp"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view_users"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase_users"),
+    )
+    both = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .agg(F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("n_both_exact"))
+    )
+    est = F.theta_sketch_estimate(F.theta_intersection("sv", "sp"))
+    return agg.crossJoin(both).select(
+        "n_view_users",
+        "n_purchase_users",
+        "n_both_exact",
+        (
+            F.abs(est - F.col("n_both_exact"))
+            <= F.lit(0.05) * F.col("n_both_exact") + F.lit(1.0)
+        ).alias("within_tol"),
+    )

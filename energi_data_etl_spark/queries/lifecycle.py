@@ -325,3 +325,67 @@ def api_source_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.avg("SEK_per_kWh").alias("avg_price"),
     )
+
+
+@query(
+    "schema_evolution_union_by_name",
+    tier="S4+S5 (parquet schema drift: mergeSchema read over two write generations)",
+    oracle="""
+        WITH labeled AS (
+            SELECT value,
+                   CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 2 END AS gen
+            FROM events
+        )
+        SELECT gen,
+               CAST(COUNT(*) AS BIGINT)                                             AS n_rows,
+               CAST(SUM(CASE WHEN gen = 1 OR value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)                                                      AS n_eur_null,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2)                                 AS sum_value,
+               ROUND(CAST(SUM(CASE WHEN gen = 2 THEN value * 0.085 END)
+                          AS DOUBLE), 2)                                            AS sum_value_eur
+        FROM labeled
+        GROUP BY gen
+    """,
+)
+def schema_evolution_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift is a fact of life for a long-lived 100 TB table: a
+    producer adds a column mid-stream and years of old files lack it.
+    This writes two parquet generations of the events fact — gen 1 with
+    the original columns, gen 2 with an added `value_eur` — then reads
+    both through ONE `mergeSchema=true` scan, which unions the schemas
+    by name and surfaces the missing column as NULL for old files
+    (Spark's parquet footer merge; at scale you'd pin the superset
+    schema in a catalog instead of paying the per-file footer merge,
+    which is why mergeSchema defaults off — this certifies the drift
+    path itself). The aggregate discriminates: a reader that dropped
+    the evolved column, or one that misassigned NULLs, fails the
+    per-generation null accounting. Oracle re-derives both generations
+    from the source table in closed form (the gen split is a pure
+    function of the event date)."""
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit("2024-01-16").cast("date")
+    gen1 = ev.filter(F.to_date("ts") < cutoff).select(
+        F.lit(1).alias("gen"), "event_id", "event_type", "value"
+    )
+    gen2 = ev.filter(F.to_date("ts") >= cutoff).select(
+        F.lit(2).alias("gen"),
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") * F.lit(0.085)).alias("value_eur"),
+    )
+    gen1.write.mode("overwrite").parquet(f"{base}/gen1")
+    gen2.write.mode("overwrite").parquet(f"{base}/gen2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{base}/gen1", f"{base}/gen2")
+    return merged.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value_eur").isNull(), 1).otherwise(0)).alias("n_eur_null"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum("value_eur"), 2).alias("sum_value_eur"),
+    )

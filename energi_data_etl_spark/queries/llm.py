@@ -655,3 +655,50 @@ def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.filter((F.col("i") < 8) & (F.col("j") <= F.col("i"))).select(
         "i", "j", (F.floor(F.col("cov") * 1000000.0) / 1000000.0).alias("cov")
     )
+
+
+@query(
+    "embedding_quantization_error",
+    tier="L3/L5 (int8 embedding compression: per-label reconstruction error audit)",
+    oracle="""
+        WITH e AS (
+            SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        ), per AS (
+            SELECT label, v,
+                   list_max(list_transform(v, x -> ABS(x))) / 127.0 AS scale
+            FROM e
+        ), errs AS (
+            SELECT label, scale,
+                   list_transform(
+                       v, x -> x - GREATEST(LEAST(FLOOR(x / scale + 0.5), 127.0), -127.0) * scale
+                   ) AS err
+            FROM per WHERE scale > 0
+        ), mses AS (
+            SELECT label, scale,
+                   list_sum(list_transform(err, d -> d * d)) / CAST(len(err) AS DOUBLE) AS mse
+            FROM errs
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               FLOOR(AVG(scale) * 1000000.0) / 1000000.0 AS avg_scale,
+               FLOOR(AVG(mse) * 1000000000000.0) / 1000000.0 AS mse_ppm
+        FROM mses
+        GROUP BY label
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (max-abs/127 scale per vector) with a
+    per-label reconstruction-error audit — the gate you run BEFORE
+    swapping a float32 ANN index for an int8 one at corpus scale. The
+    kernel (operators/similarity.py::quantize_error_int8) is a pure
+    numpy map stage; the only shuffle is the 10-group label aggregate.
+    mse_ppm is the average per-dimension squared error ×1e6,
+    FLOOR-truncated (quotient rule) so both engines compare identical
+    doubles despite summation-order ulp drift."""
+    e = load_table(spark, "embeddings", sf_dir)
+    per = S.quantize_error_int8(e)
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.floor(F.avg("scale") * F.lit(1000000.0)) / F.lit(1000000.0)).alias("avg_scale"),
+        (F.floor(F.avg("mse") * F.lit(1000000000000.0)) / F.lit(1000000.0)).alias("mse_ppm"),
+    )

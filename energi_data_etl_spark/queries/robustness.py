@@ -536,3 +536,64 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __listagg_nr GROUP BY n_regionkey, r_name
         """
     )
+
+
+@query(
+    "kll_quantile_sketch_audit",
+    tier="A6 (KLL quantile sketch — mergeable order statistics, rank-error verdict)",
+    oracle="""
+        WITH med AS (
+            SELECT l_returnflag,
+                   QUANTILE_DISC(l_extendedprice, 0.5) AS exact_p50,
+                   APPROX_QUANTILE(l_extendedprice, 0.5) AS a50
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT m.l_returnflag, m.exact_p50,
+               FLOOR(SUM(CASE WHEN l.l_extendedprice <= m.a50 THEN 1 ELSE 0 END)
+                     * 1000000.0 / COUNT(*)) / 1000000.0
+                   BETWEEN 0.45 AND 0.55 AS within_tol
+        FROM lineitem l JOIN med m USING (l_returnflag)
+        GROUP BY m.l_returnflag, m.exact_p50
+    """,
+)
+def kll_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: exact order statistics buffer whole
+    groups, a KLL sketch is fixed-size and MERGEABLE (map-side partials
+    combine like sums — the property exact percentiles lack). Each
+    engine runs its OWN sketch (Spark KLL, DuckDB t-digest) — raw
+    estimates are engine-specific, so the comparable surface is the
+    bit-exact discrete median plus a rank-error verdict: the sketch's
+    median estimate must sit within ±5 rank-percentage-points of the
+    true median (KLL k=200 guarantees ~1.65% rank error at 99%
+    confidence, so a healthy sketch passes with wide margin and a
+    drifting one fails the hash compare on both engines)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
+    li = li.repartition(spark.sparkContext.defaultParallelism)
+    li.createOrReplaceTempView("__kll_lineitem")
+    med = spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS exact_p50,
+               kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice), 0.5) AS a50
+        FROM __kll_lineitem GROUP BY l_returnflag
+        """
+    )
+    ranked = (
+        li.join(med, "l_returnflag")
+        .groupBy("l_returnflag", "exact_p50")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.when(F.col("l_extendedprice") <= F.col("a50"), 1).otherwise(0))
+                    * F.lit(1000000.0)
+                    / F.count(F.lit(1))
+                )
+                / F.lit(1000000.0)
+            ).alias("rank_frac")
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "exact_p50",
+        F.col("rank_frac").between(0.45, 0.55).alias("within_tol"),
+    )

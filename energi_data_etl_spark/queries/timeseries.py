@@ -439,3 +439,81 @@ def scd2_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(dim.cust).alias("n_custs"),
         F.round(F.sum("price"), 2).alias("revenue"),
     )
+
+
+#: Truncated-EWMA weights: alpha=0.5, 7 taps. Every coefficient and the
+#: normalizer (1 - 0.5^7) is an exact binary double, so the weighted sum
+#: is the same expression tree over identical doubles in both engines.
+_EWMA_ALPHA = 0.5
+_EWMA_TAPS = 7
+_EWMA_COEF = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_TAPS)]
+_EWMA_NORM = sum(_EWMA_COEF)  # == 1 - 0.5**7 == 0.9921875 exactly
+
+
+@query(
+    "ewma_value_smoothing",
+    tier="W2+W3+A1 (truncated exponentially-weighted moving average via lag taps)",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS DATE) AS date,
+                   -- FLOOR-truncate the raw avg quotient (CLAUDE.md rule)
+                   -- so both engines feed the filter identical doubles
+                   FLOOR(SUM(value) / COUNT(value) * 1000000.0) / 1000000.0 AS x
+            FROM events
+            GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type, date, x,
+                   {", ".join(f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY date) AS x{k}" for k in range(1, _EWMA_TAPS))},
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY date) AS rn
+            FROM daily
+        )
+        SELECT event_type, date,
+               FLOOR(({" + ".join(f"{c!r} * x{k}" if k else f"{c!r} * x" for k, c in enumerate(_EWMA_COEF))})
+                     / {_EWMA_NORM!r} * 1000000.0) / 1000000.0 AS ewma
+        FROM lagged
+        WHERE rn >= {_EWMA_TAPS}
+        ORDER BY event_type, date
+    """,
+)
+def ewma_value_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing is inherently sequential
+    (EWMA_t depends on EWMA_{t-1}), which distributes badly; the
+    truncated form re-expresses it as a FIXED tap filter — 7 lag
+    columns, one window shuffle per series, no recursion — which is the
+    form that scales: each series partition computes independently and
+    the per-row work is a constant dot product. alpha=0.5 taps are
+    exact binary doubles, the tail mass below 0.5^7 is renormalized
+    away, and rows before the 7th are dropped (no partial windows).
+    Certified term-for-term against DuckDB computing the identical
+    expression tree."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(
+            (
+                F.floor(F.sum("value") / F.count("value") * F.lit(1000000.0)) / F.lit(1000000.0)
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("date")
+    taps = daily.select(
+        "event_type",
+        "date",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, _EWMA_TAPS)],
+        F.row_number().over(w).alias("rn"),
+    )
+    weighted = sum(
+        (F.lit(c) * F.col("x" if k == 0 else f"x{k}") for k, c in enumerate(_EWMA_COEF)),
+        start=F.lit(0.0),
+    )
+    return (
+        taps.filter(F.col("rn") >= _EWMA_TAPS)
+        .select(
+            "event_type",
+            "date",
+            (F.floor(weighted / F.lit(_EWMA_NORM) * F.lit(1000000.0)) / F.lit(1000000.0)).alias("ewma"),
+        )
+        .orderBy("event_type", "date")
+    )

@@ -245,3 +245,37 @@ def test_covariance_matrix_matches_numpy_exactly(spark, sf_dir):
     want = np.cov(x, rowvar=False, bias=True)  # population (divide by n)
     assert np.abs(got - want).max() < 1e-9
     assert np.abs(got - got.T).max() < 1e-12
+
+
+def test_quantize_error_int8_matches_numpy_exactly(spark, sf_dir):
+    """The int8 quantization kernel must reproduce the numpy reference
+    bit-for-bit per vector (same floor(x/s + 0.5) clamp formula), and
+    every per-vector MSE must respect the analytic worst-case bound for
+    symmetric uniform quantization, (scale/2)^2 — the error of a value
+    sitting exactly between two codes."""
+    import numpy as np
+
+    from energi_data_etl_spark.operators.similarity import quantize_error_int8
+    from energi_data_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    got = (
+        quantize_error_int8(e.select(F.col("vec_id").alias("label"), "embedding"))
+        .toPandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    x = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    for _, row in got.iterrows():
+        v = x[row.label]
+        scale = np.abs(v).max() / 127.0
+        q = np.clip(np.floor(v / scale + 0.5), -127.0, 127.0)
+        err = v - q * scale
+        mse = float((err * err).sum() / v.size)
+        assert row.scale == scale
+        assert row.mse == mse
+        assert row.mse <= (scale / 2.0) ** 2 + 1e-18
+    assert len(got) == len(x)  # no zero vectors dropped in this corpus
