@@ -313,3 +313,51 @@ def format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.format_string("%02d/%s_%d.json", "n_regionkey", "n_name", "n_nationkey").alias("url_path"),
     )
+
+
+@query(
+    "variant_shredding_agg",
+    tier="F5 (VARIANT semi-structured shredding: parse_json -> typed variant_get)",
+    oracle="""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT)             AS n,
+               CAST(SUM(o_orderkey) AS BIGINT)      AS sum_keys,
+               ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def variant_shredding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT is the semi-structured path that scales:
+    parse once into a binary columnar encoding, then typed
+    `variant_get` extractions that Catalyst can shred and prune —
+    versus get_json_object re-parsing the string per expression
+    (json_extraction's documented hazard). Exercised as a full
+    roundtrip so values are certifiable from first principles: orders
+    rows are serialized to a NESTED JSON payload, parsed to VARIANT,
+    shredded back out with typed paths (bigint/string/double, one
+    nested level), and aggregated; the oracle computes the identical
+    aggregate straight from the raw columns, so any loss in the
+    serialize->parse->extract chain (dropped rows, mistyped paths,
+    double roundtrip drift) breaks the hash."""
+    o = load_table(spark, "orders", sf_dir)
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.struct(
+                F.col("o_totalprice").alias("p"), F.col("o_orderpriority").alias("pr")
+            ).alias("nest"),
+        )
+    )
+    shred = o.select(F.parse_json(payload).alias("v")).select(
+        F.variant_get("v", "$.s", "string").alias("status"),
+        F.variant_get("v", "$.nest.pr", "string").alias("priority"),
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.variant_get("v", "$.nest.p", "double").alias("p"),
+    )
+    return shred.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_keys"),
+        F.round(F.sum("p"), 2).alias("total_price"),
+    )

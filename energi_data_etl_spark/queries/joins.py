@@ -274,3 +274,48 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+@query(
+    "lateral_join_topk",
+    tier="J-ext (correlated LATERAL subquery: per-outer-row dependent top-k)",
+    oracle="""
+        SELECT r.r_name AS region_name, l.nation_name, l.total_bal
+        FROM region r, LATERAL (
+            SELECT n.n_name AS nation_name,
+                   ROUND(CAST(SUM(c.c_acctbal) AS DOUBLE), 2) AS total_bal
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY SUM(c.c_acctbal) DESC, n.n_name
+            LIMIT 2
+        ) l
+    """,
+)
+def lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL is the SQL-standard spelling of per-row dependent
+    subqueries — 'for each region, its top-2 nations by customer
+    balance' — which Catalyst DECORRELATES into joins + windows rather
+    than executing per-outer-row (DecorrelateInnerQuery; the naive
+    interpretation would rescan customer once per region, quadratic at
+    100 TB). Same result as the window top-k family, certified through
+    the LATERAL operator surface itself; ties broken by name so the
+    LIMIT frontier is deterministic in both engines."""
+    from ..sources.tables import load_table
+
+    for t in ("region", "nation", "customer"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"__lat_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name, l.nation_name, l.total_bal
+        FROM __lat_region r, LATERAL (
+            SELECT n.n_name AS nation_name,
+                   ROUND(SUM(c.c_acctbal), 2) AS total_bal
+            FROM __lat_nation n JOIN __lat_customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY SUM(c.c_acctbal) DESC, n.n_name
+            LIMIT 2
+        ) l
+        """
+    )

@@ -314,3 +314,89 @@ def streaming_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.col("r_user").isNull().cast("bigint")).alias("n_unattributed"),
         F.round(F.sum("l_value"), 4).alias("click_value"),
     )
+
+
+@query(
+    "streaming_foreachbatch_upsert",
+    tier="T7+S5+J2 (foreachBatch sink: per-batch delta MERGEd into a keyed summary table)",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)            AS n_events,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch is the escape hatch for sinks Structured Streaming
+    can't express declaratively — here the classic one: incremental
+    MERGE of each micro-batch's pre-aggregated delta into a durable
+    keyed summary table (upsert = full-outer coalesce + add, the
+    merge_upsert_orders data-flow driven by a stream). The source is
+    the events table split into three files drained one per micro-batch
+    (maxFilesPerTrigger=1), so the state table really is built from
+    three successive merges — a single-batch run would not exercise the
+    incremental path and is asserted against. Deltas are aggregated
+    BEFORE the merge (per-batch map-side combine: the merge join
+    carries |keys| rows, not |batch| rows), and each version is written
+    to a fresh path — at 100 TB this is the summary-table maintenance
+    topology: bounded state, exactly-once via sink-side idempotent
+    versioning, no unbounded stream-state store at all. The oracle is
+    the one-shot batch aggregate the three merges must reproduce."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="febatch_")
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    src = f"{base}/src"
+    os.makedirs(src)
+    for i in range(3):
+        tmp_i = f"{base}/tmp{i}"
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(tmp_i)
+        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    state = {"path": None, "version": 0}
+
+    def upsert(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("dn"), F.sum("value").alias("dt")
+        )
+        if state["path"] is None:
+            merged = delta.select(
+                "event_type", F.col("dn").alias("n_events"), F.col("dt").alias("total_value")
+            )
+        else:
+            cur = batch_df.sparkSession.read.parquet(state["path"])
+            merged = (
+                cur.withColumnsRenamed({"n_events": "sn", "total_value": "st"})
+                .join(delta, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (F.coalesce("sn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_events"),
+                    (F.coalesce("st", F.lit(0.0)) + F.coalesce("dt", F.lit(0.0))).alias(
+                        "total_value"
+                    ),
+                )
+            )
+        state["version"] += 1
+        out = f"{base}/state_v{state['version']}"
+        merged.write.parquet(out)
+        state["path"] = out
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    with drain_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    assert state["version"] >= 2, "expected multiple micro-batches (incremental merge unexercised)"
+    return spark.read.parquet(state["path"]).select(
+        "event_type", "n_events", F.round("total_value", 2).alias("total_value")
+    )
