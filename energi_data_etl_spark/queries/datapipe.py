@@ -1543,3 +1543,58 @@ def fuzzy_match_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "lev_dist", "n_a", "n_b")
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    tier="L-pipeline (Efraimidis-Spirakis A-RES: distributed weighted sampling without replacement)",
+    oracle="""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   POWER(
+                       (CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                           / 4294967296.0,
+                       1.0 / CAST(n_chars AS DOUBLE)
+                   ) AS k
+            FROM documents
+        ), ranked AS (
+            SELECT source, doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY k DESC, doc_id
+                   ) AS BIGINT) AS rk
+            FROM keyed
+        )
+        SELECT source, rk, doc_id, n_chars
+        FROM ranked WHERE rk <= 10
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, the Efraimidis-Spirakis
+    way: give every row the key u^(1/w) for a per-row uniform u and
+    weight w (here n_chars — longer docs proportionally likelier), and
+    the global top-k by key IS an exact weighted sample. This is THE
+    distributed formulation — no sequential reservoir, no rejection
+    loop: keys are a pure map stage, selection is one per-stratum
+    top-k window (and at 100 TB the window prunes map-side: each
+    partition keeps its local top-k before the shuffle, so the
+    exchange carries k rows per partition per stratum, not the
+    corpus). u derives from md5 (the one hash both engines share,
+    offset +0.5 so u is never 0) making the whole sample REPRODUCIBLE
+    — reruns and backfills pick identical docs, which is what a
+    training-data pipeline needs from its samplers. The full selected
+    roster (not just counts) is the certified surface."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("source", "rk", "doc_id", "n_chars")
+    )

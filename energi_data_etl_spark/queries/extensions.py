@@ -186,3 +186,72 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node_kind"), F.col("entity_id"))
         .limit(50)
     )
+
+
+class MeltNumericUDTF:
+    """Polymorphic UDTF: output schema decided at ANALYZE time from the
+    table argument's schema — integer columns pass through as keys,
+    double columns melt to (col_name, value) rows. The schema contract
+    lives in `analyze`, so the same function melts ANY table without a
+    per-table registration (Spark resolves it per call site)."""
+
+    @staticmethod
+    def analyze(t):  # noqa: ANN001, ANN205 - pyspark's UDTF analyze protocol
+        from pyspark.sql.types import DoubleType, IntegerType, LongType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        s = StructType()
+        for f in t.dataType.fields:
+            if isinstance(f.dataType, (LongType, IntegerType)):
+                s = s.add(f.name, f.dataType)
+        return AnalyzeResult(schema=s.add("col_name", StringType()).add("value", DoubleType()))
+
+    def eval(self, row):  # noqa: ANN001
+        keys, melts = [], []
+        for name, v in zip(row.__fields__, row):
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, int):
+                keys.append(v)
+            elif isinstance(v, float):
+                melts.append((name, v))
+        for name, v in melts:  # null measures are dropped by contract
+            yield (*keys, name, v)
+
+
+@query(
+    "melt_udtf_polymorphic",
+    tier="U3-ext (polymorphic UDTF: TABLE argument + analyze-time dynamic schema)",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, col_name, value FROM (
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS col_name, l_quantity AS value
+            FROM lineitem WHERE l_orderkey < 80
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem WHERE l_orderkey < 80
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem WHERE l_orderkey < 80
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem WHERE l_orderkey < 80
+        ) m WHERE value IS NOT NULL
+    """,
+)
+def melt_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 beyond the fixed-schema tokenizer: a TABLE-argument UDTF whose
+    output schema is computed at analyze time from the argument's
+    schema (int columns → keys, double columns → melted rows). This is
+    the UDTF shape reusable libraries need — schema-generic operators
+    registered once. Row-at-a-time Python is the cost (the UDTF
+    protocol is per-row by definition); the input is filtered FIRST so
+    the slow path sees only the slice, and the wide-to-long semantics
+    are certified against a static 4-way UNION ALL oracle."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("melt_numeric", udtf(MeltNumericUDTF))
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 80)
+    li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).createOrReplaceTempView("__melt_li")
+    return spark.sql("SELECT * FROM melt_numeric(TABLE(SELECT * FROM __melt_li))")

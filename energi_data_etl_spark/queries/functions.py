@@ -361,3 +361,44 @@ def variant_shredding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_keys"),
         F.round(F.sum("p"), 2).alias("total_price"),
     )
+
+
+@query(
+    "collation_ci_grouping",
+    tier="F2-ext (collation-aware comparison: case-insensitive grouping semantics)",
+    oracle="""
+        WITH variants AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN LOWER(c_mktsegment)
+                        ELSE c_mktsegment END AS s
+            FROM customer
+        )
+        SELECT MIN(s)                          AS segment,
+               CAST(COUNT(*) AS BIGINT)        AS n,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_raw_variants
+        FROM variants
+        GROUP BY s COLLATE NOCASE
+    """,
+)
+def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations push comparison semantics INTO the type
+    system: `collate(s, 'UTF8_LCASE')` groups/joins case-insensitively
+    in the JVM comparator itself — no LOWER() wrapper, so the optimizer
+    still sees the raw column for pruning and stats, and the same
+    spelling works for joins, ORDER BY, and DISTINCT. The fixture
+    manufactures case drift deterministically (even keys lowered), the
+    case-insensitive groups must merge the variants (n_raw_variants=2
+    proves the group really spans both spellings), and the emitted
+    representative is the binary MIN so both engines pick the same
+    one (a collated group's 'first' value is engine-arbitrary —
+    never emit it raw)."""
+    c = load_table(spark, "customer", sf_dir)
+    variants = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("s")
+    )
+    return variants.groupBy(F.collate("s", "UTF8_LCASE").alias("__g")).agg(
+        F.min("s").alias("segment"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("s").alias("n_raw_variants"),
+    ).drop("__g")
