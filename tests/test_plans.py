@@ -579,3 +579,47 @@ def test_scd2_pointintime_join_is_equi_on_key(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "valid_from" in plan, plan  # residual rides the hash/merge join
+
+
+def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
+    """The cost-based-optimizer path at 100 TB starts with catalog
+    statistics: ANALYZE TABLE COMPUTE STATISTICS must land an exact
+    rowCount in the catalog, CBO must propagate it into the logical
+    plan's stats, and a column-stats NDV must exist for the join key —
+    without stats every size estimate degrades to file-size heuristics
+    and join reordering flies blind."""
+    warehouse = str(tmp_path / "wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbo_t LOCATION '{warehouse}'")
+    prev = spark.conf.get("spark.sql.cbo.enabled", None)
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        from energi_data_etl_spark.sources.tables import load_table
+
+        load_table(spark, "nation", sf_dir).write.mode("overwrite").saveAsTable("cbo_t.nation")
+        spark.sql(
+            "ANALYZE TABLE cbo_t.nation COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey"
+        )
+        exact = spark.table("cbo_t.nation").count()
+        # catalog row count is exact and CBO propagates it into plan stats
+        stats = (
+            spark.table("cbo_t.nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().get() == exact, stats.toString()
+        # column-level NDV recorded for the join key
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE EXTENDED cbo_t.nation n_nationkey"
+            ).collect()
+        }
+        assert int(desc["distinct_count"]) > 0, desc
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS cbo_t.nation")
+        spark.sql("DROP DATABASE IF EXISTS cbo_t")
