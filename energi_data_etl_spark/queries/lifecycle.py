@@ -389,3 +389,46 @@ def schema_evolution_union_by_name(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.sum("value_eur"), 2).alias("sum_value_eur"),
     )
+
+
+@query(
+    "file_metadata_lineage",
+    tier="S-ext (_metadata hidden column: file-level lineage + row_index audit)",
+    oracle="""
+        SELECT CAST(ts AS DATE)          AS date,
+               CAST(COUNT(*) AS BIGINT)  AS n_rows,
+               CAST(1 AS BIGINT)         AS n_files,
+               CAST(COUNT(*) AS BIGINT)  AS rows_by_index
+        FROM events
+        GROUP BY 1
+    """,
+)
+def file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance at 100 TB is file-granular: Spark's hidden
+    `_metadata` struct (file_name, row_index, ...) exposes, per ROW,
+    which physical file it came from and its ordinal inside that file —
+    no bookkeeping columns baked into the data, no input_file_name()
+    string parsing. The fixture writes events date-partitioned with
+    exactly one file per partition (repartition(date) before
+    partitionBy(date): each date lives in one task), then certifies
+    from the metadata alone that (a) every date directory really is a
+    single file and (b) max(row_index)+1 re-derives the file's row
+    count — the two invariants a file-lineage audit (bad-file
+    quarantine, incremental re-ingest) rests on."""
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="lineage_")
+    ev = load_table(spark, "events", sf_dir).withColumn("date", F.to_date("ts"))
+    ev.repartition("date").write.partitionBy("date").parquet(f"{base}/t")
+    back = spark.read.parquet(f"{base}/t").select(
+        "date",
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    return back.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("fn").alias("n_files"),
+        (F.max("ri") + F.lit(1)).alias("rows_by_index"),
+    )

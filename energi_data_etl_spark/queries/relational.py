@@ -441,3 +441,40 @@ def hll_merge_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+@query(
+    "bitmap_distinct_users",
+    tier="A6/A8-ext (bitmap index aggregation: exact mergeable distinct over dense int keys)",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT)                AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third point on the distinct-count design space, between
+    exact shuffle-the-keys COUNT(DISTINCT) and approximate HLL: for a
+    DENSE integer key domain (user ids, surrogate keys), a fixed 4 KB
+    bitmap per 32768-id bucket is an EXACT distinct that merges like a
+    sum — partial aggregation ORs bitmaps map-side, the shuffle
+    carries one bitmap per (group, bucket) instead of one row per
+    distinct key, and re-aggregation across time slices is lossless
+    (the roaring-bitmap warehouse pattern). Two-level plan:
+    bucket-group bitmap_construct_agg, then bitmap_count summed per
+    group. Certified equal — not merely within tolerance — to the
+    oracle's COUNT(DISTINCT); the exact row count rides along from the
+    same pass."""
+    ev = load_table(spark, "events", sf_dir)
+    buckets = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
