@@ -517,3 +517,137 @@ def ewma_value_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "date")
     )
+
+
+@query(
+    "ivm_join_delta",
+    tier="T1+J1 (incremental view maintenance: join delta algebra vs full recompute)",
+    oracle="""
+        WITH o_all AS (
+            SELECT * FROM orders WHERE o_orderdate < DATE '1998-07-01'
+        ), l_all AS (
+            SELECT * FROM lineitem WHERE l_shipdate < DATE '1998-07-01'
+        )
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+        FROM o_all o JOIN l_all l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 100 TB join view is never recomputed from scratch when a day
+    of data lands — it's maintained by the join delta rule
+    Δ(O ⋈ L) = (ΔO ⋈ L_old) ∪ (O_old ⋈ ΔL) ∪ (ΔO ⋈ ΔL), where each
+    term joins a DELTA-sized side against the base (broadcastable /
+    DPP-prunable) instead of base×base. The deltas here arrive on
+    DIFFERENT clocks deliberately — new orders by order date, new
+    lineitems by ship date, so late-shipping lines of old orders
+    populate the cross terms and the algebra is exercised for real
+    (delta sides would be empty under a single clock and the test
+    vacuous; asserted against). The four-term union, aggregated,
+    must equal the oracle's one-shot full join — the correctness
+    contract that lets incremental maintenance replace recompute."""
+    cutoff, end = "1998-01-01", "1998-07-01"
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o_old = o.filter(F.col("o_orderdate") < cutoff)
+    d_o = o.filter((F.col("o_orderdate") >= cutoff) & (F.col("o_orderdate") < end))
+    l_old = li.filter(F.col("l_shipdate") < cutoff)
+    d_l = li.filter((F.col("l_shipdate") >= cutoff) & (F.col("l_shipdate") < end))
+
+    def j(os_, ls_):
+        return ls_.join(os_, ls_.l_orderkey == os_.o_orderkey)
+
+    parts = [j(o_old, l_old), j(d_o, l_old), j(o_old, d_l), j(d_o, d_l)]
+    # the cross terms are the point — a vacuous delta would certify nothing
+    assert j(o_old, d_l).limit(1).count() == 1, "O_old x dL cross term is empty"
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+@query(
+    "cdc_apply_log",
+    tier="T1+J2+W1 (CDC apply: out-of-order change log -> latest-wins merge with deletes)",
+    oracle="""
+        WITH log AS (
+            -- three updates (seq 1..3) for keys %5==0, a delete (seq 4)
+            -- for keys %7==0: overlapping keys get U then D, so only
+            -- latest-wins ordering produces the right survivors
+            SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_acctbal + 10 AS bal
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey, 2, 'U', c_acctbal + 20 FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey, 3, 'U', c_acctbal + 30 FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey, 4, 'D', NULL FROM customer WHERE c_custkey % 7 = 0
+        ), latest AS (
+            SELECT k, op, bal
+            FROM (SELECT k, op, bal,
+                         ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                  FROM log)
+            WHERE rn = 1
+        ), applied AS (
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COALESCE(l.bal, c.c_acctbal) AS bal,
+                   CASE WHEN l.op = 'D' THEN 1 ELSE 0 END AS deleted
+            FROM customer c LEFT JOIN latest l ON l.k = c.c_custkey
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT)       AS n_customers,
+               ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS total_bal
+        FROM applied WHERE deleted = 0
+        GROUP BY c_mktsegment
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying a change-data-capture log is merge_upsert_orders'
+    harder sibling: the log carries MULTIPLE changes per key plus
+    deletes, and arrival order is not application order — correctness
+    hinges on latest-wins per key (one window by sequence number)
+    BEFORE the merge, then a left join where 'D' drops the row and 'U'
+    overrides the column. Collapsing the log first is also the scale
+    move: the merge join carries one row per changed key, not one per
+    change — at 100 TB the log collapse is a delta-sized shuffle and
+    the base table is touched once. Keys %35==0 receive updates AND a
+    later delete, so a wrong order (or an unstable dedup instead of
+    the seq window) changes the survivor set and fails the hash."""
+    c = load_table(spark, "customer", sf_dir)
+    k5 = c.filter(F.col("c_custkey") % 5 == 0)
+    log = None
+    for seq, delta in ((1, 10), (2, 20), (3, 30)):
+        part = k5.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(seq).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("c_acctbal") + delta).alias("bal"),
+        )
+        log = part if log is None else log.unionByName(part)
+    log = log.unionByName(
+        c.filter(F.col("c_custkey") % 7 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.lit(4).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("bal"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "seq")
+    )
+    applied = c.join(latest, c.c_custkey == latest.k, "left").filter(
+        ~F.coalesce(F.col("op") == "D", F.lit(False))
+    )
+    return applied.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce("bal", "c_acctbal").alias("b"),
+    ).groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("b"), 2).alias("total_bal"),
+    )
