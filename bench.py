@@ -42,6 +42,14 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
     _materialize(QUERIES["flagship_daily_avg"].fn(spark, warm_dir))
     _materialize(QUERIES["grouped_median_udaf"].fn(spark, warm_dir))
+    # two more one-time paths that otherwise tax whichever query runs
+    # them first in catalog order (r07 saw phantom 6x/2.3x "regressions"
+    # when the FIRST_50 rotation moved their owners to cold positions;
+    # isolated re-runs were at r06 levels): the regex tokenizer's
+    # codegen/JIT (token_count over text) and the localCheckpoint +
+    # range-exchange machinery. Warmed at sf0.001 they cost ~0.3 s each.
+    _materialize(QUERIES["token_budget_packing"].fn(spark, warm_dir))
+    _materialize(QUERIES["global_row_index"].fn(spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
