@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["attach_payload", "PAYLOAD_META_SCHEMA", "decode_features", "frame_sample"]
+__all__ = ["attach_payload", "PAYLOAD_META_SCHEMA", "decode_features", "frame_sample", "resize_stub"]
 
 #: Typed metadata carried next to every binary payload.
 PAYLOAD_META_SCHEMA = T.StructType(
@@ -104,3 +104,24 @@ def frame_sample(df: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> Dat
         ),
     )
     return df.withColumn("frames", frames).withColumn("n_frames", F.size("frames"))
+
+
+def resize_stub(df: DataFrame, factor: int = 4) -> DataFrame:
+    """'Image resize' plumbing: nearest-neighbor downsample over the
+    raw byte grid — every `factor`-th byte of the payload, as an
+    array<binary> of 1-byte samples plus the out-size accounting. The
+    Spark side of a real resize is exactly this shape (binary in,
+    smaller binary out, size metadata maintained); a production decode
+    would swap the byte-stride kernel for PIL/libvips at the Arrow
+    boundary (mapInPandas) — deliberately stubbed deterministic here
+    because no image codec ships in this environment. Pure JVM
+    expression: no Python, no shuffle."""
+    total = F.octet_length("payload")
+    n_out = F.ceil(total / F.lit(float(factor))).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_out - 1, F.lit(0)))
+    resized = F.transform(idx, lambda i: F.substring(F.col("payload"), i * factor + 1, 1))
+    return (
+        df.withColumn("in_bytes", total.cast("bigint"))
+        .withColumn("resized_frames", resized)
+        .withColumn("out_bytes", F.size("resized_frames").cast("bigint"))
+    )

@@ -702,3 +702,42 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg("scale") * F.lit(1000000.0)) / F.lit(1000000.0)).alias("avg_scale"),
         (F.floor(F.avg("mse") * F.lit(1000000000000.0)) / F.lit(1000000.0)).alias("mse_ppm"),
     )
+
+
+@query(
+    "multimodal_resize_stub",
+    tier="L5 (resize plumbing: nearest-neighbor byte downsample, size accounting)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS total
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CAST(total AS BIGINT)               AS in_bytes,
+               CAST(CEIL(total / 4.0) AS BIGINT)   AS out_bytes,
+               ARRAY_TO_STRING(
+                   LIST_TRANSFORM(GENERATE_SERIES(0, CAST(CEIL(total / 4.0) AS INT) - 1),
+                       i -> SUBSTRING(text, i * 4 + 1, 1)),
+                   '') AS resized_str
+        FROM t
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize leg of the multimodal tier (decode/feature-extract/
+    resize/frame-sample, SURVEY §2.10): 4x nearest-neighbor byte
+    downsample with in/out size accounting — the operator is pure JVM
+    (operators/multimodal.py::resize_stub), certified byte-for-byte:
+    the oracle re-derives every sampled byte as a text substring (ASCII
+    fixture, so byte offsets == char offsets) and both sides emit the
+    concatenated result. CEIL(double) is DOUBLE in DuckDB but BIGINT in
+    Spark — both sides cast explicitly (the cast-matrix trap)."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    resized = M.resize_stub(M.attach_payload(d), factor=4)
+    return resized.select(
+        "doc_id",
+        "in_bytes",
+        "out_bytes",
+        F.concat_ws("", F.transform("resized_frames", lambda b: F.decode(b, "UTF-8"))).alias(
+            "resized_str"
+        ),
+    )
