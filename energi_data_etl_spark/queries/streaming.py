@@ -400,3 +400,85 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(state["path"]).select(
         "event_type", "n_events", F.round("total_value", 2).alias("total_value")
     )
+
+
+@query(
+    "streaming_late_data_drop",
+    tier="T2 (event-time watermark: late arrivals dropped past finalized windows)",
+    oracle="""
+        -- the late file replays days 1-5 a SECOND time after the
+        -- watermark passed their windows: accepted, they would DOUBLE
+        -- those days' counts — the expected table is single-counted.
+        -- The last open window (the max day) is withheld by append
+        -- mode; same finalization cut as streaming_rollup_parquet.
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS date,
+               CAST(COUNT(*) AS BIGINT)            AS n,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+        FROM events
+        WHERE CAST(DATE_TRUNC('day', ts) AS DATE) + INTERVAL 1 DAY
+              <= (SELECT MAX(ts) FROM events)
+        GROUP BY 1
+    """,
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2's defining behavior, driver-certified: rows arriving AFTER
+    the event-time watermark passed their window are DROPPED, not
+    double-counted. Batch 1 delivers days 1-20 (watermark advances to
+    day 20); batch 2 replays days 1-5 verbatim — late by two weeks —
+    plus the fresh tail. State for the replayed windows was already
+    finalized and evicted, so the late copies hit no state and the
+    per-day counts stay single-counted; a watermark that failed to
+    evict (or a sink that re-opened closed windows) doubles days 1-5
+    and fails the hash. This is the bounded-state contract that makes
+    infinite streams aggregatable: state size follows the watermark
+    horizon, not stream length. File order is pinned via mtimes;
+    maxFilesPerTrigger=1 forces the batch schedule.
+
+    The middle batch (days 21-25) is load-bearing: the late-record
+    filter in batch N uses the watermark computed BEFORE batch N-1's
+    data (one batch of lag, verified empirically — a replay arriving
+    in the very batch where its windows get evicted is still MERGED,
+    numRowsDroppedByWatermark=0), so the replay must trail the
+    watermark-advancing data by two batches to exercise the drop."""
+    import os
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="late_drop_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    early = ev.filter(F.to_date("ts") <= "2024-01-20")
+    middle = ev.filter(F.to_date("ts").between("2024-01-21", "2024-01-25"))
+    late_replay = ev.filter(F.to_date("ts") <= "2024-01-05")
+    tail = ev.filter(F.to_date("ts") >= "2024-01-26")
+
+    def _one_file(df, name: str, mtime: float) -> None:
+        import glob
+        import shutil
+
+        tmp = f"{base}/tmp_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        dest = f"{src}/{name}.parquet"
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+        os.utime(dest, (mtime, mtime))
+
+    _one_file(early, "00_early", 1_700_000_000.0)
+    _one_file(middle, "01_middle", 1_700_000_100.0)
+    _one_file(late_replay.unionByName(tail), "02_late_and_tail", 1_700_000_200.0)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TimestampType, not NTZ
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = stream.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    drained = run_to_memory(agg, output_mode="append")
+    return drained.select(
+        F.col("w.start").cast("timestamp_ntz").cast("date").alias("date"), "n", "total_value"
+    )
