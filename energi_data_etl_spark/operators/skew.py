@@ -15,7 +15,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "adaptive_salted_join"]
 
 
 def salted_agg(
@@ -46,3 +46,67 @@ def salted_agg(
         F.max("__mx").alias("max_value"),
         (F.sum("__s") / F.sum("__c")).alias("avg_value"),
     )
+
+
+def adaptive_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    salt_buckets: int = 8,
+    hot_frac: float = 0.05,
+) -> DataFrame:
+    """Salted join that pays replication ONLY for detected hot keys —
+    the production form of the full-salt recipe (which multiplies the
+    entire build side by S even though almost every key is cold).
+
+    1. Detect: per-key probe counts; keys holding more than `hot_frac`
+       of all probe rows are hot. The hot set is by construction tiny
+       (at most 1/hot_frac keys), so it broadcasts; at 100 TB compute
+       it from a sample instead of the full count — the split is a
+       pure optimization, so a sampling miss costs performance, never
+       correctness.
+    2. Split: probe rows tag hot/cold via broadcast semi-lookup; the
+       build side replicates rows ONLY for hot keys (explode 0..S-1),
+       cold build rows pass through once.
+    3. Join: cold path is the plain equi-join AQE already handles;
+       hot path joins on (key, salt) with the probe's salt drawn from
+       a row-unique hash. Union of the two paths == the plain join,
+       row for row (every probe row still meets its build row exactly
+       once, in exactly one salt partition).
+
+    Returns the joined frame with the probe and build columns.
+    """
+    total = probe.count()
+    hot_keys = (
+        probe.groupBy(probe_key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > float(total) * hot_frac)
+        .select(F.col(probe_key).alias("__hk"))
+    )
+    p_tagged = probe.join(
+        F.broadcast(hot_keys), probe[probe_key] == hot_keys["__hk"], "left"
+    )
+    p_cold = p_tagged.filter(F.col("__hk").isNull()).drop("__hk")
+    p_hot = p_tagged.filter(F.col("__hk").isNotNull()).drop("__hk")
+
+    b_tagged = build.join(
+        F.broadcast(hot_keys), build[build_key] == hot_keys["__hk"], "left"
+    )
+    b_cold = b_tagged.filter(F.col("__hk").isNull()).drop("__hk")
+    b_hot = b_tagged.filter(F.col("__hk").isNotNull()).drop("__hk")
+
+    cold = p_cold.join(b_cold, p_cold[probe_key] == b_cold[build_key])
+
+    p_salted = p_hot.withColumn(
+        "__salt", F.pmod(F.xxhash64(*p_hot.columns), F.lit(salt_buckets)).cast("int")
+    )
+    b_salted = b_hot.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    hot = p_salted.join(
+        b_salted,
+        (p_salted[probe_key] == b_salted[build_key]) & (p_salted["__salt"] == b_salted["__salt"]),
+    ).drop("__salt")
+
+    return cold.unionByName(hot)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import skew as K
 from ..operators.joins import asof_join
 from ..sources.tables import load_table
 from .catalog import query
@@ -318,4 +319,61 @@ def lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 2
         ) l
         """
+    )
+
+
+@query(
+    "join_skew_adaptive_salted",
+    tier="J1+§4.3 (adaptive salting: replicate the build side only for DETECTED hot keys)",
+    oracle="""
+        WITH probe AS (
+            SELECT CASE WHEN l_orderkey % 4 <> 0 THEN -1 ELSE l_orderkey END AS pk,
+                   l_extendedprice * (1 - l_discount) AS rev
+            FROM lineitem
+        ), build AS (
+            SELECT CASE WHEN o_orderkey % 4 <> 0 THEN -1 ELSE o_orderkey END AS bk,
+                   MIN(o_orderpriority) AS prio
+            FROM orders GROUP BY 1
+        )
+        SELECT b.prio,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM(p.rev) AS DOUBLE), 2) AS revenue
+        FROM probe p JOIN build b ON p.pk = b.bk
+        GROUP BY b.prio
+    """,
+)
+def join_skew_adaptive_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_skew_salted's production upgrade: full salting multiplies
+    the ENTIRE build side by S even though almost every key is cold —
+    adaptive salting (operators/skew.py::adaptive_salted_join) first
+    DETECTS hot keys (here the manufactured key -1 holding ~75% of
+    probe rows; threshold 5% of rows), then splits: cold keys take the
+    plain equi-join untouched, only the hot keys' build rows replicate
+    S ways and join on (key, salt). The split is detection-driven, so
+    the replication cost scales with |hot keys|, not |build|; a
+    detection miss degrades performance only — the union of the two
+    paths is provably the plain join, which is exactly what the
+    unsalted oracle certifies."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    probe = li.select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(-1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("pk"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    build = (
+        o.select(
+            F.when(F.col("o_orderkey") % 4 != 0, F.lit(-1))
+            .otherwise(F.col("o_orderkey"))
+            .alias("bk"),
+            "o_orderpriority",
+        )
+        .groupBy("bk")
+        .agg(F.min("o_orderpriority").alias("prio"))
+    )
+    j = K.adaptive_salted_join(probe, build, "pk", "bk", salt_buckets=8, hot_frac=0.05)
+    return j.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
     )

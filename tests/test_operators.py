@@ -72,3 +72,35 @@ def test_daily_average_matches_reference_shape(spark):
     out = {(str(r["date"]), r["zone"]): r["avg_value"] for r in daily_average(df, value_col="price").collect()}
     assert out[("2024-01-01", "SE3")] == sum(range(24)) / 24  # == the reference's sum/len
     assert out[("2024-01-02", "SE3")] == 10.0
+
+
+def test_adaptive_salted_join_equals_plain_join(spark):
+    """The adaptive salted join must be row-identical to the plain
+    equi-join in both regimes: with a detected hot key (the split+salt
+    path runs) and with no key over the threshold (hot set empty, pure
+    cold path) — the salt is a physical rewrite only."""
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.operators.skew import adaptive_salted_join
+
+    # 80% of probe rows on key 1 (hot); build has one row per key
+    probe = spark.range(1000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(1)).otherwise(F.col("id")).alias("pk"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    build = probe.select(F.col("pk").alias("bk")).distinct().withColumn(
+        "attr", F.col("bk") * 10
+    )
+    plain = probe.join(build, probe.pk == build.bk).groupBy("attr").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 4).alias("s")
+    )
+    salted = adaptive_salted_join(probe, build, "pk", "bk", salt_buckets=4).groupBy(
+        "attr"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 4).alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # uniform keys: nothing crosses the 5% threshold, hot set is empty
+    uniform = spark.range(1000).select(F.col("id").alias("pk"), F.lit(1.0).alias("v"))
+    ub = uniform.select(F.col("pk").alias("bk")).distinct().withColumn("attr", F.col("bk"))
+    got = adaptive_salted_join(uniform, ub, "pk", "bk").count()
+    assert got == 1000
