@@ -255,3 +255,74 @@ def melt_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
     ).createOrReplaceTempView("__melt_li")
     return spark.sql("SELECT * FROM melt_numeric(TABLE(SELECT * FROM __melt_li))")
+
+
+@query(
+    "brand_cooccurrence_triangles",
+    tier="Graph-ext (triangle enumeration on a co-occurrence graph, exact)",
+    oracle="""
+        WITH ob AS (
+            SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ), edges AS (
+            -- relative support gate (2.2% of orders) so the filter has
+            -- discriminating power at EVERY scale factor: absolute
+            -- thresholds either pass everything or nothing as |orders|
+            -- scales, and a complete graph makes triangle logic vacuous
+            SELECT x.b AS u, y.b AS v, CAST(COUNT(*) AS BIGINT) AS support
+            FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+            GROUP BY x.b, y.b
+            HAVING COUNT(*) >= 0.022 * (SELECT COUNT(DISTINCT o) FROM ob)
+        )
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+               LEAST(e1.support, e2.support, e3.support) AS min_support
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def brand_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration — the canonical graph primitive behind
+    clustering coefficients and community seeds — on the brand
+    co-purchase graph (brands co-appearing in an order; an edge needs
+    support in >= 2.2% of orders — a RELATIVE gate, so the filter
+    splits the edge set at any scale factor instead of saturating). The compact-then-join shape is the scalable one:
+    the corpus collapses to DISTINCT (order, brand) first, the
+    per-order self-join is bounded by brands-per-order (never corpus²),
+    and the triangle join runs on the EDGE LIST with the a<b<c
+    orientation so each triangle materializes exactly once and every
+    join is an equi-join on node keys (shuffle by vertex — the
+    standard distributed triangle algorithm). Exact DuckDB twin, no
+    tolerance."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    ob = ob.localCheckpoint(eager=False)  # feeds the pair join twice + the order count
+    n_orders = ob.select("o").distinct().count()  # bounded driver scalar (one int)
+    x = ob.select(F.col("o"), F.col("b").alias("u"))
+    y = ob.select(F.col("o"), F.col("b").alias("v"))
+    edges = (
+        x.join(y, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 0.022 * n_orders)
+        .localCheckpoint(eager=False)  # consumed three times by the triangle join
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b1"), F.col("support").alias("s1"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c1"), F.col("support").alias("s2"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"), F.col("support").alias("s3"))
+    tri = (
+        e1.join(e2, e1.b1 == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c1") == F.col("c3")))
+    )
+    return tri.select(
+        "a",
+        F.col("b1").alias("b"),
+        F.col("c1").alias("c"),
+        F.least("s1", "s2", "s3").alias("min_support"),
+    )

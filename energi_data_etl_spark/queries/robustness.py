@@ -597,3 +597,73 @@ def kll_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p50",
         F.col("rank_frac").between(0.45, 0.55).alias("within_tol"),
     )
+
+
+@query(
+    "robust_mad_outliers",
+    tier="A5+L-pipeline (median absolute deviation: robust dispersion + outlier gate)",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, QUANTILE_DISC(value, 0.5) AS m
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, e.value, m.m,
+                   ABS(e.value - m.m) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, MAX(m) AS med_value,
+                   QUANTILE_DISC(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               d.med_value,
+               d.mad,
+               CAST(SUM(CASE WHEN ABS(v.value - d.med_value) > 3 * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events v JOIN mad d USING (event_type)
+        GROUP BY d.event_type, d.med_value, d.mad
+    """,
+)
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anomaly_zscore's robust twin: mean/std break down exactly when
+    outliers are present (the outliers inflate the std that is supposed
+    to flag them — masking); median absolute deviation is a 50%-
+    breakdown estimator, so the 3×MAD gate stays calibrated on dirty
+    data — the estimator a 100 TB data-quality sweep actually wants.
+    Two grouped discrete medians (percentile_disc == QUANTILE_DISC,
+    bit-exact, no rounding needed) with broadcast joins back; the
+    outlier count is certified exactly. Exact medians buffer per
+    group — at real scale swap approx_percentile in (sketched,
+    mergeable) and keep the same gate."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    ev.createOrReplaceTempView("__mad_events")
+    med = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS m
+        FROM __mad_events GROUP BY event_type
+        """
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("m"))
+    )
+    dev.createOrReplaceTempView("__mad_dev")
+    mad = spark.sql(
+        """
+        SELECT event_type, MAX(m) AS med_value,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM __mad_dev GROUP BY event_type
+        """
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_value", "mad")
+        .agg(
+            F.sum(
+                (F.abs(F.col("value") - F.col("med_value")) > 3 * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "med_value", "mad", "n_outliers", "n")
+    )
