@@ -482,3 +482,57 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.select(
         F.col("w.start").cast("timestamp_ntz").cast("date").alias("date"), "n", "total_value"
     )
+
+
+@query(
+    "streaming_update_mode_totals",
+    tier="T3+T7 (update output mode: per-batch revisions, last revision == batch truth)",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)             AS n,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def streaming_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third output mode, driver-certified (complete and append are
+    covered elsewhere): UPDATE emits only the keys each micro-batch
+    REVISED — the mode a downstream keyed store (Redis, a serving
+    index) consumes, getting deltas instead of full snapshots. The
+    events table drains in three file-batches, so the sink accumulates
+    up to three revisions per key; the certified claim is that the
+    LAST revision per key (selected by the strictly-increasing count —
+    each revision of a key must grow it) equals the one-shot batch
+    aggregate. A mode that dropped a batch's contribution, or
+    re-emitted unrevised keys with stale values, breaks the selection
+    or the totals."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="updmode_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    for i in range(3):
+        tmp_i = f"{base}/tmp{i}"
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(tmp_i)
+        dest = f"{src}/{i:02d}.parquet"
+        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_700_000_000.0 + i * 100, 1_700_000_000.0 + i * 100))
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    drained = run_to_memory(agg, output_mode="update")
+    last = drained.groupBy("event_type").agg(
+        F.max(F.struct("n", "total_value")).alias("__last")
+    )
+    return last.select(
+        "event_type", F.col("__last.n").alias("n"), F.col("__last.total_value").alias("total_value")
+    )
