@@ -8,7 +8,7 @@ tests/test_llm_ops.py instead).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -740,4 +740,63 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("", F.transform("resized_frames", lambda b: F.decode(b, "UTF-8"))).alias(
             "resized_str"
         ),
+    )
+
+
+@query(
+    "vocabulary_growth_curve",
+    tier="L4 (Heaps-law audit: cumulative distinct vocabulary by corpus decile)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ), firsts AS (
+            SELECT gram, MIN(CAST(FLOOR(doc_id * 10 / (SELECT MAX(doc_id) + 1 FROM documents)) AS INT)) AS first_bucket
+            FROM (
+                SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(
+                           GENERATE_SERIES(0, GREATEST(LEN(t) - 3, 0)),
+                           i -> ARRAY_TO_STRING(t[i + 1 : i + 3], ' ')
+                       )) AS gram
+                FROM toks
+            ) g
+            GROUP BY gram
+        ), per_bucket AS (
+            SELECT first_bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+            FROM firsts GROUP BY first_bucket
+        )
+        SELECT bucket, n_new_tokens,
+               CAST(SUM(n_new_tokens) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        FROM per_bucket
+    """,
+)
+def vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast does the vocabulary saturate as the corpus grows — the
+    Heaps-law curve a data-collection effort reads to decide whether
+    the next 10 TB adds new content or repeats the old. The scalable
+    formulation is the insight: 'distinct tokens among the first k
+    docs, for 10 values of k' is NOT ten distinct-counts (ten corpus
+    scans) — it is ONE pass: each token's FIRST-appearance bucket
+    (min-reduce per token, a single shuffle), bucket counts, and a
+    10-row cumulative sum. The unit is the 3-gram shingle (same
+    construction as the contamination scan) — the fixture's WORD pool
+    saturates within two documents, gram space is where growth is
+    observable; buckets are corpus deciles by doc_id so the curve is
+    scale-relative."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded driver scalar
+    toks = X.tokens("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    words = d.select(
+        (F.col("doc_id") * 10 / F.lit(max_id)).cast("int").alias("bucket"),
+        F.explode(grams).alias("gram"),
+    )
+    firsts = words.groupBy("gram").agg(F.min("bucket").alias("bucket"))
+    per_bucket = firsts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket", "n_new_tokens", F.sum("n_new_tokens").over(w).alias("vocab_size")
     )

@@ -536,3 +536,58 @@ def streaming_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.select(
         "event_type", F.col("__last.n").alias("n"), F.col("__last.total_value").alias("total_value")
     )
+
+
+@query(
+    "statestore_reader_audit",
+    tier="T-ops (state data source: audit live streaming state against its expected content)",
+    oracle="""
+        -- append mode + 0s watermark evicts every finalized window;
+        -- what REMAINS in the store is exactly the open last day
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)             AS n,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+        FROM events
+        WHERE CAST(DATE_TRUNC('day', ts) AS DATE) + INTERVAL 1 DAY
+              > (SELECT MAX(ts) FROM events)
+        GROUP BY event_type
+    """,
+)
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state is usually a black box until it misbehaves;
+    Spark 4's state data source (`format("statestore")`) opens the
+    checkpointed store as a DataFrame — the observability surface a
+    100 TB streaming deployment debugs and right-sizes with (how many
+    keys, which windows, how big). Certified as: after an append-mode
+    drain with a 0-second watermark, the store must hold EXACTLY the
+    open windows — the last day's partial aggregates, nothing else
+    (every finalized window was emitted and evicted; leaked state rows
+    here are the bug this audit exists to catch — the oracle is the
+    eviction contract's complement, streaming_rollup_parquet certifies
+    the emitted side)."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="ssaudit_")
+    ck = f"{base}/ck"
+    stream = events_stream(spark, _events_path(sf_dir)).withWatermark("ts", "0 seconds")
+    agg = stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    name = "ss_" + uuid.uuid4().hex[:12]
+    with drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").option("path", ck).load()
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.round(F.col("value.sum"), 2).alias("total_value"),
+    )
