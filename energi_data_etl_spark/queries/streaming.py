@@ -591,3 +591,53 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n"),
         F.round(F.col("value.sum"), 2).alias("total_value"),
     )
+
+
+@query(
+    "streaming_rocksdb_stateful_rollup",
+    tier="T-ops (RocksDB state store + changelog checkpointing: production state backend)",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS date,
+               event_type,
+               CAST(COUNT(*) AS BIGINT)             AS n,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def streaming_rocksdb_stateful_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default HDFS-backed state store keeps every key on the JVM
+    heap — fine for fixtures, an OOM at 100 TB key cardinalities. The
+    production backend is RocksDB: state lives off-heap/on-disk with
+    bounded memory, and changelog checkpointing uploads per-batch
+    DELTAS instead of full snapshots (checkpoint cost follows the
+    update rate, not the state size). Both knobs are runtime confs
+    picked up at query start, so the SAME rollup plan runs unchanged —
+    certified here against the batch oracle, which is the whole point:
+    swapping the state backend must never change results, only the
+    resource envelope. (transformWithState's Python side needs
+    protobuf, absent here — capability-gated in streaming/ops.py — but
+    the RocksDB provider itself is JVM-only and fully exercisable.)"""
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        stream = events_stream(spark, _events_path(sf_dir))
+        agg = stream.groupBy(
+            F.to_date(F.col("ts")).alias("date"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        # complete-mode drain materializes the memory table BEFORE the
+        # finally-restore, so the provider conf is live for the whole run
+        return run_to_memory(agg, output_mode="complete")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
