@@ -326,3 +326,55 @@ def brand_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c1").alias("c"),
         F.least("s1", "s2", "s3").alias("min_support"),
     )
+
+
+@query(
+    "cogroup_order_reconciliation",
+    tier="U2-ext (cogrouped applyInPandas: two keyed frames, one Arrow kernel per key group)",
+    oracle="""
+        SELECT o.o_orderkey AS orderkey,
+               o.o_orderstatus AS status,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+               ROUND(CAST(COALESCE(SUM(l.l_extendedprice), 0) AS DOUBLE), 2) AS lines_total,
+               ROUND(CAST(o.o_totalprice - COALESCE(SUM(l.l_extendedprice), 0) AS DOUBLE), 2)
+                   AS recon_delta
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey < 500
+        GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    """,
+)
+def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogroup API: TWO keyed frames arrive at one pandas kernel as
+    separate DataFrames per key — the shape reconciliation, as-of, and
+    custom-join logic takes when it outgrows SQL (here: header-vs-lines
+    totals reconciliation per order, the classic ledger audit). Arrow
+    batches per key group, one shuffle per side on the key; the
+    certified claim is that the kernel's output equals the plain
+    LEFT JOIN aggregate — including headers with NO lines (empty right
+    pandas frame, the edge cogroup kernels mishandle first)."""
+    import pandas as pd
+
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 500)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 500)
+
+    def recon(key, odf: "pd.DataFrame", ldf: "pd.DataFrame") -> "pd.DataFrame":
+        total = float(ldf["l_extendedprice"].sum()) if len(ldf) else 0.0
+        return pd.DataFrame(
+            {
+                "orderkey": [key[0]],
+                "status": [odf["o_orderstatus"].iloc[0]],
+                "n_lines": [len(ldf)],
+                "lines_total": [round(total, 2)],
+                "recon_delta": [round(float(odf["o_totalprice"].iloc[0]) - total, 2)],
+            }
+        )
+
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .groupBy("o_orderkey")
+        .cogroup(li.select("l_orderkey", "l_extendedprice").groupBy("l_orderkey"))
+        .applyInPandas(
+            recon,
+            "orderkey long, status string, n_lines bigint, lines_total double, recon_delta double",
+        )
+    )

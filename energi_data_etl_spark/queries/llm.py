@@ -800,3 +800,59 @@ def vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.select(
         "bucket", "n_new_tokens", F.sum("n_new_tokens").over(w).alias("vocab_size")
     )
+
+
+@query(
+    "kmeans_lloyd_assign",
+    tier="L3-ext (k-means Lloyd step: nearest-centroid assign + update statistics)",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4
+        ), dists AS (
+            SELECT e.vec_id, c.cid,
+                   LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+            FROM e CROSS JOIN c
+        ), assigned AS (
+            SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists
+        )
+        SELECT cid,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               ROUND(CAST(SUM(d) AS DOUBLE), 4) AS inertia
+        FROM assigned WHERE rn = 1
+        GROUP BY cid
+    """,
+)
+def kmeans_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration's assign step — the inner loop of every
+    distributed k-means: nearest centroid per vector (K broadcast
+    centroids, deterministic seed = the first K vectors), per-cluster
+    membership counts and inertia (the objective k-means descends).
+    The distance fold is a SEQUENTIAL zip_with+aggregate, not numpy —
+    deliberately, so both engines sum the 64 terms in identical order
+    and the argmin ranking needs no rounding guard (ties broken by
+    centroid id regardless). At scale: centroids broadcast (K·d
+    doubles), assignment is a map stage, the update is one K-group
+    shuffle — the plan shape of Spark MLlib's own k-means."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(c)).select("vec_id", "cid", dist.alias("d"))
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assigned = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.sum("d"), 4).alias("inertia"),
+    )
