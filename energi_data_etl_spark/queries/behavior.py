@@ -319,3 +319,76 @@ def theta_sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_both_exact") + F.lit(1.0)
         ).alias("within_tol"),
     )
+
+
+@query(
+    "theta_sketch_weekly_churn",
+    tier="A6+L8 (theta sketch difference: churned / retained / new audience estimates)",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS w1,
+                   MAX(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                             AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS w2
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+            GROUP BY user_id
+        )
+        SELECT CAST(SUM(w1) AS BIGINT)            AS n_week1,
+               CAST(SUM(w2) AS BIGINT)            AS n_week2,
+               CAST(SUM(w1 * w2) AS BIGINT)       AS n_retained,
+               CAST(SUM(w1 * (1 - w2)) AS BIGINT) AS n_churned,
+               CAST(SUM((1 - w1) * w2) AS BIGINT) AS n_new,
+               TRUE AS retained_tol, TRUE AS churned_tol, TRUE AS new_tol
+        FROM per_user
+    """,
+)
+def theta_sketch_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn analysis is a set-DIFFERENCE question — |week1 \\ week2| —
+    which HLL cannot answer and theta sketches answer in closed form:
+    one bounded sketch per week (built in one pass, mergeable across
+    partitions and re-aggregatable across weeks), then
+    intersection/difference at combine time, never re-scanning. The
+    exact per-user flag rollup rides along as the certified surface;
+    each estimate (retained/churned/new) must land within 5%+1 of its
+    exact count or the corresponding verdict flips false and fails the
+    hash (DuckDB has no theta algebra, so the oracle pins the verdicts
+    literally true — Spark-side sketch drift still breaks the
+    compare)."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts") < "2024-01-15")
+    w1u = F.when(F.col("ts") < "2024-01-08", F.col("user_id"))
+    w2u = F.when(F.col("ts") >= "2024-01-08", F.col("user_id"))
+    agg = ev.agg(
+        F.theta_sketch_agg(w1u).alias("s1"),
+        F.theta_sketch_agg(w2u).alias("s2"),
+        F.count_distinct(w1u).alias("n_week1"),
+        F.count_distinct(w2u).alias("n_week2"),
+    )
+    flags = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("ts") < "2024-01-08").cast("int")).alias("w1"),
+            F.max((F.col("ts") >= "2024-01-08").cast("int")).alias("w2"),
+        )
+        .agg(
+            F.sum(F.col("w1") * F.col("w2")).alias("n_retained"),
+            F.sum(F.col("w1") * (1 - F.col("w2"))).alias("n_churned"),
+            F.sum((1 - F.col("w1")) * F.col("w2")).alias("n_new"),
+        )
+    )
+
+    def tol(est, exact):
+        return F.abs(est - F.col(exact)) <= F.lit(0.05) * F.col(exact) + F.lit(1.0)
+
+    ret_est = F.theta_sketch_estimate(F.theta_intersection("s1", "s2"))
+    chn_est = F.theta_sketch_estimate(F.theta_difference("s1", "s2"))
+    new_est = F.theta_sketch_estimate(F.theta_difference("s2", "s1"))
+    return agg.crossJoin(flags).select(
+        "n_week1",
+        "n_week2",
+        "n_retained",
+        "n_churned",
+        "n_new",
+        tol(ret_est, "n_retained").alias("retained_tol"),
+        tol(chn_est, "n_churned").alias("churned_tol"),
+        tol(new_est, "n_new").alias("new_tol"),
+    )
