@@ -1662,3 +1662,54 @@ def fuzzy_join_qgram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "shared_grams", "lev_dist")
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "k_anonymity_audit",
+    tier="L-pipeline (privacy: k-anonymity over quasi-identifiers, suppression accounting)",
+    oracle="""
+        WITH qi AS (
+            SELECT c_mktsegment AS segment, n.n_name AS nation,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   CAST(COUNT(*) AS BIGINT) AS group_size
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)                                        AS n_groups,
+               CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+               CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST(MIN(group_size) AS BIGINT)                                 AS k_actual
+        FROM qi
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate for releasing or training on user-adjacent data:
+    a record is k-anonymous when its QUASI-IDENTIFIER combination
+    (here segment x nation x coarsened balance band — individually
+    innocent columns that jointly fingerprint a person) is shared by
+    at least k records. The audit is one groupBy over the QI tuple:
+    k_actual (the dataset's real anonymity level), violating-group and
+    rows-at-risk counts — the numbers that decide between suppression
+    (drop the risky rows) and further generalization (widen the
+    bands). Embarrassingly scalable: the QI cardinality, not the row
+    count, bounds the shuffle; banding (FLOOR to 1000s) is itself the
+    generalization knob."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    qi = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    at_risk = F.col("group_size") < 5
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(at_risk.cast("bigint")).alias("n_violating_groups"),
+        F.sum(F.when(at_risk, F.col("group_size")).otherwise(0)).alias("n_rows_at_risk"),
+        F.min("group_size").alias("k_actual"),
+    )

@@ -856,3 +856,63 @@ def kmeans_lloyd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.sum("d"), 4).alias("inertia"),
     )
+
+
+@query(
+    "inverted_index_postings",
+    tier="L4 (inverted index build: gram -> sorted posting list + document frequency)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ), pairs AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(0, GREATEST(LEN(t) - 2, 0)),
+                       i -> ARRAY_TO_STRING(t[i + 1 : i + 2], ' '))) AS gram
+            FROM toks
+        ), postings AS (
+            SELECT gram,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   LIST(doc_id ORDER BY doc_id) AS docs
+            FROM pairs GROUP BY gram
+            -- relative df gate: keeps the term list stable across SFs
+            HAVING COUNT(*) >= 0.05 * (SELECT COUNT(*) FROM documents)
+        )
+        SELECT gram, df, ARRAY_TO_STRING(docs[1:5], ',') AS head_postings
+        FROM postings
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-side index build — the exact structure behind both
+    BM25 search and the q-gram fuzzy join's candidate generation:
+    distinct (gram, doc) pairs, grouped by gram into a document
+    frequency and a SORTED posting list (bigrams with df >= 5% of the
+    corpus — a relative gate so the indexed term list is stable at
+    every SF; head of 5 ids as the certified sample — full lists would
+    be the real artifact). One shuffle keyed by gram; posting lists are the
+    collect_set-bounded-by-df structure, and df skew (stop grams) is
+    the same hazard, and same cap lever, as everywhere else in the
+    text tier."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n_docs = d.count()  # bounded driver scalar for the relative gate
+    toks = X.tokens("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    pairs = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    postings = (
+        pairs.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        )
+        .filter(F.col("df") >= 0.05 * n_docs)
+    )
+    return postings.select(
+        "gram",
+        "df",
+        F.concat_ws(",", F.transform(F.slice("docs", 1, 5), lambda x: x.cast("string"))).alias(
+            "head_postings"
+        ),
+    )
