@@ -916,3 +916,95 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_postings"
         ),
     )
+
+
+@query(
+    "bm25_topk_search",
+    tier="L4 (BM25 ranked retrieval: tf-idf's production successor, end to end)",
+    oracle="""
+        WITH q AS (
+            SELECT UNNEST(['red', 'widget', 'small']) AS term
+        ), toks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, LEN(t) AS doclen FROM toks
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   FLOOR(SUM(doclen) * 1000000.0 / COUNT(*)) / 1000000.0 AS avgdl
+            FROM dl
+        ), tf AS (
+            SELECT x.doc_id, x.word AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, UNNEST(t) AS word FROM toks) x
+            JOIN q ON q.term = x.word
+            GROUP BY x.doc_id, x.word
+        ), df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT tf.doc_id,
+                   SUM(
+                       LN(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / s.avgdl))
+                   ) AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, FLOOR(score * 1000000.0) / 1000000.0 AS bm25
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval over the corpus — BM25 (k1=1.2, b=0.75), the
+    scoring function behind every production lexical search engine and
+    the hard half of hybrid (lexical+vector) retrieval for RAG
+    corpora. Everything derives in-frame: document lengths and the
+    corpus average (one tiny aggregate, broadcast), per-term document
+    frequencies, term frequencies ONLY for the query's terms (the
+    query filter lands before the groupBy, so the corpus-sized shuffle
+    carries |query| terms' postings, not the vocabulary). The score
+    sum has at most |query| terms per doc, added in groupBy order —
+    both engines' SUM over <= 3 doubles agrees to the last ulp far
+    below the FLOOR-6dp output cut; ranking ties break by doc_id.
+    At scale the tf/df frames ARE the inverted index
+    (inverted_index_postings) built once and served, not recomputed
+    per query."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    terms = ["red", "widget", "small"]
+    toks = d.select("doc_id", X.tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("doclen")).localCheckpoint(eager=False)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.sum("doclen") * F.lit(1000000.0) / F.count(F.lit(1))) / F.lit(1000000.0)).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).localCheckpoint(eager=False)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", (F.floor(F.col("score") * 1000000.0) / 1000000.0).alias("bm25"))
+    )
