@@ -786,6 +786,9 @@ def vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     observable; buckets are corpus deciles by doc_id so the curve is
     scale-relative."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # single-row-group fixture: fan out BEFORE the gram explode or the
+    # corpus-linear stage runs as one task (CLAUDE.md r07 rule)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     max_id = d.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded driver scalar
     toks = X.tokens("text")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
@@ -896,6 +899,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same hazard, and same cap lever, as everywhere else in the
     text tier."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)  # fan out the gram explode
     n_docs = d.count()  # bounded driver scalar for the relative gate
     toks = X.tokens("text")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
