@@ -104,3 +104,89 @@ def test_adaptive_salted_join_equals_plain_join(spark):
     ub = uniform.select(F.col("pk").alias("bk")).distinct().withColumn("attr", F.col("bk"))
     got = adaptive_salted_join(uniform, ub, "pk", "bk").count()
     assert got == 1000
+
+
+def test_observe_metrics_ride_the_job(spark, sf_dir):
+    """df.observe attaches accumulator-backed metrics to the MAIN job —
+    row counts / sums / extrema collected during the action, no second
+    scan. The 100 TB data-quality pattern: every pipeline stage reports
+    its own volume metrics for free. Certified: observed metrics equal
+    a separately-computed aggregate."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from energi_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    observed.groupBy("event_type").count().collect()  # one real action
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert abs(got["sum_value"] - want["sum_value"]) < 1e-6
+    assert got["min_ts"] == want["min_ts"] and got["max_ts"] == want["max_ts"]
+
+
+def test_map_in_arrow_matches_jvm_expression(spark, sf_dir):
+    """mapInArrow is the lowest-overhead Python boundary — raw Arrow
+    RecordBatches, no pandas conversion tax. The kernel must agree
+    exactly with the JVM expression it replaces (here per-doc byte
+    length), certifying the batch schema contract both directions."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pa.compute.binary_length(b.column("text"))],
+                names=["doc_id", "n"],
+            )
+
+    got = {
+        r.doc_id: r.n
+        for r in d.mapInArrow(kernel, "doc_id long, n int").collect()
+    }
+    want = {r.doc_id: r.n for r in d.select("doc_id", F.length("text").alias("n")).collect()}
+    assert got == want
+
+
+def test_parquet_bloom_filter_option_writes_filters(spark, sf_dir, tmp_path):
+    """Parquet bloom filters are the point-lookup data-skipping layer
+    under zone maps (high-cardinality keys where min/max ranges prune
+    nothing). The write option must actually add filter bytes to the
+    file, and the data must round-trip identically — the at-scale
+    contract for needle-in-haystack scans over id columns."""
+    from energi_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    ev.write.parquet(plain)
+    (
+        ev.write.option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "20000")
+        .parquet(bloomed)
+    )
+    import glob
+    import os
+
+    size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/part-*.parquet"))  # noqa: E731
+    assert size(bloomed) > size(plain), (size(bloomed), size(plain))
+    back = spark.read.parquet(bloomed)
+    assert back.count() == ev.count()
+    assert back.filter("event_id = 42").count() == ev.filter("event_id = 42").count()
