@@ -641,3 +641,70 @@ def streaming_rocksdb_stateful_rollup(spark: SparkSession, sf_dir: str) -> DataF
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "streaming_interval_join_fouter",
+    tier="T-series J2 (stream-stream FULL OUTER interval join: both-side finalized nulls)",
+    oracle="""
+        -- completes the stream-stream join-mode matrix (inner and left
+        -- outer are certified elsewhere). Null-extension is per SIDE:
+        -- an unmatched click emits once wm > click_ts + interval (no
+        -- purchase can still qualify); an unmatched purchase emits once
+        -- wm > purchase_ts (no older click can still arrive). Matched
+        -- rows emit immediately. Same strict-< boundary as the louter
+        -- certification.
+        WITH c AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p)) AS w
+        ), j AS (
+            SELECT c.user_id AS cu, c.ts AS cts, c.value, p.user_id AS pu, p.ts AS pts
+            FROM c FULL JOIN p
+              ON c.user_id = p.user_id
+             AND c.ts > p.ts - INTERVAL 30 MINUTE
+             AND c.ts <= p.ts
+        ), emitted AS (
+            SELECT j.* FROM j CROSS JOIN wm
+            WHERE (j.cu IS NOT NULL AND j.pu IS NOT NULL)
+               OR (j.pu IS NULL AND j.cts + INTERVAL 30 MINUTE < wm.w)
+               OR (j.cu IS NULL AND j.pts < wm.w)
+        )
+        SELECT COALESCE(cu, pu) AS user_id,
+               CAST(SUM(CASE WHEN cu IS NOT NULL AND pu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(SUM(CASE WHEN pu IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only,
+               CAST(SUM(CASE WHEN cu IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+               ROUND(CAST(SUM(value) AS DOUBLE), 4) AS click_value
+        FROM emitted GROUP BY COALESCE(cu, pu)
+    """,
+)
+def streaming_interval_join_fouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both sides' unmatched
+    rows null-extend, each on its OWN finalization clock derived from
+    the join condition: a click waits out the whole interval (a future
+    purchase could still claim it), a purchase only waits for the
+    watermark to pass its own timestamp (qualifying clicks are never
+    newer than the purchase). That asymmetry IS the state-eviction
+    math Spark derives from the interval predicate, and the oracle
+    reproduces it as two distinct cuts. Batch-drained in one
+    AvailableNow run; the global watermark is the min of both inputs'
+    max event times (0s delay)."""
+    clicks = events_stream(spark, _events_path(sf_dir)).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_self_join(
+        clicks, purchases, upper="interval 30 minutes", watermark="0 seconds", how="full_outer"
+    )
+    drained = run_to_memory(joined, output_mode="append")
+    return drained.groupBy(F.coalesce("l_user", "r_user").alias("user_id")).agg(
+        F.sum(
+            (F.col("l_user").isNotNull() & F.col("r_user").isNotNull()).cast("bigint")
+        ).alias("n_matched"),
+        F.sum(F.col("r_user").isNull().cast("bigint")).alias("n_click_only"),
+        F.sum(F.col("l_user").isNull().cast("bigint")).alias("n_purchase_only"),
+        F.round(F.sum("l_value"), 4).alias("click_value"),
+    )
