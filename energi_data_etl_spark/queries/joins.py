@@ -377,3 +377,88 @@ def join_skew_adaptive_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("rev"), 2).alias("revenue"),
     )
+
+
+@query(
+    "join_asof_forward",
+    tier="J6-ext (forward as-of: earliest right row at-or-after each left row)",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        ), nxt AS (
+            SELECT p.event_id, p.user_id, MIN(c.ts) AS mts
+            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+            GROUP BY p.event_id, p.user_id
+        )
+        SELECT n.event_id, n.user_id, c2.value AS next_value
+        FROM nxt n LEFT JOIN c c2 ON c2.user_id = n.user_id AND c2.ts = n.mts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FORWARD as-of — next click at-or-after each purchase, per
+    user (post-purchase behavior attribution; the mirror of J6's
+    'price in effect at time t'). DuckDB's native ASOF is
+    backward-only, so the oracle derives the forward match from first
+    principles (per-row MIN of qualifying timestamps, joined back) —
+    while the Spark side stays the one-shuffle union+window rewrite
+    with the frame flipped to [current, unbounded following]. Same
+    scale property as backward: no per-key pair generation, one
+    exchange + one sort."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", F.col("asof_value").alias("next_value"))
+
+
+@query(
+    "join_null_safe_keys",
+    tier="J1-ext (null-safe equality join: <=> / IS NOT DISTINCT FROM semantics)",
+    oracle="""
+        WITH o AS (
+            SELECT NULLIF(o_orderkey % 5, 0) AS k, o_totalprice
+            FROM orders WHERE o_orderkey < 2000
+        ), d AS (
+            SELECT NULLIF(n_nationkey % 5, 0) AS k, n_name
+            FROM nation
+        )
+        SELECT COALESCE(o.k, -1) AS key_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT d.n_name) AS BIGINT) AS n_dims,
+               ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS total_price
+        FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+        GROUP BY COALESCE(o.k, -1)
+    """,
+)
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain SQL equality never matches NULL keys (NULL = NULL is
+    NULL), which silently DROPS every null-keyed row from an inner
+    join — the classic missing-rows bug when join keys are derived
+    and nullable. The null-safe operator (Spark `<=>`, SQL standard
+    IS NOT DISTINCT FROM) treats NULL as a joinable value; certified
+    here on manufactured nullable buckets where the NULL group must
+    appear in the output with full multiplicity. Plans like any
+    equi-join (hash on the coalesced key internally) — no nested-loop
+    penalty for null safety."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 2000).select(
+        F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("k"), "o_totalprice"
+    )
+    d = load_table(spark, "nation", sf_dir).select(
+        F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("k2"), "n_name"
+    )
+    j = o.join(F.broadcast(d), F.col("k").eqNullSafe(F.col("k2")))
+    return j.groupBy(F.coalesce("k", F.lit(-1)).alias("key_bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("n_name").alias("n_dims"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
