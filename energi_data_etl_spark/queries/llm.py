@@ -1012,3 +1012,145 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", (F.floor(F.col("score") * 1000000.0) / 1000000.0).alias("bm25"))
     )
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    tier="L3+L4 (hybrid search: BM25 + vector cosine fused by reciprocal rank)",
+    oracle="""
+        WITH uni AS (
+            SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS v
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ), toks AS (
+            SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM uni
+        ), dl AS (
+            SELECT doc_id, LEN(t) AS doclen FROM toks
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   FLOOR(SUM(doclen) * 1000000.0 / COUNT(*)) / 1000000.0 AS avgdl
+            FROM dl
+        ), tf AS (
+            SELECT x.doc_id, x.word AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, UNNEST(t) AS word FROM toks) x
+            WHERE x.word IN ('red', 'widget', 'small')
+            GROUP BY x.doc_id, x.word
+        ), df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), lex AS (
+            SELECT tf.doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY SUM(
+                       LN(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / s.avgdl))
+                   ) DESC, tf.doc_id) AS BIGINT) AS lex_rank
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        ), qv AS (
+            SELECT v AS q FROM uni WHERE doc_id = 0
+        ), vec AS (
+            SELECT u.doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                       LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> u.v[i] * q.q[i]))
+                       / (SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> u.v[i] * u.v[i])))
+                          * SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> q.q[i] * q.q[i]))))
+                       DESC, u.doc_id) AS BIGINT) AS vec_rank
+            FROM uni u CROSS JOIN qv q
+        ), fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   l.lex_rank, v.vec_rank,
+                   COALESCE(1.0 / (60 + l.lex_rank), 0) + COALESCE(1.0 / (60 + v.vec_rank), 0) AS rrf
+            FROM lex l FULL JOIN vec v ON v.doc_id = l.doc_id
+        )
+        SELECT doc_id, lex_rank, vec_rank,
+               FLOOR(rrf * 1000000.0) / 1000000.0 AS rrf_score
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval capstone: lexical (BM25) and vector (cosine)
+    legs fused by reciprocal-rank fusion, rrf = Σ 1/(60 + rank) —
+    rank-space fusion needs no score calibration between legs, which
+    is exactly why it is the production default for hybrid search.
+    Both legs run over the embedded subset of the corpus; each leg is
+    the scale plan proven elsewhere (query-term-filtered postings for
+    BM25; broadcast query vector + sequential cosine folds matching
+    DuckDB's evaluation order for the ANN leg), the fusion is a 2-way
+    outer join on doc_id with absent legs contributing zero. Top-10
+    by fused score, doc-id tiebreak, FLOOR-cut output."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    uni = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "v").localCheckpoint(
+        eager=False
+    )
+    terms = ["red", "widget", "small"]
+    toks = uni.select("doc_id", X.tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("doclen")).localCheckpoint(eager=False)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.sum("doclen") * F.lit(1000000.0) / F.count(F.lit(1))) / F.lit(1000000.0)).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).localCheckpoint(eager=False)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+    )
+    wlex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+        .select("doc_id", F.row_number().over(wlex).cast("bigint").alias("lex_rank"))
+    )
+    qv = uni.filter(F.col("doc_id") == 0).select(F.col("v").alias("q"))
+
+    def fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = fold(F.zip_with("v", "q", lambda a, b: a * b)) / (
+        F.sqrt(fold(F.zip_with("v", "v", lambda a, b: a * b)))
+        * F.sqrt(fold(F.zip_with("q", "q", lambda a, b: a * b)))
+    )
+    wvec = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vec = (
+        uni.crossJoin(F.broadcast(qv))
+        .select("doc_id", cos.alias("cos"))
+        .select("doc_id", F.row_number().over(wvec).cast("bigint").alias("vec_rank"))
+    )
+    fused = (
+        lex.withColumnRenamed("doc_id", "ld")
+        .join(vec, F.col("ld") == vec.doc_id, "full_outer")
+        .select(
+            F.coalesce("ld", "doc_id").alias("doc_id"),
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(F.lit(1.0) / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (60 + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (F.floor(F.col("rrf") * 1000000.0) / 1000000.0).alias("rrf_score"),
+        )
+    )
