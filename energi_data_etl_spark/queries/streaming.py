@@ -359,33 +359,9 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(tmp_i)
         shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
 
-    state = {"path": None, "version": 0}
+    from ..streaming.ops import foreachbatch_merge_sink
 
-    def upsert(batch_df, batch_id: int) -> None:
-        delta = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("dn"), F.sum("value").alias("dt")
-        )
-        if state["path"] is None:
-            merged = delta.select(
-                "event_type", F.col("dn").alias("n_events"), F.col("dt").alias("total_value")
-            )
-        else:
-            cur = batch_df.sparkSession.read.parquet(state["path"])
-            merged = (
-                cur.withColumnsRenamed({"n_events": "sn", "total_value": "st"})
-                .join(delta, "event_type", "full_outer")
-                .select(
-                    "event_type",
-                    (F.coalesce("sn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_events"),
-                    (F.coalesce("st", F.lit(0.0)) + F.coalesce("dt", F.lit(0.0))).alias(
-                        "total_value"
-                    ),
-                )
-            )
-        state["version"] += 1
-        out = f"{base}/state_v{state['version']}"
-        merged.write.parquet(out)
-        state["path"] = out
+    upsert, state = foreachbatch_merge_sink(base, key="event_type", value="value")
 
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
     with drain_conf(spark):
@@ -396,7 +372,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
-    assert state["version"] >= 2, "expected multiple micro-batches (incremental merge unexercised)"
+    assert state["last"] >= 2, "expected multiple micro-batches (incremental merge unexercised)"
     return spark.read.parquet(state["path"]).select(
         "event_type", "n_events", F.round("total_value", 2).alias("total_value")
     )

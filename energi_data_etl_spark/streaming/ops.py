@@ -341,3 +341,50 @@ def stateful_user_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def foreachbatch_merge_sink(base: str, key: str = "event_type", value: str = "value"):
+    """Build an idempotent foreachBatch MERGE sink: each micro-batch's
+    pre-aggregated delta is full-outer-merged into a keyed summary
+    table, with inputs and outputs keyed by batch_id — the contract
+    foreachBatch REQUIRES, because Structured Streaming re-runs a
+    failed batch with the SAME id: a retry reads the same predecessor
+    version and overwrites its own output, never re-merging into it
+    (a version-counter sink double-counts on retry; pinned in
+    tests/test_streaming.py).
+
+    Returns ``(fn, state)``; ``state['last']`` holds the newest
+    batch id after the drain and ``state['path']`` its table path.
+    """
+    import os
+
+    state: dict = {"last": -1, "path": None}
+
+    def upsert(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("dn"), F.sum(value).alias("dt")
+        )
+        prev = f"{base}/state_v{batch_id - 1}"
+        if batch_id == 0 or not os.path.exists(prev):
+            merged = delta.select(
+                key, F.col("dn").alias("n_events"), F.col("dt").alias("total_value")
+            )
+        else:
+            cur = batch_df.sparkSession.read.parquet(prev)
+            merged = (
+                cur.withColumnsRenamed({"n_events": "sn", "total_value": "st"})
+                .join(delta, key, "full_outer")
+                .select(
+                    key,
+                    (F.coalesce("sn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_events"),
+                    (F.coalesce("st", F.lit(0.0)) + F.coalesce("dt", F.lit(0.0))).alias(
+                        "total_value"
+                    ),
+                )
+            )
+        out = f"{base}/state_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state["last"] = max(state["last"], batch_id)
+        state["path"] = f"{base}/state_v{state['last']}"
+
+    return upsert, state

@@ -262,3 +262,39 @@ def test_stateful_totals_v2_api_matches_v1(spark, sf_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_foreachbatch_merge_sink_is_idempotent_under_retry(spark, tmp_path):
+    """Structured Streaming RE-RUNS a failed micro-batch with the same
+    batch_id — a foreachBatch sink must therefore be idempotent per id.
+    The merge sink keys inputs and outputs by batch_id (a retry reads
+    the same predecessor version and overwrites its own output); replay
+    batch 1 twice and the final table must still equal the one-shot
+    aggregate, not double-count the replayed delta."""
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.streaming.ops import foreachbatch_merge_sink
+
+    base = str(tmp_path / "sink")
+    upsert, state = foreachbatch_merge_sink(base, key="k", value="v")
+    full = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(90)], "id long, k string, v double"
+    )
+    b0 = full.filter("id < 30")
+    b1 = full.filter("id >= 30 and id < 60")
+    b2 = full.filter("id >= 60")
+    upsert(b0, 0)
+    upsert(b1, 1)
+    upsert(b1, 1)  # the retry — same batch id, same input
+    upsert(b2, 2)
+    got = {
+        r.k: (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(state["path"]).collect()
+    }
+    want = {
+        r.k: (r.n_events, round(r.total_value, 6))
+        for r in full.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total_value"))
+        .collect()
+    }
+    assert got == want, (got, want)
