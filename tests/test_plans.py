@@ -623,3 +623,47 @@ def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS cbo_t.nation")
         spark.sql("DROP DATABASE IF EXISTS cbo_t")
+
+
+def test_row_group_granularity_bounds_scan_parallelism(spark, tmp_path):
+    """Parquet scans split at ROW-GROUP boundaries: a single-row-group
+    file is one task no matter how small spark.sql.files.maxPartitionBytes
+    gets — the root cause behind every 'repartition before the heavy
+    map stage' fix in this repo (CLAUDE.md r07). The same data written
+    with a small parquet block size carries many row groups and the
+    scan fans out by itself; the difference is purely scheduling, the
+    values must be identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(200000).selectExpr("id", "CAST(id AS DOUBLE) * 1.7 AS v", "uuid() AS s")
+    one_rg = str(tmp_path / "one_rg")
+    many_rg = str(tmp_path / "many_rg")
+    df.coalesce(1).write.parquet(one_rg)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = {k: hconf.get(k) for k in ("parquet.block.size", "parquet.page.size")}
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    hconf.setInt("parquet.page.size", 8 * 1024)
+    try:
+        df.coalesce(1).write.parquet(many_rg)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, v)
+    rgs = lambda p: pq.ParquetFile(glob.glob(f"{p}/part-*.parquet")[0]).metadata.num_row_groups  # noqa: E731
+    assert rgs(one_rg) == 1
+    assert rgs(many_rg) > 4, rgs(many_rg)
+
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        n_tasks = lambda p: spark.read.parquet(p).rdd.getNumPartitions()  # noqa: E731
+        assert n_tasks(many_rg) > 1, n_tasks(many_rg)
+        a = spark.read.parquet(one_rg).agg({"v": "sum"}).collect()[0][0]
+        b = spark.read.parquet(many_rg).agg({"v": "sum"}).collect()[0][0]
+        assert abs(a - b) <= 1e-9 * abs(a)  # summation-order ulp across task layouts
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
