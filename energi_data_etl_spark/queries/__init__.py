@@ -21,45 +21,56 @@ from . import behavior  # noqa: F401,E402
 # FIRST 50 queries in registration order, so the window is rotated
 # round-to-round until every query has a driver-certified row.
 #
-# Round 7 window = every oracled query that has never produced a
-# hash_match=true row in CORRECTNESS_r01..r06 (33 of them — the 11 r06
-# HUGEINT-oracle failures now fixed with CAST AS BIGINT, plus the 22
-# r06-late additions that never met the real driver), then the entry
-# canary, then the 16 stalest certified rows (all last certified r04)
-# to refresh their certification. 33+1+16 = 50.
+# Round 8 window = the ENTIRE remaining never-certified pool: every
+# oracled query with no hash_match=true row in CORRECTNESS_r01..r07
+# (43 — 7 early-r07 additions + 36 r07-second-session additions), then
+# the entry canary, then the 6 stalest certified rows (last green r04)
+# that VERDICT r07 called out by name. 43+1+6 = 50 — this zeroes the
+# never-certified backlog in one window.
+#
+# Ordered streaming/state/sketch first (VERDICT r07 item 1: highest
+# value if the window truncates), then retrieval, then data-eng.
 #
 # ROWS-ONLY QUERIES STAY OUT OF THE WINDOW: the driver records a
 # no-oracle query as an `err: no_oracle` row (CORRECTNESS_r06
 # lsh_bucket_stats), i.e. it consumes a slot without producing a
-# certification. The 6 rows-only queries (lsh_bucket_stats, pagerank,
-# neardup_minhash/simhash, ann_ivf/lsh_topk) are carried by exact-method
+# certification. Rows-only queries are carried by exact-method
 # tests in tests/ instead (SURVEY.md §5.2).
 FIRST_50 = [
-    # -- 11 r06 hash-gate failures, re-certifying with BIGINT-cast oracles --
-    "split_train_val_test", "token_budget_packing", "stratified_sample_by_lang",
-    "pipeline_end_to_end", "pii_redaction_stats", "repetition_topgram_stats",
-    "domain_mixture_plan", "cleaning_funnel_report", "scd2_customer_status",
-    "anomaly_zscore_events", "sessionize_events_batch",
-    # -- 22 oracled but never yet in a driver window (r06-late additions) --
-    "api_source_daily_rollup", "api_source_stream_rollup",
-    "streaming_interval_join_louter",
-    "tpch_q13_custdist", "gapfill_linear_interpolate", "hll_merge_weekly_users",
-    "join_skew_salted", "doc_chunk_sliding", "global_row_index",
-    "zorder_layout_audit", "skew_diagnosis_report",
-    "moment_statistics", "argminmax_aggregates", "percentile_disc_surface",
-    "listagg_ordered",
-    "token_entropy_scores", "source_overlap_matrix", "length_winsorize_stats",
-    "snapshot_diff_orders", "dedup_survivorship_quality",
-    "crosssplit_leakage_audit", "event_type_drift",
-    # -- entry canary --
+    # -- streaming / state family (incl. T2 streaming_late_data_drop,
+    #    the one §2 row never driver-certified) --
+    "streaming_late_data_drop", "streaming_foreachbatch_upsert",
+    "streaming_update_mode_totals", "streaming_rocksdb_stateful_rollup",
+    "statestore_reader_audit", "streaming_interval_join_fouter",
+    "api_source_dedup_stream",
+    # -- sketch family --
+    "kll_quantile_sketch_audit", "theta_sketch_user_overlap",
+    "theta_sketch_weekly_churn", "bitmap_distinct_users",
+    # -- entry canary (early in case of truncation) --
     "flagship_daily_avg",
-    # -- 16 stalest certified rows (all last certified r04) --
-    "dedup_bag_exact", "ngram_jaccard_pairs", "embedding_neardup_exact",
-    "tpch_q3_shipping_priority", "tpch_q5_local_volume", "tpch_q10_returned_items",
-    "having_large_orders", "tpch_q4_order_priority", "tpch_q12_priority_lines",
-    "tpch_q14_promo_ratio", "tpch_q16_supplier_cnt", "tpch_q18_large_volume",
-    "tpch_q19_disjunctive", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
+    # -- retrieval stack --
+    "inverted_index_postings", "bm25_topk_search", "hybrid_retrieval_rrf",
+    # -- Spark-4 surface (variant/lateral/collation/UDTF/cogroup) --
+    "variant_shredding_agg", "lateral_join_topk", "collation_ci_grouping",
+    "melt_udtf_polymorphic", "cogroup_order_reconciliation",
+    # -- joins --
+    "join_skew_adaptive_salted", "join_asof_forward", "join_null_safe_keys",
+    "scd2_pointintime_enrich",
+    # -- embeddings / ML tier --
+    "embedding_covariance_block", "embedding_quantization_error",
+    "kmeans_lloyd_assign", "multimodal_resize_stub",
+    # -- data-eng tier --
+    "ivm_join_delta", "cdc_apply_log", "rollup_cascade_weekly",
+    "ewma_value_smoothing", "robust_mad_outliers",
+    "brand_cooccurrence_triangles", "vocabulary_growth_curve",
+    "boilerplate_ngram_prune", "sample_exact_k_per_stratum",
+    "sample_weighted_reservoir", "shuffle_shard_plan",
+    "fuzzy_match_blocked_pairs", "fuzzy_join_qgram_candidates",
+    "k_anonymity_audit", "schema_evolution_union_by_name",
+    "file_metadata_lineage",
+    # -- 6 stalest certified rows (last green r04; VERDICT r07 item 1) --
+    "udf_text_normalize", "tokenize_udtf", "percentile_surface",
+    "salted_aggregation", "text_stats_by_lang", "null_safety_surface",
 ]
 
 
