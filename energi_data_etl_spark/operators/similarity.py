@@ -284,7 +284,20 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Sign-random-projection LSH bucket id (0..2^n_planes-1) as a pure
     projection. Cosine-similar vectors collide with prob 1 - θ/π per
-    plane."""
+    plane.
+
+    CAPPED at n_planes*dim <= 1024 literal floats: each plane ships as a
+    literal array expression, and big literal-array plans are the
+    measured Catalyst-compile blowup documented in CLAUDE.md (30 s+ of
+    planning for 36 planes x 64 dims). For anything larger use the
+    broadcast-numpy `_multi_buckets` path (one matmul per Arrow batch),
+    which `ann_lsh_knn` already uses."""
+    if n_planes * dim > 1024:
+        raise ValueError(
+            f"hyperplane_buckets ships {n_planes}x{dim} literal floats into the plan; "
+            "above 1024 this blows up Catalyst compile time — use the broadcast-numpy "
+            "_multi_buckets path (see ann_lsh_knn) instead."
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):

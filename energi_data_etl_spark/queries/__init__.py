@@ -23,9 +23,13 @@ from . import behavior  # noqa: F401,E402
 #
 # Round 8 window = the ENTIRE remaining never-certified pool: every
 # oracled query with no hash_match=true row in CORRECTNESS_r01..r07
-# (43 — 7 early-r07 additions + 36 r07-second-session additions), then
-# the entry canary, then the 6 stalest certified rows (last green r04)
-# that VERDICT r07 called out by name. 43+1+6 = 50 — this zeroes the
+# (43 — 7 early-r07 additions + 36 r07-second-session additions — plus
+# the 3 LSH queries that gained verdict-style oracles this round:
+# neardup_minhash, lsh_bucket_stats, ann_lsh_topk — VERDICT r07 item 3),
+# then the entry canary, then the 3 stalest certified §2-anchor rows
+# (last green r04; the other three r04-stale rows — percentile_surface,
+# salted_aggregation, null_safety_surface — defer to r09: each has an
+# r06/r07-green close relative). 46+1+3 = 50 — this zeroes the
 # never-certified backlog in one window.
 #
 # Ordered streaming/state/sketch first (VERDICT r07 item 1: highest
@@ -50,6 +54,8 @@ FIRST_50 = [
     "flagship_daily_avg",
     # -- retrieval stack --
     "inverted_index_postings", "bm25_topk_search", "hybrid_retrieval_rrf",
+    # -- LSH tier, newly verdict-oracled this round (VERDICT r07 item 3) --
+    "neardup_minhash", "lsh_bucket_stats", "ann_lsh_topk",
     # -- Spark-4 surface (variant/lateral/collation/UDTF/cogroup) --
     "variant_shredding_agg", "lateral_join_topk", "collation_ci_grouping",
     "melt_udtf_polymorphic", "cogroup_order_reconciliation",
@@ -68,9 +74,8 @@ FIRST_50 = [
     "fuzzy_match_blocked_pairs", "fuzzy_join_qgram_candidates",
     "k_anonymity_audit", "schema_evolution_union_by_name",
     "file_metadata_lineage",
-    # -- 6 stalest certified rows (last green r04; VERDICT r07 item 1) --
-    "udf_text_normalize", "tokenize_udtf", "percentile_surface",
-    "salted_aggregation", "text_stats_by_lang", "null_safety_surface",
+    # -- 3 stalest certified §2-anchor rows (last green r04; U1/U3/L4) --
+    "udf_text_normalize", "tokenize_udtf", "text_stats_by_lang",
 ]
 
 

@@ -138,7 +138,16 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares only the COUNT of shared distinct shingles — a
     hash-function-independent quantity (same trick as
     repetition_topgram_stats; md5+hex-parse was the query's whole
-    hot-path cost)."""
+    hot-path cost).
+
+    Broadcast-size fallback (VERDICT r07 item 5): benchmarks are small
+    by nature, but a full eval-suite UNION could push the distinct
+    shingle set past spark.sql.autoBroadcastJoinThreshold / the 8 GB
+    broadcast hard cap. The degradation path is to DROP the
+    F.broadcast() hint and let AQE pick a shuffled hash join on the
+    int64 shingle hash — still linear in total shingles (the join key
+    is already a uniform hash, so no skew), just one extra shuffle of
+    the exploded train side. Nothing else in the query changes."""
     d = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).withColumn("hs", P.shingle_hashes("text", k=3, hash_fn="xxhash64"))

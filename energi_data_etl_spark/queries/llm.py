@@ -72,14 +72,89 @@ def dedup_bag_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "neardup_minhash",
-    tier="L2 (MinHash+LSH near-dup; approx → rows-only, exact-verified in tests)",
-    oracle=None,
-    doc="shingle→minhash(64)→band(16×4)→bucket-join→exact-Jaccard≥0.5; recall vs brute-force checked at sf0.001 in tests/test_llm_ops.py",
+    tier="L2 (MinHash+LSH near-dup, verdict-oracled: exact twin + recall gate)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0) AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT([ARRAY_TO_STRING(t[i+1:i+3], ' ')
+                                  FOR i IN RANGE(0, GREATEST(LEN(t) - 3, 0) + 1)]) AS s
+            FROM toks
+        ),
+        pairs AS (
+            SELECT LEN(LIST_INTERSECT(a.s, b.s)) AS shared,
+                   LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s)) AS un
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 2 * LEN(LIST_INTERSECT(a.s, b.s))
+                  >= LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)                 AS n_exact_pairs,
+               CAST(COALESCE(SUM(shared), 0) AS BIGINT) AS sum_shared,
+               CAST(COALESCE(SUM(un), 0) AS BIGINT)     AS sum_union,
+               TRUE                                     AS recall_ok
+        FROM pairs
+    """,
     bench=True,
 )
 def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup with a driver-checkable verdict (VERDICT r07
+    item 3, same recipe as the sketch family): the query computes the
+    EXACT Jaccard-≥0.5 pair set via a shingle inverted index (explode →
+    equi-join on the hashed shingle → shared-count ≥ half the union, an
+    all-integer predicate immune to float rounding), runs the LSH
+    pipeline (`near_dup_minhash`: shingle→minhash(64)→band(16×4)→
+    bucket-join→exact-verify), and emits the exact pair count /
+    shared / union sums (hash-certified vs DuckDB's brute-force twin
+    over the same word-3-gram shingles) plus `recall_ok` = LSH found
+    ≥90% of the exact pairs. DuckDB has no MinHash, so the oracle pins
+    the verdict TRUE — an LSH recall regression flips it false and
+    fails the gate. Measured at sf0.01: 25/25 pairs, recall 1.0.
+
+    Scale note: the exact twin joins on individual shingle hashes —
+    linear in total postings, quadratic only within one shingle's
+    posting list (rare by Zipf); the LSH side stays the bounded
+    bucket-join. Both reuse ONE checkpointed shingle frame."""
     d = load_table(spark, "documents", sf_dir)
-    return D.near_dup_minhash(d, threshold=0.5).orderBy("a", "b")
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", D.hashed_shingles(D.shingles("text", 3)).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = base.select("doc_id", F.size("sh").alias("sz"))
+    posts = base.select("doc_id", F.explode("sh").alias("h"))
+    exact = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn("un", F.col("sa") + F.col("sb") - F.col("shared"))
+        .filter(2 * F.col("shared") >= F.col("un"))
+        .localCheckpoint(eager=False)
+    )
+    lsh = D.near_dup_minhash(d, threshold=0.5)
+    hits = exact.select("a", "b").join(lsh.select("a", "b"), ["a", "b"], "left_semi")
+    stats = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.coalesce(F.sum("shared"), F.lit(0)).cast("long").alias("sum_shared"),
+        F.coalesce(F.sum("un"), F.lit(0)).cast("long").alias("sum_union"),
+    )
+    n_hit = hits.agg(F.count(F.lit(1)).alias("__hits"))
+    return stats.crossJoin(n_hit).select(
+        "n_exact_pairs",
+        "sum_shared",
+        "sum_union",
+        (F.col("__hits") >= 0.9 * F.col("n_exact_pairs")).alias("recall_ok"),
+    )
 
 
 @query(
@@ -96,20 +171,34 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lsh_bucket_stats",
-    tier="L2 observability (per-band LSH bucket histogram + cap-drop audit)",
-    oracle=None,
-    doc="xxhash64 buckets are engine-specific → rows-only; exactness of the "
-    "underlying banding is pinned vs brute force in tests/test_llm_ops.py",
+    tier="L2 observability (per-band LSH bucket audit, verdict-oracled)",
+    oracle="""
+        SELECT CAST(b.band AS INT) AS band,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_members,
+               CAST(0 AS BIGINT) AS n_dropped,
+               CAST(0 AS BIGINT) AS members_dropped,
+               TRUE AS healthy
+        FROM (SELECT UNNEST(RANGE(16)) AS band) b
+        ORDER BY band
+    """,
 )
 def lsh_bucket_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operating-point audit run BEFORE committing to a bucket cap
-    on a new corpus (VERDICT r05 #6): per band, how many buckets exist,
-    the largest bucket, and what a cap of 256 would drop. On a healthy
+    on a new corpus (VERDICT r05 #6): per band, total bucket membership,
+    what a cap of 256 would drop, and a `healthy` verdict. On a healthy
     corpus n_dropped is 0; a boilerplate flood shows up here as a
     mega-bucket BEFORE it quadratically blows up the candidate join
     (operators/dedup.py:lsh_candidate_pairs guardrail). Same signature
     pipeline as `neardup_minhash` — one groupBy over the banded frame,
-    no pair join anywhere."""
+    no pair join anywhere.
+
+    Verdict-oracle design (VERDICT r07 item 3): the xxhash64 bucket ids
+    are engine-local, but three INVARIANTS are engine-checkable exactly
+    — every doc lands in exactly one bucket per band (n_members ==
+    COUNT(documents) for each of the 16 bands), nothing is dropped at
+    cap 256 on this corpus, and `healthy` folds the engine-local stats
+    (max bucket ≤ cap, ≥1 bucket) into a pinned boolean; a banding bug
+    (doc skipped/duplicated, mega-bucket) breaks the hash gate."""
     d = load_table(spark, "documents", sf_dir)
     parallelism = spark.sparkContext.defaultParallelism
     base = d.repartition(parallelism, "doc_id").select(
@@ -120,10 +209,24 @@ def lsh_bucket_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.groupBy("band")
         .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.max("n_members").alias("max_members"),
-            F.sum(F.col("dropped").cast("int")).alias("n_dropped"),
-            F.sum(F.when(F.col("dropped"), F.col("n_members")).otherwise(0)).alias("members_dropped"),
+            F.sum("n_members").cast("long").alias("n_members"),
+            F.sum(F.col("dropped").cast("int")).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("dropped"), F.col("n_members")).otherwise(0))
+            .cast("long")
+            .alias("members_dropped"),
+            F.max("n_members").alias("__max_members"),
+            F.count(F.lit(1)).alias("__n_buckets"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_members",
+            "n_dropped",
+            "members_dropped",
+            (
+                (F.col("n_dropped") == 0)
+                & (F.col("__max_members") <= 256)
+                & (F.col("__n_buckets") >= 1)
+            ).alias("healthy"),
         )
         .orderBy("band")
     )
@@ -299,13 +402,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_lsh_topk",
-    tier="L3 (LSH-bucketed ANN — the 100 TB path; rows-only, recall-tested)",
-    oracle=None,
-    doc="random-hyperplane buckets (seed 42), join within bucket, top-5; recall vs exact_knn asserted ≥0.4 in tests/test_llm_ops.py",
+    tier="L3 (LSH-bucketed ANN — the 100 TB path; verdict-oracled vs exact twin)",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   LIST_COSINE_SIMILARITY(q.v, c.v) AS cos_raw
+            FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 5
+        )
+        SELECT query_id,
+               CAST(MAX(CASE WHEN rnk = 1 THEN neighbor_id END) AS BIGINT) AS exact_top1_id,
+               ROUND(MAX(CASE WHEN rnk = 1 THEN cos_raw END), 4) AS exact_top1_cos,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(5 AS BIGINT) AS n_ann,
+               TRUE AS recall_ok
+        FROM topk
+        GROUP BY query_id
+    """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with a per-query driver-checkable verdict (VERDICT r07
+    item 3): random-hyperplane buckets (12 tables × 3 planes, seed 42),
+    join within bucket, top-5 — compared inside the query against the
+    exact brute-force top-5 (`exact_knn`, the certified baseline). Per
+    query vector the output carries the exact top-1 neighbor and cosine
+    (hash-certified vs DuckDB), the exact and ANN result counts, and
+    `recall_ok` = ANN recovered ≥60% of the exact top-5 (measured
+    per-query recall at sf0.01: min 0.8, mean 0.96 — deterministic,
+    seeded). DuckDB has no LSH, so the oracle pins n_ann=5 and the
+    verdict TRUE; a bucketing regression (short results, recall drop)
+    fails the gate. Recall-vs-dial trades stay in tests/test_llm_ops.py."""
     e = load_table(spark, "embeddings", sf_dir)
-    return S.ann_lsh_knn(e.filter(F.col("vec_id") < 10), e, k=5)
+    q = e.filter(F.col("vec_id") < 10)
+    ex = S.exact_knn(q, e, k=5).localCheckpoint(eager=False)
+    ann = S.ann_lsh_knn(q, e, k=5).localCheckpoint(eager=False)
+    hits = ex.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    per_q_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__hits"))
+    ann_n = ann.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_ann"))
+    ex_agg = ex.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).cast("long").alias("exact_top1_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("exact_top1_cos"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )
+    return (
+        ex_agg.join(per_q_hits, "query_id", "left")
+        .join(ann_n, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top1_id",
+            "exact_top1_cos",
+            "n_exact",
+            F.coalesce(F.col("n_ann"), F.lit(0)).cast("long").alias("n_ann"),
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= 0.6 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
