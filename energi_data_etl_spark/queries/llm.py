@@ -391,13 +391,76 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_topk",
-    tier="L3 (IVF coarse-quantizer ANN — the clustered-data scale path; rows-only)",
-    oracle=None,
-    doc="spherical k-means (16 cells, seeded) inverted lists, nprobe=4; recall vs exact_knn asserted in tests/test_llm_ops.py",
+    tier="L3 (IVF coarse-quantizer ANN — the clustered-data scale path; verdict-oracled vs exact twin)",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   LIST_COSINE_SIMILARITY(q.v, c.v) AS cos_raw
+            FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 5
+        )
+        SELECT query_id,
+               CAST(MAX(CASE WHEN rnk = 1 THEN neighbor_id END) AS BIGINT) AS exact_top1_id,
+               ROUND(MAX(CASE WHEN rnk = 1 THEN cos_raw END), 4) AS exact_top1_cos,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(5 AS BIGINT) AS n_ann,
+               TRUE AS corpus_recall_ok
+        FROM topk
+        GROUP BY query_id
+    """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a driver-checkable verdict (VERDICT r07 item 3,
+    completing the ANN tier): spherical k-means coarse quantizer
+    (16 cells, seeded ≤10k driver-side sample), inverted cell lists,
+    nprobe=4 — compared inside the query against the exact brute-force
+    top-5. Per query vector the output carries the exact top-1
+    neighbor and cosine (hash-certified vs DuckDB) and the exact/ANN
+    result counts; the verdict is CORPUS-level — mean top-5 recall
+    over the query set ≥ 0.4 — because per-query recall is legitimately
+    spiky for a coarse quantizer (a query whose true neighbors sit
+    just across a Voronoi face probes the wrong cells: measured
+    per-query recall at sf0.1 spans 0.0–1.0, mean 0.5; sf0.001/0.01
+    means 0.64/0.68 — all deterministic, seeded). DuckDB has no IVF,
+    so the oracle pins n_ann=5 and corpus_recall_ok TRUE; a
+    quantizer/list regression drops the mean below the floor and
+    fails the gate. Recall-vs-nprobe dials stay in
+    tests/test_llm_ops.py."""
     e = load_table(spark, "embeddings", sf_dir)
-    return S.ann_ivf_knn(e.filter(F.col("vec_id") < 10), e, k=5)
+    q = e.filter(F.col("vec_id") < 10)
+    ex = S.exact_knn(q, e, k=5).localCheckpoint(eager=False)
+    ann = S.ann_ivf_knn(q, e, k=5).localCheckpoint(eager=False)
+    hits = ex.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    corpus = hits.agg(F.count(F.lit(1)).alias("__hits")).crossJoin(
+        ex.agg(F.count(F.lit(1)).alias("__n_exact_all"))
+    )
+    ann_n = ann.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_ann"))
+    ex_agg = ex.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).cast("long").alias("exact_top1_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("exact_top1_cos"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )
+    return (
+        ex_agg.join(ann_n, "query_id", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "exact_top1_id",
+            "exact_top1_cos",
+            "n_exact",
+            F.coalesce(F.col("n_ann"), F.lit(0)).cast("long").alias("n_ann"),
+            (F.col("__hits") >= 0.4 * F.col("__n_exact_all")).alias("corpus_recall_ok"),
+        )
+    )
 
 
 @query(

@@ -1,0 +1,524 @@
+"""Round-8 data-quality / forecasting / sketch additions.
+
+Six operators a production lake team runs daily that the catalog did
+not yet cover as first-class queries:
+
+* ``dq_expectation_suite`` — a declarative data-quality gate (the
+  Great-Expectations shape): null rates, ranges, set membership, key
+  uniqueness and referential integrity, each emitted as an
+  (expectation, observed, passed) row.
+* ``fuzzy_join_prefix_filtered`` — the SCALE form of the q-gram fuzzy
+  join: per name keep only its P globally-rarest grams and join on
+  those (prefix filtering), so no hot-gram quadratic ever forms.
+* ``seasonal_naive_backtest`` — lag-7 seasonal-naive vs lag-1 naive
+  forecast backtest over the daily event series (the "is there weekly
+  seasonality worth modeling" gate before any real forecasting).
+* ``char_lm_quality_bits`` — character-unigram LM cross-entropy per
+  language (bits/char), the cheapest corpus-quality / gibberish filter.
+* ``heavyhitters_misra_gries`` — distributed Misra-Gries heavy-hitter
+  summaries with the sketch-family verdict recipe (exact counts
+  certified, candidate-superset guarantee pinned).
+* ``feature_equidepth_bins`` — NTILE equi-depth feature binning with
+  per-bin stats (the feature-engineering / drift-monitoring primitive).
+
+Cross-engine discipline per CLAUDE.md: counts CAST to BIGINT, rates
+FLOOR-truncated quotients, wide float aggregates ROUND on both sides,
+all orderings tie-broken on a unique key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from .catalog import query
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation suite
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_expectation_suite",
+    tier="EXT data-eng (declarative data-quality gate: null/range/set/key/RI checks)",
+    oracle="""
+        SELECT 'orders_pk_unique' AS check_id,
+               CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS observed,
+               CAST(0 AS BIGINT) AS allowed,
+               (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) <= 0 AS passed
+        UNION ALL
+        SELECT 'orders_custkey_nulls',
+               CAST((SELECT COUNT(*) FILTER (o_custkey IS NULL) FROM orders) AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FILTER (o_custkey IS NULL) FROM orders) <= 0
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+               CAST((SELECT COUNT(*) FILTER (o_totalprice <= 0) FROM orders) AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FILTER (o_totalprice <= 0) FROM orders) <= 0
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST((SELECT COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1) FROM lineitem) AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1) FROM lineitem) <= 0
+        UNION ALL
+        SELECT 'lineitem_quantity_range',
+               CAST((SELECT COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem) AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem) <= 0
+        UNION ALL
+        SELECT 'lineitem_orderkey_ri',
+               CAST((SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+                     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) <= 0
+        UNION ALL
+        SELECT 'events_type_domain',
+               CAST((SELECT COUNT(*) FILTER (event_type NOT IN
+                     ('view','click','purchase','signup','error')) FROM events) AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FILTER (event_type NOT IN
+                ('view','click','purchase','signup','error')) FROM events) <= 0
+        UNION ALL
+        SELECT 'customer_acctbal_notnull',
+               CAST((SELECT COUNT(*) FILTER (c_acctbal IS NULL) FROM customer) AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FILTER (c_acctbal IS NULL) FROM customer) <= 0
+        ORDER BY check_id
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the lake (the
+    Great-Expectations / dbt-test shape): each expectation emits
+    (check_id, observed violation count, allowed, passed). Null rates,
+    value ranges, set membership, primary-key uniqueness, and the one
+    that needs a join — lineitem→orders referential integrity via a
+    LEFT ANTI join on the key.
+
+    Scale (100 TB): every single-table check is ONE partial-aggregated
+    scan (violation predicates folded into conditional counts, so each
+    table is read once per check group, map-side combined); the RI
+    check is the only shuffle — a key-only anti join whose build side
+    projects just o_orderkey. The union of 8 single-row frames is
+    driver-free. No check ever materializes violating ROWS (that is the
+    quarantine path's job, see validation.py) — the gate is counts."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+
+    def row(check_id: str, observed_col, frame: DataFrame) -> DataFrame:
+        return frame.agg(observed_col.cast("long").alias("observed")).select(
+            F.lit(check_id).alias("check_id"),
+            "observed",
+            F.lit(0).cast("long").alias("allowed"),
+            (F.col("observed") <= 0).alias("passed"),
+        )
+
+    cnt = F.count(F.lit(1))
+    ri_violations = (
+        lineitem.select("l_orderkey")
+        .distinct()
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
+    )
+    checks = [
+        row("orders_pk_unique", cnt - F.countDistinct("o_orderkey"), orders),
+        row("orders_custkey_nulls", F.count(F.when(F.col("o_custkey").isNull(), 1)), orders),
+        row("orders_totalprice_positive", F.count(F.when(F.col("o_totalprice") <= 0, 1)), orders),
+        row(
+            "lineitem_discount_range",
+            F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)),
+            lineitem,
+        ),
+        row(
+            "lineitem_quantity_range",
+            F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)),
+            lineitem,
+        ),
+        row("lineitem_orderkey_ri", cnt, ri_violations),
+        row(
+            "events_type_domain",
+            F.count(
+                F.when(
+                    ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"), 1
+                )
+            ),
+            events,
+        ),
+        row("customer_acctbal_notnull", F.count(F.when(F.col("c_acctbal").isNull(), 1)), customer),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_id")
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered fuzzy join (the q-gram join's 100 TB form)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_join_prefix_filtered",
+    tier="EXT data-eng (entity resolution: prefix-filtered q-gram fuzzy join — the scale form)",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        grams AS (
+            SELECT p_name, UNNEST(LIST_DISTINCT([p_name[i:i+1]
+                   FOR i IN RANGE(1, LENGTH(p_name))])) AS g
+            FROM names
+        ),
+        dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+        pref AS (
+            SELECT p_name, g
+            FROM (SELECT gr.p_name, gr.g,
+                         ROW_NUMBER() OVER (PARTITION BY gr.p_name
+                                            ORDER BY d.df, gr.g) AS r
+                  FROM grams gr JOIN dfreq d ON gr.g = d.g)
+            WHERE r <= 4
+        ),
+        cand AS (
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_prefix_grams
+            FROM pref a JOIN pref b ON a.g = b.g AND a.p_name < b.p_name
+            GROUP BY 1, 2
+        )
+        SELECT name_a, name_b, shared_prefix_grams,
+               CAST(LEVENSHTEIN(name_a, name_b) AS BIGINT) AS lev_dist
+        FROM cand
+        WHERE LEVENSHTEIN(name_a, name_b) <= 6
+        ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_join_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED q-gram fuzzy join — how
+    ``fuzzy_join_qgram_candidates`` survives 100 TB. The raw postings
+    self-join is quadratic inside hot grams (every name containing
+    "re " pairs with every other); prefix filtering bounds it: rank
+    each name's grams by GLOBAL document frequency (rarest first,
+    gram-tiebreak — deterministic on both engines) and index only the
+    P=4 rarest. Two names can then only meet through one of their rare
+    grams, whose posting lists are df-biased-small by construction —
+    candidate volume stays near-linear in names while high-overlap
+    pairs (which share most grams, including the rare ones) still
+    collide. Only candidates pay the levenshtein verify.
+
+    Shuffles: gram df groupBy, the df join-back + per-name window
+    (partitioned by name — never a global sort), the prefix-posting
+    equi-join, the pair groupBy. All bounded; measured 100k→1M names
+    in scripts/scale_probe_r08.py. Certified end-to-end vs the
+    identical algorithm in DuckDB."""
+    names = load_table(spark, "part", sf_dir).select("p_name").distinct()
+    idx = F.sequence(F.lit(1), F.length("p_name") - 1)
+    grams = names.select(
+        "p_name",
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.col("p_name").substr(i, F.lit(2))))
+        ).alias("g"),
+    ).localCheckpoint(eager=False)
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("p_name").orderBy("df", "g")
+    pref = (
+        grams.join(dfreq, "g")
+        .select("p_name", "g", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 4)
+        .select("p_name", "g")
+    )
+    a = pref.select(F.col("p_name").alias("name_a"), "g")
+    b = pref.select(F.col("p_name").alias("name_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_prefix_grams"))
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev_dist") <= 6)
+        .orderBy("name_a", "name_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_naive_backtest",
+    tier="EXT time-series (lag-7 seasonal-naive vs lag-1 naive backtest, per event type)",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   ROUND(SUM(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, d, v,
+                   LAG(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS v7,
+                   LAG(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS v1
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(ABS(v - v7)), 4) AS mae_seasonal,
+               ROUND(AVG(ABS(v - v1)), 4) AS mae_naive,
+               ROUND(AVG(ABS(v - v7)), 4) < ROUND(AVG(ABS(v - v1)), 4) AS seasonal_wins
+        FROM lagged
+        WHERE v7 IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate before any real forecasting work: does lag-7
+    (seasonal-naive, "same weekday last week") beat lag-1 (naive,
+    "same as yesterday") on the daily value series? Per event type the
+    backtest scores both one-step forecasters over every day where the
+    seasonal lag exists and reports MAE for each plus the verdict.
+    Production forecast pipelines run exactly this before fitting
+    anything heavier — a model that can't beat seasonal-naive is noise.
+
+    Cross-engine: daily sums ROUND(2) on both sides (wide-aggregate
+    rule) so the error terms are identical decimals; MAEs ROUND(4);
+    the verdict compares the ROUNDED MAEs so it can never straddle an
+    ulp. Scale: one shuffle to (type, day) partials — map-side
+    combined — then a per-type window over ~days rows; the fact table
+    is read once."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 7).over(w).alias("v7"),
+        F.lag("v", 1).over(w).alias("v1"),
+    ).filter(F.col("v7").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(F.abs(F.col("v") - F.col("v7"))), 4).alias("mae_seasonal"),
+            F.round(F.avg(F.abs(F.col("v") - F.col("v1"))), 4).alias("mae_naive"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "mae_seasonal",
+            "mae_naive",
+            (F.col("mae_seasonal") < F.col("mae_naive")).alias("seasonal_wins"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-unigram LM quality (bits per char)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "char_lm_quality_bits",
+    tier="L4 text quality (char-unigram LM cross-entropy per language, bits/char)",
+    oracle="""
+        WITH chars AS (
+            SELECT lang, UNNEST(STRING_SPLIT(text, '')) AS c FROM documents
+        ),
+        corpus AS (
+            SELECT c, COUNT(*) AS n FROM chars GROUP BY c
+        ),
+        total AS (SELECT SUM(n) AS tot FROM corpus),
+        bylang AS (
+            SELECT lang, c, COUNT(*) AS n FROM chars GROUP BY lang, c
+        )
+        SELECT b.lang,
+               CAST(SUM(b.n) AS BIGINT) AS n_chars,
+               ROUND(-SUM(b.n * LN(co.n / t.tot)) / SUM(b.n) / LN(2), 4) AS bits_per_char
+        FROM bylang b JOIN corpus co ON b.c = co.c CROSS JOIN total t
+        GROUP BY b.lang
+        ORDER BY b.lang
+    """,
+)
+def char_lm_quality_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheapest corpus-quality signal there is: a character-unigram
+    LM fit on the whole corpus, then each language's text scored as
+    cross-entropy (bits/char) under it. Gibberish, encoding corruption
+    and off-distribution text surface as entropy spikes — production
+    pipelines run this (or its big sibling, a real LM perplexity
+    filter) before paying for model-based quality scoring. The Spark
+    plumbing is the point at scale: char frequencies are TWO
+    low-cardinality groupBys (≤ alphabet keys — map-side partials
+    collapse each partition to ≤|alphabet| rows, so the shuffle is
+    partitions×alphabet scalars, never corpus-sized), the model join
+    is a broadcast of ≤|alphabet| rows, and the per-(lang,char)
+    weighted sum is again a tiny aggregation.
+
+    Cross-engine: counts are exact; LN last-ulp differences between
+    libm builds are ~1e-15 relative, far under the ROUND(4) cut."""
+    chars = (
+        load_table(spark, "documents", sf_dir)
+        .select("lang", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.length("c") > 0)  # guard a possible trailing empty split token
+        .localCheckpoint(eager=False)
+    )
+    corpus = chars.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    total = corpus.agg(F.sum("n").alias("tot"))
+    bylang = chars.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n_lc"))
+    return (
+        bylang.join(F.broadcast(corpus), "c")
+        .crossJoin(F.broadcast(total))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_lc").cast("long").alias("n_chars"),
+            F.round(
+                -F.sum(F.col("n_lc") * F.log(F.col("n") / F.col("tot")))
+                / F.sum("n_lc")
+                / F.log(F.lit(2.0)),
+                4,
+            ).alias("bits_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (distributed, verdict-oracled)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "heavyhitters_misra_gries",
+    tier="A6 sketch family (distributed Misra-Gries heavy hitters; exact counts + superset verdict)",
+    oracle="""
+        WITH counts AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_events) AS n FROM counts)
+        SELECT c.event_type, c.n_events,
+               c.n_events * 8 > t.n AS is_heavy,
+               TRUE AS sketch_found_all_heavy
+        FROM counts c CROSS JOIN tot t
+        ORDER BY c.event_type
+    """,
+)
+def heavyhitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters with the sketch-family
+    verdict recipe (same as approx_count_distinct / theta): the exact
+    per-key counts and the is-heavy flags (freq > n/k, k=8) are
+    hash-certified against DuckDB, and `sketch_found_all_heavy` pins
+    the MG guarantee — the union of per-partition MG(k) candidate sets
+    MUST contain every key with global frequency > n/k (pigeonhole: a
+    key below the per-partition threshold everywhere is below it
+    globally). A kernel bug that drops a heavy key flips the verdict
+    and fails the gate; which LIGHT keys the sketch happens to retain
+    is partitioning-dependent, so it is folded into the verdict, never
+    emitted.
+
+    Scale: the whole corpus reduces to ≤(k-1) (key, count) rows PER
+    PARTITION inside one Arrow-batched pass — the shuffle after it
+    carries partitions×k scalars, the exact per-key recount is one
+    partial-aggregated groupBy over a low-cardinality key, and the
+    verdict join is a broadcast of the candidate set. This is the
+    operator you reach for when the key cardinality ISN'T low — user
+    ids, URLs — where exact groupBy would shuffle millions of groups
+    to find the top handful."""
+    import pandas as pd
+
+    k = 8
+    ev = load_table(spark, "events", sf_dir).select(F.col("event_type").alias("key"))
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["key"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    candidates = (
+        ev.mapInPandas(mg_partition, schema="key string").distinct().localCheckpoint(eager=False)
+    )
+    counts = ev.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("n"))
+    flagged = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("is_heavy", F.col("n_events") * k > F.col("n"))
+        .join(F.broadcast(candidates.withColumn("in_sketch", F.lit(True))), "key", "left")
+    )
+    verdict = flagged.agg(
+        F.coalesce(
+            F.every(F.when(F.col("is_heavy"), F.coalesce(F.col("in_sketch"), F.lit(False)))),
+            F.lit(True),
+        ).alias("sketch_found_all_heavy")
+    )
+    return (
+        flagged.select(F.col("key").alias("event_type"), "n_events", "is_heavy")
+        .crossJoin(F.broadcast(verdict))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth feature binning
+# --------------------------------------------------------------------------
+
+
+@query(
+    "feature_equidepth_bins",
+    tier="EXT data-eng (NTILE equi-depth feature binning + per-bin stats)",
+    oracle="""
+        WITH binned AS (
+            SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+            FROM orders
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi,
+               ROUND(AVG(o_totalprice), 4) AS mean_price
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def feature_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of a numeric feature with per-bin
+    stats — the feature-engineering primitive behind WOE encoding,
+    drift monitors and histogram features. NTILE(10) with a unique-key
+    tiebreak is deterministic and identical across engines (remainder
+    rows go to the leading buckets in both).
+
+    Scale note (deliberate, documented): exact global NTILE needs a
+    total order — a single-reducer sort, the one plan shape this repo
+    otherwise avoids. This query is the exact-semantics CORRECTNESS
+    baseline; the 100 TB path is approx_percentile boundaries + a
+    broadcast range join (see `approx_percentile_sketch` /
+    `value_histogram_by_type`), which needs no global sort and is
+    where a drift monitor actually runs. Same baseline-vs-scale split
+    as exact_knn vs ann_lsh_topk."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = load_table(spark, "orders", sf_dir).select(
+        "o_totalprice", F.ntile(10).over(w).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n_rows", "lo", "hi", "mean_price")
+        .orderBy("bin")
+    )

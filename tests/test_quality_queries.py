@@ -1,0 +1,123 @@
+"""Exact-method tests for the round-8 quality/forecast/sketch tier
+(queries/quality.py) — the invariants the DuckDB oracle can't see:
+the Misra-Gries superset guarantee under real skew, prefix-filter
+recall vs the unfiltered q-gram join, and the equi-depth balance
+property."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from energi_data_etl_spark.queries.quality import (
+    char_lm_quality_bits,
+    dq_expectation_suite,
+    feature_equidepth_bins,
+    fuzzy_join_prefix_filtered,
+    heavyhitters_misra_gries,
+    seasonal_naive_backtest,
+)
+
+
+def test_dq_suite_all_pass_on_fixture(spark, sf_dir):
+    rows = dq_expectation_suite(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r.passed for r in rows), [r.check_id for r in rows if not r.passed]
+    assert all(r.observed == 0 for r in rows)
+
+
+def test_misra_gries_superset_guarantee_under_skew(spark):
+    """Synthetic 90%-hot-key stream across many partitions: the union of
+    per-partition MG candidates must contain every key with global
+    frequency > n/k — the pigeonhole guarantee the query's verdict
+    column pins. Reuses the query's kernel via a temp parquet table."""
+    import tempfile
+
+    n = 20_000
+    hot = F.when(F.pmod(F.col("id"), F.lit(10)) < 9, F.lit("hot")).otherwise(
+        F.concat(F.lit("cold"), (F.col("id") % 500).cast("string"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros((F.lit(1704067200_000000) + F.col("id")).cast("long")).alias("ts"),
+                F.col("id").alias("user_id"),
+                hot.alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(f"{d}/events.parquet")
+        )
+        out = heavyhitters_misra_gries(spark, d).collect()
+    heavy = [r.event_type for r in out if r.is_heavy]
+    assert heavy == ["hot"]  # 90% >> 1/8; every cold key is ~0.018%
+    assert all(r.sketch_found_all_heavy for r in out)
+
+
+def test_prefix_filter_recall_vs_full_qgram_join(spark, sf_dir):
+    """Every levenshtein<=2 pair the UNFILTERED q-gram join finds must
+    survive prefix filtering: a 1-char edit disturbs at most 2 of the
+    2-grams, and TPC-H-ish names have >=4 rare grams left intact, so
+    true near-dups always collide on a rare gram."""
+    filtered = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_join_prefix_filtered(spark, sf_dir).collect()
+        if r.lev_dist <= 2
+    }
+    from energi_data_etl_spark.sources.tables import load_table
+
+    names = load_table(spark, "part", sf_dir).select("p_name").distinct()
+    idx = F.sequence(F.lit(1), F.length("p_name") - 1)
+    grams = names.select(
+        "p_name",
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.col("p_name").substr(i, F.lit(2))))
+        ).alias("g"),
+    )
+    a = grams.select(F.col("p_name").alias("name_a"), "g")
+    b = grams.select(F.col("p_name").alias("name_b"), "g")
+    full = {
+        (r.name_a, r.name_b)
+        for r in (
+            a.join(b, "g")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+            .distinct()
+            .withColumn("lev", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("lev") <= 2)
+            .collect()
+        )
+    }
+    assert full, "fixture has no lev<=2 name pairs — recall test is vacuous"
+    assert full <= filtered | full and filtered <= full | filtered  # type sanity
+    missed = full - filtered
+    assert not missed, f"prefix filter lost true near-dup pairs: {sorted(missed)[:5]}"
+
+
+def test_equidepth_bins_are_balanced(spark, sf_dir):
+    rows = feature_equidepth_bins(spark, sf_dir).collect()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE equi-depth property
+    # bins tile the value range in order (boundaries may touch on ties)
+    for lo_r, hi_r in zip(rows, rows[1:]):
+        assert lo_r.hi <= hi_r.lo
+
+
+def test_seasonal_backtest_window(spark, sf_dir):
+    rows = seasonal_naive_backtest(spark, sf_dir).collect()
+    # events span exactly 2024-01-01..30 at every SF -> 23 scored days
+    assert all(r.n_days == 23 for r in rows)
+    assert all(r.mae_seasonal >= 0 and r.mae_naive >= 0 for r in rows)
+
+
+def test_char_lm_bits_sane(spark, sf_dir):
+    rows = char_lm_quality_bits(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_chars > 0
+        # unigram char entropy of natural-ish text: 0 < H < log2(alphabet)
+        assert 0.0 < r.bits_per_char < 8.0
