@@ -522,3 +522,268 @@ def feature_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bin").cast("int").alias("bin"), "n_rows", "lo", "hi", "mean_price")
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit forensic audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "benford_first_digit_audit",
+    tier="EXT data-eng (forensic DQ: first-significant-digit distribution vs Benford's law)",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        counted AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT SUM(n_obs) AS n FROM counted)
+        SELECT d.range AS digit,
+               COALESCE(c.n_obs, 0) AS n_obs,
+               FLOOR(COALESCE(c.n_obs, 0) * 1000000 / t.n) / 1000000.0 AS freq_obs,
+               ROUND(LOG10(1.0 + 1.0 / d.range), 6) AS p_benford
+        FROM range(1, 10) d
+        LEFT JOIN counted c ON c.digit = d.range
+        CROSS JOIN tot t
+        ORDER BY digit
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit of a monetary column — the
+    fraud/synthetic-data detector auditors actually run: natural
+    multiplicative amounts put digit d first with probability
+    log10(1+1/d); fabricated or truncated data shows up as a flat or
+    spiked profile. Emits all nine digits (zero-filled via a generated
+    digit dimension) with observed counts, FLOOR-truncated observed
+    frequency, and the Benford expectation.
+
+    Cross-engine: the first digit comes from the INTEGER part's string
+    head (every o_totalprice >= 1), never from LOG10-based magnitude
+    math — FLOOR(LOG10(x)) flips at exact powers of ten per libm, the
+    string head of an exact BIGINT cannot. freq_obs is the
+    FLOOR-quotient of exact longs (bit-identical divisions); p_benford
+    values all sit >= 2.4e-7 from their 6dp rounding cuts, far beyond
+    libm's 1-ulp wobble. Scale: one conditional-count scan, map-side
+    combined to <= 9 rows per partition; the digit dimension is a
+    9-row broadcast."""
+    digits = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    total = counted.agg(F.sum("n_obs").alias("n"))
+    dim = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    return (
+        dim.join(counted, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            (F.floor(F.coalesce(F.col("n_obs"), F.lit(0)) * 1000000 / F.col("n")) / 1000000.0).alias(
+                "freq_obs"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("p_benford"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Population stability index (feature drift)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "psi_value_drift",
+    tier="EXT data-eng (ML monitoring: population stability index, ref vs current fortnight)",
+    oracle="""
+        WITH binned AS (
+            SELECT event_type,
+                   LEAST(9, GREATEST(0, CAST(FLOOR(value / 50.0) AS INT))) AS bin,
+                   CAST(ts AS DATE) < DATE '2024-01-16' AS is_ref
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, b.range AS bin
+            FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN range(0, 10) b
+        ),
+        counts AS (
+            SELECT g.event_type, g.bin,
+                   CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0) AS BIGINT) AS n_cur
+            FROM grid g LEFT JOIN binned x ON x.event_type = g.event_type AND x.bin = g.bin
+            GROUP BY g.event_type, g.bin
+        ),
+        tots AS (
+            SELECT event_type, SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts GROUP BY event_type
+        )
+        SELECT c.event_type,
+               CAST(t.tr AS BIGINT) AS n_ref,
+               CAST(t.tc AS BIGINT) AS n_cur,
+               ROUND(SUM(
+                   ((c.n_cur + 0.5) / (t.tc + 5.0) - (c.n_ref + 0.5) / (t.tr + 5.0))
+                   * LN(((c.n_cur + 0.5) / (t.tc + 5.0)) / ((c.n_ref + 0.5) / (t.tr + 5.0)))
+               ), 6) AS psi,
+               ROUND(SUM(
+                   ((c.n_cur + 0.5) / (t.tc + 5.0) - (c.n_ref + 0.5) / (t.tr + 5.0))
+                   * LN(((c.n_cur + 0.5) / (t.tc + 5.0)) / ((c.n_ref + 0.5) / (t.tr + 5.0)))
+               ), 6) > 0.2 AS drifted
+        FROM counts c JOIN tots t USING (event_type)
+        GROUP BY c.event_type, t.tr, t.tc
+        ORDER BY c.event_type
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — THE production feature-drift metric
+    (credit scoring, model monitoring): bin the feature identically in
+    a reference window (first fortnight) and the current window (second
+    fortnight), then PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref) over
+    the bins, Laplace-smoothed (+0.5/bin) so empty bins never produce
+    infinities. PSI > 0.2 is the standard "investigate" threshold,
+    emitted as the verdict off the ROUNDED psi.
+
+    Bins are FIXED-width (10 x 50 over the value domain) — exactly what
+    a deployed monitor uses (frozen at training time), and deterministic
+    across engines, unlike data-dependent quantile edges. Scale: one
+    conditional-count pass over the fact table collapsing to
+    types x 10 rows, the zero-fill grid is a broadcast, the PSI fold is
+    a 10-term aggregate. libm LN wobble is ~1e-16 relative against a
+    6dp cut."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 50.0).cast("int"))).alias(
+            "bin"
+        ),
+        (F.to_date("ts") < F.lit("2024-01-16").cast("date")).alias("is_ref"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(0, 10).select(F.col("id").cast("int").alias("bin")))
+    )
+    counts = (
+        grid.join(ev, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_ref"), 1)), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.sum(F.when(~F.col("is_ref"), 1)), F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tots = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        counts.join(tots, "event_type")
+        .groupBy("event_type", "tr", "tc")
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("tr").cast("long").alias("n_ref"),
+            F.col("tc").cast("long").alias("n_cur"),
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Change-point detection (binary segmentation, depth 1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "changepoint_binary_segmentation",
+    tier="EXT time-series (depth-1 binary segmentation: best mean-shift split of the daily series)",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, d, v,
+                   SUM(v) OVER w AS cs,
+                   COUNT(*) OVER w AS cn,
+                   SUM(v) OVER (PARTITION BY event_type) AS s,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING)
+        ),
+        stats AS (
+            SELECT event_type, d, cn, n,
+                   ABS(cs / cn - (s - cs) / (n - cn))
+                   * SQRT(CAST(cn * (n - cn) AS DOUBLE) / n) AS stat
+            FROM cum WHERE cn < n
+        )
+        SELECT event_type,
+               d AS split_day,
+               CAST(cn AS BIGINT) AS left_days,
+               CAST(n - cn AS BIGINT) AS right_days,
+               ROUND(stat, 4) AS gap_stat
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY stat DESC, d ASC) AS r
+              FROM stats)
+        WHERE r = 1
+        ORDER BY event_type
+    """,
+)
+def changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 binary segmentation — the classical change-point scan:
+    for every candidate split day t the statistic
+    |mean(left) - mean(right)| * sqrt(n_l * n_r / n) (the two-sample
+    CUSUM gap) is computed from running sums, and the argmax day wins
+    (earliest day on ties). This is the alerting primitive behind
+    "did the metric shift and when" — run after anomaly_zscore_events
+    flags THAT something changed.
+
+    Determinism across engines is by construction: daily sums are
+    ROUND(2) decimals, the cumulative sums run in the window's forced
+    order (bit-identical sequential adds), and the statistic uses only
+    +,-,*,/,sqrt — IEEE correctly-rounded ops, so both engines compare
+    bit-identical doubles in the argmax; no libm anywhere. Scale: one
+    shuffle to (type, day) partials, per-type windows over ~days rows,
+    a WindowGroupLimit-prunable rank — the fact table is read once."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("v").over(wc).alias("cs"),
+        F.count(F.lit(1)).over(wc).alias("cn"),
+        F.sum("v").over(wt).alias("s"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    ).filter(F.col("cn") < F.col("n"))
+    stats = cum.withColumn(
+        "stat",
+        F.abs(F.col("cs") / F.col("cn") - (F.col("s") - F.col("cs")) / (F.col("n") - F.col("cn")))
+        * F.sqrt((F.col("cn") * (F.col("n") - F.col("cn"))).cast("double") / F.col("n")),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("stat").desc(), F.col("d").asc())
+    return (
+        stats.select("*", F.row_number().over(wr).alias("r"))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("split_day"),
+            F.col("cn").cast("long").alias("left_days"),
+            (F.col("n") - F.col("cn")).cast("long").alias("right_days"),
+            F.round("stat", 4).alias("gap_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -121,3 +121,94 @@ def test_char_lm_bits_sane(spark, sf_dir):
         assert r.n_chars > 0
         # unigram char entropy of natural-ish text: 0 < H < log2(alphabet)
         assert 0.0 < r.bits_per_char < 8.0
+
+
+def test_benford_covers_all_digits_and_sums_to_one(spark, sf_dir):
+    from energi_data_etl_spark.queries.quality import benford_first_digit_audit
+
+    rows = benford_first_digit_audit(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.p_benford for r in rows) - 1.0) < 1e-4
+    assert sum(r.n_obs for r in rows) > 0
+    # freq_obs is a probability vector up to FLOOR truncation
+    assert 0.999 <= sum(r.freq_obs for r in rows) <= 1.0 + 1e-9
+
+
+def test_psi_detects_injected_drift(spark):
+    """Synthetic drift: the current fortnight's values shifted +200 for
+    one type — its PSI must cross the 0.2 alert bar while the stable
+    type stays under it."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    n = 10_000
+    half = F.col("id") % 30 < 15  # first 15 "days"
+    drifted_type = F.when(F.col("id") % 2 == 0, "stable").otherwise("drifty")
+    value = F.when(
+        (F.col("id") % 2 == 1) & ~half, 250.0 + F.pmod(F.xxhash64("id"), F.lit(100))
+    ).otherwise(10.0 + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100)))
+    with tempfile.TemporaryDirectory() as d:
+        (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros(
+                    (F.lit(1704067200_000000) + (F.col("id") % 30) * F.lit(86_400_000_000)).cast(
+                        "long"
+                    )
+                ).alias("ts"),
+                F.col("id").alias("user_id"),
+                drifted_type.alias("event_type"),
+                value.cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(f"{d}/events.parquet")
+        )
+        from energi_data_etl_spark.queries.quality import psi_value_drift
+
+        out = {r.event_type: r for r in psi_value_drift(spark, d).collect()}
+    assert out["drifty"].drifted and out["drifty"].psi > 0.2
+    assert not out["stable"].drifted and out["stable"].psi < 0.05
+
+
+def test_changepoint_finds_injected_shift(spark):
+    """A level shift of +500/day injected on day 20 must be the argmax
+    split for that type."""
+    import datetime
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    n = 30_000  # 1000 events/day x 30 days
+    # day decoupled from the id parity that assigns the type — id % 30
+    # would give the odd-id "stepped" type only odd days
+    day = F.floor(F.col("id") / 2) % 30
+    value = F.when((F.col("id") % 2 == 1) & (day >= 19), 60.0).otherwise(10.0)
+    with tempfile.TemporaryDirectory() as d:
+        (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros(
+                    (F.lit(1704067200_000000) + day * F.lit(86_400_000_000)).cast("long")
+                ).alias("ts"),
+                F.col("id").alias("user_id"),
+                F.when(F.col("id") % 2 == 0, "flat").otherwise("stepped").alias("event_type"),
+                value.cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(f"{d}/events.parquet")
+        )
+        from energi_data_etl_spark.queries.quality import changepoint_binary_segmentation
+
+        out = {r.event_type: r for r in changepoint_binary_segmentation(spark, d).collect()}
+    # the last pre-shift day (Jan 19; shift starts day index 19 = Jan 20)
+    # is the argmax split, left = days 0..18 -> 19 days
+    assert out["stepped"].split_day == datetime.date(2024, 1, 19)
+    assert out["stepped"].left_days == 19
+    assert out["stepped"].gap_stat > out["flat"].gap_stat * 10
