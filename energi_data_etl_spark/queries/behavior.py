@@ -392,3 +392,75 @@ def theta_sketch_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol(chn_est, "n_churned").alias("churned_tol"),
         tol(new_est, "n_new").alias("new_tol"),
     )
+
+
+@query(
+    "event_sequence_detection",
+    tier="EXT behavior (MATCH_RECOGNIZE-style sequence: error followed by purchase within 10 min)",
+    oracle="""
+        WITH seq AS (
+            SELECT CAST(ts AS DATE) AS d, event_type,
+                   MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   - epoch_us(ts) AS gap_us
+            FROM events
+        )
+        SELECT d,
+               CAST(COUNT(*) AS BIGINT) AS n_errors,
+               CAST(COALESCE(SUM(CASE WHEN gap_us <= 600000000 THEN 1 END), 0) AS BIGINT)
+                   AS n_recovered,
+               FLOOR(COALESCE(SUM(CASE WHEN gap_us <= 600000000 THEN 1 END), 0) * 1000000
+                     / COUNT(*)) / 1000000.0 AS recovery_rate
+        FROM seq
+        WHERE event_type = 'error'
+        GROUP BY d
+        ORDER BY d
+    """,
+)
+def event_sequence_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection without MATCH_RECOGNIZE (Spark has
+    none): "error followed by a purchase within 10 minutes by the same
+    user" — the recovery-funnel question — expressed as a SUFFIX-frame
+    window: for every event, the next purchase timestamp is
+    MIN(CASE type='purchase') over ROWS 1 FOLLOWING → UNBOUNDED under
+    the per-user (ts, event_id) total order; error rows then just
+    compare the gap. One window pass detects the pattern for EVERY
+    anchor row simultaneously — no self-join on the fact table, no
+    per-user UDF loop, and the frame trick generalizes to any
+    A-then-B-within-T pattern.
+
+    Cross-engine: integer µs arithmetic under a fully tie-broken
+    order; the rate is a FLOOR-truncated quotient of exact longs.
+    Scale: ONE shuffle on user_id feeds the window; the daily rollup
+    is map-side combined. At 100 TB this is the sessionize plan shape
+    (shuffle-once, window, partial-agg) with a different frame."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    seq = ev.select(
+        "d",
+        "event_type",
+        (
+            F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).over(w) - F.col("us")
+        ).alias("gap_us"),
+    ).filter(F.col("event_type") == "error")
+    recovered = F.coalesce(F.sum(F.when(F.col("gap_us") <= 600_000_000, 1)), F.lit(0))
+    return (
+        seq.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            recovered.cast("long").alias("n_recovered"),
+            (F.floor(recovered * 1000000 / F.count(F.lit(1))) / 1000000.0).alias("recovery_rate"),
+        )
+        .orderBy("d")
+    )

@@ -787,3 +787,89 @@ def changepoint_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "key_skew_audit",
+    tier="EXT data-eng (observability: per-key distribution stats + Gini for join-key skew)",
+    oracle="""
+        WITH audits AS (
+            SELECT 'lineitem.l_partkey' AS key_name, CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+            UNION ALL
+            SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+        ),
+        counts AS (
+            SELECT key_name, k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM audits GROUP BY key_name, k
+        ),
+        ranked AS (
+            SELECT key_name, c,
+                   ROW_NUMBER() OVER (PARTITION BY key_name ORDER BY c, k) AS i
+            FROM counts
+        )
+        SELECT key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_count,
+               FLOOR(MAX(c) * 1000000 / SUM(c)) / 1000000.0 AS top_share,
+               FLOOR((2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c)) * 1000000
+                     / (COUNT(*) * SUM(c))) / 1000000.0 AS gini
+        FROM ranked
+        GROUP BY key_name
+        ORDER BY key_name
+    """,
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit you run BEFORE a big join: per candidate join key, the
+    per-key-count distribution summarized as key/row counts, the top
+    key's share, and the Gini coefficient of the counts (0 = perfectly
+    uniform, →1 = one mega-key). This is how join_skew_salted /
+    join_skew_adaptive_salted decide they are needed — measured, not
+    guessed; a Gini jump between runs is a data-drift alarm before it
+    becomes a straggler task.
+
+    Exactness: Gini is computed ENTIRELY in integers — counts c_i
+    ranked ascending (key tiebreak), G = (2·Σi·c_i − (n+1)·Σc)/(n·Σc),
+    numerator and denominator exact BIGINTs, one FLOOR-truncated
+    division at the end — bit-identical across engines, no float
+    accumulation anywhere. Scale: per-key counts are map-side-combined
+    groupBys; the ranking window runs over KEY-COUNT rows (|distinct
+    keys|, already reduced — never the fact table), one partition per
+    audited key."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    audits = (
+        li.select(F.lit("lineitem.l_partkey").alias("key_name"), F.col("l_partkey").cast("string").alias("k"))
+        .unionByName(
+            li.select(F.lit("lineitem.l_suppkey").alias("key_name"), F.col("l_suppkey").cast("string").alias("k"))
+        )
+        .unionByName(
+            ev.select(F.lit("events.user_id").alias("key_name"), F.col("user_id").cast("string").alias("k"))
+        )
+    )
+    counts = audits.groupBy("key_name", "k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("key_name").orderBy("c", "k")
+    ranked = counts.select("key_name", "c", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    tot = F.sum("c")
+    return (
+        ranked.groupBy("key_name")
+        .agg(
+            n.cast("long").alias("n_keys"),
+            tot.cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_count"),
+            (F.floor(F.max("c") * 1000000 / tot) / 1000000.0).alias("top_share"),
+            (
+                F.floor((2 * F.sum(F.col("i") * F.col("c")) - (n + 1) * tot) * 1000000 / (n * tot))
+                / 1000000.0
+            ).alias("gini"),
+        )
+        .orderBy("key_name")
+    )

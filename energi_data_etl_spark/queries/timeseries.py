@@ -651,3 +651,123 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("b"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "time_weighted_average_daily",
+    tier="EXT time-series (TWAP: duration-weighted daily mean over an irregular series)",
+    oracle="""
+        WITH seg AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, value,
+                   LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                            ORDER BY epoch_us(ts), event_id)
+                   - epoch_us(ts) AS w_us
+            FROM events
+        )
+        SELECT event_type, d,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               ROUND(SUM(value * w_us) / SUM(w_us), 4) AS twap
+        FROM seg
+        WHERE w_us IS NOT NULL AND w_us > 0
+        GROUP BY event_type, d
+        ORDER BY event_type, d
+    """,
+)
+def time_weighted_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP — the correct daily mean for an IRREGULAR series (the naive
+    AVG over-weights bursts; energy/finance reporting is duration-
+    weighted by definition). Each observation holds until the next one
+    of the same type: weight = µs until the successor (lead over the
+    per-type order), the segment booked to the day it starts, zero- or
+    unknown-duration segments (simultaneous µs, the series tail)
+    dropped on both engines.
+
+    Cross-engine: weights are EXACT integer µs (lead of epoch_us longs;
+    Spark goes ntz→timestamp→unix_micros, the same UTC-session cast the
+    certified behavior tier uses), per-term value*w products are IEEE
+    multiplies of identical doubles, and the quotient is cut at
+    ROUND(4). Scale: ONE shuffle to (type)-partitioned windows, then a
+    map-side-combined rollup to (type, day) — the fact table is read
+    once, and the window never sees a global order."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.to_date("ts").alias("d"),
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seg = ev.select(
+        "event_type", "d", "value", (F.lead("us").over(w) - F.col("us")).alias("w_us")
+    ).filter(F.col("w_us").isNotNull() & (F.col("w_us") > 0))
+    return (
+        seg.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.round(F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us"), 4).alias("twap"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@query(
+    "ohlc_hourly_resample",
+    tier="EXT time-series (OHLC downsample: open/high/low/close/volume per hour)",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                      ORDER BY ts, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rl
+            FROM events
+        )
+        SELECT event_type, h,
+               MAX(CASE WHEN rf = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rl = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume
+        FROM ranked
+        GROUP BY event_type, h
+        ORDER BY event_type, h
+    """,
+    bench=False,  # 3.6k output rows of pure window+agg; the per-hour shape is covered
+)
+def ohlc_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the canonical irregular→regular downsample
+    (ticks→candles, meter reads→hourly): first/last by event time plus
+    extremes and volume per (type, hour). First/last are rank-1 rows
+    under the (ts, event_id) total order within the bucket — fully
+    tie-broken, so both engines pick the same row even at equal
+    timestamps; open/high/low/close are RAW input doubles (bit-exact,
+    no rounding needed anywhere).
+
+    Scale: one shuffle partitioned by (type, hour) feeds both window
+    ranks AND the final aggregation (same keys — Spark reuses the
+    exchange); output is |types|×|hours|, dimension-bounded. The
+    two-sided rank trick beats a sort-within-group collect because the
+    window is WholeStageCodegen and never materializes the group."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value", "ts", "event_id"
+    )
+    wf = Window.partitionBy("event_type", "h").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wl = Window.partitionBy("event_type", "h").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ev.select(
+        "event_type",
+        "h",
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return (
+        ranked.groupBy("event_type", "h")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+        .orderBy("event_type", "h")
+    )

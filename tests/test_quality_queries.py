@@ -212,3 +212,54 @@ def test_changepoint_finds_injected_shift(spark):
     assert out["stepped"].split_day == datetime.date(2024, 1, 19)
     assert out["stepped"].left_days == 19
     assert out["stepped"].gap_stat > out["flat"].gap_stat * 10
+
+
+def test_twap_bounded_by_value_range(spark, sf_dir):
+    from energi_data_etl_spark.queries.timeseries import time_weighted_average_daily
+
+    rows = time_weighted_average_daily(spark, sf_dir).collect()
+    assert len(rows) == 150  # 5 types x 30 days at every SF
+    assert all(0.0 < r.twap < 500.0 for r in rows)  # convex combination of values
+    assert all(r.n_segments >= 1 for r in rows)
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.queries.timeseries import ohlc_hourly_resample
+    from energi_data_etl_spark.sources.tables import load_table
+
+    df = ohlc_hourly_resample(spark, sf_dir)
+    bad = df.filter(
+        (F.col("high") < F.col("low"))
+        | (F.col("open") > F.col("high"))
+        | (F.col("open") < F.col("low"))
+        | (F.col("close") > F.col("high"))
+        | (F.col("close") < F.col("low"))
+    ).count()
+    assert bad == 0
+    total = df.agg(F.sum("volume")).collect()[0][0]
+    assert total == load_table(spark, "events", sf_dir).count()  # every event in exactly one candle
+
+
+def test_key_skew_audit_gini_bounds(spark, sf_dir):
+    from energi_data_etl_spark.queries.quality import key_skew_audit
+
+    rows = {r.key_name: r for r in key_skew_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"lineitem.l_partkey", "lineitem.l_suppkey", "events.user_id"}
+    for r in rows.values():
+        assert 0.0 <= r.gini < 1.0
+        assert 0.0 < r.top_share <= 1.0
+        assert r.max_count * r.n_keys >= r.n_rows  # max >= mean
+    # fixture keys are near-uniform: no mega-key, low inequality
+    assert all(r.gini < 0.5 for r in rows.values())
+
+
+def test_event_sequence_rates_sane(spark, sf_dir):
+    from energi_data_etl_spark.queries.behavior import event_sequence_detection
+
+    rows = event_sequence_detection(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0 <= r.n_recovered <= r.n_errors
+        assert 0.0 <= r.recovery_rate <= 1.0
