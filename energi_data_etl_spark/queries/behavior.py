@@ -464,3 +464,144 @@ def event_sequence_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "user_path_topk",
+    tier="EXT behavior (top-k user journey paths: ordered event-type prefix per user-day)",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id, d, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= 5
+            GROUP BY user_id, d
+        ),
+        counted AS (
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days FROM paths GROUP BY path
+        )
+        SELECT path, n_user_days
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_user_days DESC, path ASC) AS r
+              FROM counted)
+        WHERE r <= 10
+        ORDER BY n_user_days DESC, path ASC
+    """,
+)
+def user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k user journeys — the product-analytics "what do people
+    actually do" query: each user-day's first five events in time
+    order become a path string (view>click>purchase>...), paths are
+    counted across user-days, top 10 win (count desc, path tiebreak).
+    The prefix cap is the scale contract: paths are bounded strings, so
+    the path groupBy carries ≤5 event names per row no matter how hot
+    a user-day gets.
+
+    Ordering is total ((epoch µs, event_id) inside the user-day, rn
+    inside the listagg) so the string is deterministic on both engines
+    — an unordered path agg would be partition-arbitrary and
+    uncertifiable. Plan: one (user, day)-keyed shuffle feeds the rank
+    window AND the path agg (same keys, exchange reused), then a
+    count/top-k over the tiny path dimension."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("us", "event_id")
+    ranked = ev.select("user_id", "d", "event_type", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 5
+    )
+    ranked.createOrReplaceTempView("__path_ranked")
+    paths = spark.sql(
+        """
+        SELECT user_id, d,
+               listagg(event_type, '>') WITHIN GROUP (ORDER BY rn) AS path
+        FROM __path_ranked GROUP BY user_id, d
+        """
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_user_days"))
+    wr = Window.orderBy(F.col("n_user_days").desc(), F.col("path").asc())
+    return (
+        counted.select("*", F.row_number().over(wr).alias("r"))
+        .filter(F.col("r") <= 10)
+        .select("path", "n_user_days")
+        .orderBy(F.col("n_user_days").desc(), F.col("path").asc())
+    )
+
+
+@query(
+    "conversion_latency_quantiles",
+    tier="EXT behavior (first-view -> first-subsequent-purchase latency, discrete quantiles)",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS v_us
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fp AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v_us
+            GROUP BY e.user_id
+        ),
+        lat AS (
+            SELECT (fp.p_us - fv.v_us) // 1000000 AS lat_s
+            FROM fv JOIN fp ON fv.user_id = fp.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(QUANTILE_DISC(lat_s, 0.25) AS BIGINT) AS p25_s,
+               CAST(QUANTILE_DISC(lat_s, 0.50) AS BIGINT) AS p50_s,
+               CAST(QUANTILE_DISC(lat_s, 0.75) AS BIGINT) AS p75_s,
+               CAST(QUANTILE_DISC(lat_s, 0.90) AS BIGINT) AS p90_s
+        FROM lat
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the growth-team staple: per user,
+    the first view and the first purchase strictly after it; the
+    latency distribution summarized as DISCRETE quantiles (elements of
+    the data, bit-exact across engines — integer seconds from exact µs
+    arithmetic, so the whole output row is hash-certifiable with no
+    rounding at all).
+
+    Plan: two map-side-combined per-user MINs (the purchase side
+    filtered by a co-keyed join back to the view side — user_id keeps
+    the exchange reusable), then one exact quantile aggregate over the
+    per-user latencies (|users| rows — already reduced; the
+    memory-heavy exact percentile never sees the fact table). At
+    100 TB the fact scans are the only corpus-sized stages and both
+    prune to two event types."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        F.expr("(p_us - v_us) div 1000000").alias("lat_s")
+    )
+    lat.createOrReplaceTempView("__conv_lat")
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY lat_s) AS BIGINT) AS p25_s,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY lat_s) AS BIGINT) AS p50_s,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY lat_s) AS BIGINT) AS p75_s,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY lat_s) AS BIGINT) AS p90_s
+        FROM __conv_lat
+        """
+    )

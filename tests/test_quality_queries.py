@@ -263,3 +263,24 @@ def test_event_sequence_rates_sane(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_recovered <= r.n_errors
         assert 0.0 <= r.recovery_rate <= 1.0
+
+
+def test_user_path_topk_shape(spark, sf_dir):
+    from energi_data_etl_spark.queries.behavior import user_path_topk
+
+    rows = user_path_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    counts = [r.n_user_days for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        parts = r.path.split(">")
+        assert 1 <= len(parts) <= 5
+        assert set(parts) <= {"view", "click", "purchase", "signup", "error"}
+
+
+def test_conversion_latency_quantiles_ordered(spark, sf_dir):
+    from energi_data_etl_spark.queries.behavior import conversion_latency_quantiles
+
+    r = conversion_latency_quantiles(spark, sf_dir).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.p90_s
