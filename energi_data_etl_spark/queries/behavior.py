@@ -605,3 +605,78 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __conv_lat
         """
     )
+
+
+@query(
+    "attribution_last_touch",
+    tier="EXT behavior (last-touch attribution: credit each purchase to the preceding event)",
+    oracle="""
+        WITH touched AS (
+            SELECT event_type,
+                   MAX(CASE WHEN event_type <> 'purchase'
+                            THEN {'us': epoch_us(ts), 'eid': event_id, 'et': event_type} END)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+            FROM events
+        ),
+        attributed AS (
+            SELECT COALESCE(lt.et, 'none') AS touch
+            FROM touched WHERE event_type = 'purchase'
+        ),
+        counted AS (
+            SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases FROM attributed GROUP BY touch
+        )
+        SELECT touch, n_purchases,
+               FLOOR(n_purchases * 1000000 / SUM(n_purchases) OVER ()) / 1000000.0 AS share
+        FROM counted
+        ORDER BY touch
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics default: every
+    purchase is credited to the same user's most recent preceding
+    non-purchase event. Implemented with the struct-MAX prefix-frame
+    trick: MAX(CASE non-purchase THEN (µs, event_id, type)) over ROWS
+    UNBOUNDED PRECEDING → 1 PRECEDING picks the latest prior touch
+    lexicographically (µs leads, so latest wins; the full (µs, id) key
+    makes ties impossible) — the same one-window-pass,
+    no-fact-self-join shape as event_sequence_detection, pointed
+    backwards. Purchases with no prior touch attribute to 'none'.
+
+    Cross-engine: struct comparison is field-by-field on both engines
+    with exact integer leads; shares are FLOOR-truncated quotients of
+    exact longs. Scale: ONE user_id shuffle, then a dimension-bounded
+    rollup."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("us"), F.col("event_id"), F.col("event_type").alias("t")),
+        )
+    ).over(w)
+    attributed = (
+        ev.select("event_type", lt.alias("lt"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce(F.col("lt.t"), F.lit("none")).alias("touch"))
+    )
+    counted = attributed.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    wt = Window.partitionBy()
+    return counted.select(
+        "touch",
+        "n_purchases",
+        (F.floor(F.col("n_purchases") * 1000000 / F.sum("n_purchases").over(wt)) / 1000000.0).alias(
+            "share"
+        ),
+    ).orderBy("touch")

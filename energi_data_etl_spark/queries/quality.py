@@ -873,3 +873,99 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information (feature relevance)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mutual_information_type_value",
+    tier="EXT data-eng (feature relevance: MI between event type and value bin, nats)",
+    oracle="""
+        WITH binned AS (
+            SELECT event_type AS t,
+                   LEAST(9, GREATEST(0, CAST(FLOOR(value / 50.0) AS INT))) AS b
+            FROM events
+        ),
+        joint AS (SELECT t, b, COUNT(*) AS n_tb FROM binned GROUP BY t, b),
+        mt AS (SELECT t, SUM(n_tb) AS n_t FROM joint GROUP BY t),
+        mb AS (SELECT b, SUM(n_tb) AS n_b FROM joint GROUP BY b),
+        tot AS (SELECT SUM(n_tb) AS n FROM joint)
+        SELECT CAST(t2.n AS BIGINT) AS n_events,
+               ROUND(SUM((j.n_tb / t2.n) * LN((j.n_tb * t2.n)
+                         / (CAST(mt.n_t AS DOUBLE) * mb.n_b))), 6) AS mi_nats,
+               ROUND(-SUM_T.h, 6) AS h_type_nats,
+               ROUND(-SUM_B.h, 6) AS h_bin_nats
+        FROM joint j
+        JOIN mt ON j.t = mt.t
+        JOIN mb ON j.b = mb.b
+        CROSS JOIN tot t2
+        CROSS JOIN (SELECT SUM((n_t / t.n) * LN(n_t / t.n)) AS h
+                    FROM mt CROSS JOIN tot t) SUM_T
+        CROSS JOIN (SELECT SUM((n_b / t.n) * LN(n_b / t.n)) AS h
+                    FROM mb CROSS JOIN tot t) SUM_B
+        GROUP BY t2.n, SUM_T.h, SUM_B.h
+    """,
+)
+def mutual_information_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a categorical feature and a binned
+    numeric one — the model-free "is this feature worth anything"
+    screen (feature selection, leakage hunts: a near-h(type) MI says
+    value basically encodes the type). Emits MI plus both marginal
+    entropies (nats) so the reader can normalize either way.
+
+    Plan shape: ONE conditional-count pass collapses the fact table to
+    |types|×10 joint-count rows; marginals and totals are rollups OF
+    THE JOINT frame (the corpus is read once); the entropy folds are
+    ≤50-term aggregates. Cross-engine: counts exact, quotients into
+    libm LN with a 6dp ROUND cut (relative wobble ~1e-16)."""
+    binned = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("t"),
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 50.0).cast("int"))).alias(
+            "b"
+        ),
+    )
+    joint = binned.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n_tb")).localCheckpoint(
+        eager=False
+    )
+    mt = joint.groupBy("t").agg(F.sum("n_tb").alias("n_t"))
+    mb = joint.groupBy("b").agg(F.sum("n_tb").alias("n_b"))
+    tot = joint.agg(F.sum("n_tb").alias("n"))
+    h_t = (
+        mt.crossJoin(F.broadcast(tot))
+        .agg(F.sum((F.col("n_t") / F.col("n")) * F.log(F.col("n_t") / F.col("n"))).alias("h"))
+        .select(F.col("h").alias("h_t"))
+    )
+    h_b = (
+        mb.crossJoin(F.broadcast(tot))
+        .agg(F.sum((F.col("n_b") / F.col("n")) * F.log(F.col("n_b") / F.col("n"))).alias("h"))
+        .select(F.col("h").alias("h_b"))
+    )
+    return (
+        joint.join(F.broadcast(mt), "t")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.col("n_tb") / F.col("n"))
+                    * F.log(
+                        (F.col("n_tb") * F.col("n"))
+                        / (F.col("n_t").cast("double") * F.col("n_b"))
+                    )
+                ),
+                6,
+            ).alias("mi_nats"),
+        )
+        .crossJoin(F.broadcast(h_t))
+        .crossJoin(F.broadcast(h_b))
+        .select(
+            "n_events",
+            "mi_nats",
+            F.round(-F.col("h_t"), 6).alias("h_type_nats"),
+            F.round(-F.col("h_b"), 6).alias("h_bin_nats"),
+        )
+    )

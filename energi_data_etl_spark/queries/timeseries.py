@@ -774,3 +774,73 @@ def ohlc_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+@query(
+    "seasonal_adjusted_anomaly",
+    tier="EXT time-series (day-of-week-adjusted z-score outliers, top-3 per type)",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        adj AS (
+            SELECT event_type, d, v,
+                   v - AVG(v) OVER (PARTITION BY event_type, DATE_PART('dow', d)) AS resid
+            FROM daily
+        ),
+        scored AS (
+            SELECT event_type, d, v,
+                   (resid - AVG(resid) OVER (PARTITION BY event_type))
+                   / STDDEV_SAMP(resid) OVER (PARTITION BY event_type) AS z
+            FROM adj
+        )
+        SELECT event_type, d, v, ROUND(z, 4) AS z
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY ABS(z) DESC, d ASC) AS r
+              FROM scored)
+        WHERE r <= 3
+        ORDER BY event_type, d
+    """,
+)
+def seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outlier detection — the step after
+    anomaly_zscore_events once weekly cadence exists: subtract each
+    (type, day-of-week) mean from the daily series FIRST, then z-score
+    the residuals per type and keep the top-3 |z| days. A Monday spike
+    that is just "Mondays are big" no longer alarms; a Monday that is
+    big FOR A MONDAY does.
+
+    Cross-engine traps handled: Spark ``dayofweek`` is 1=Sunday while
+    DuckDB ``DATE_PART('dow')`` is 0=Sunday — grouping uses
+    ``dayofweek(d) - 1`` so both engines bucket identically (the
+    grouped VALUE is never emitted, only used as a partition key);
+    daily sums ROUND(2) first, z ROUND(4) at the end; |z| argmax
+    margins are O(1) against last-ulp noise. Scale: one (type, day)
+    partial rollup, then three windows over the tiny daily frame —
+    the fact table is read once."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    wdow = Window.partitionBy("event_type", F.dayofweek("d") - 1)
+    adj = daily.select(
+        "event_type", "d", "v", (F.col("v") - F.avg("v").over(wdow)).alias("resid")
+    )
+    wt = Window.partitionBy("event_type")
+    scored = adj.select(
+        "event_type",
+        "d",
+        "v",
+        (
+            (F.col("resid") - F.avg("resid").over(wt)) / F.stddev_samp("resid").over(wt)
+        ).alias("z"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("z")).desc(), F.col("d").asc())
+    return (
+        scored.select("*", F.row_number().over(wr).alias("r"))
+        .filter(F.col("r") <= 3)
+        .select("event_type", "d", "v", F.round("z", 4).alias("z"))
+        .orderBy("event_type", "d")
+    )

@@ -284,3 +284,40 @@ def test_conversion_latency_quantiles_ordered(spark, sf_dir):
     r = conversion_latency_quantiles(spark, sf_dir).collect()[0]
     assert r.n_converted > 0
     assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.p90_s
+
+
+def test_attribution_shares_sum_to_one(spark, sf_dir):
+    from energi_data_etl_spark.queries.behavior import attribution_last_touch
+
+    rows = attribution_last_touch(spark, sf_dir).collect()
+    touches = {r.touch for r in rows}
+    assert touches <= {"view", "click", "signup", "error", "none"}  # never 'purchase'
+    assert 0.999 <= sum(r.share for r in rows) <= 1.0 + 1e-9  # FLOOR-truncated partition of 1
+    assert all(r.n_purchases > 0 for r in rows)
+
+
+def test_seasonal_adjusted_anomaly_shape(spark, sf_dir):
+    from energi_data_etl_spark.queries.timeseries import seasonal_adjusted_anomaly
+
+    rows = seasonal_adjusted_anomaly(spark, sf_dir).collect()
+    assert len(rows) == 15  # top-3 per type x 5 types
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert all(len(v) == 3 for v in by_type.values())
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    from energi_data_etl_spark.queries.quality import mutual_information_type_value
+
+    r = mutual_information_type_value(spark, sf_dir).collect()[0]
+    assert r.n_events > 0
+    # 0 <= MI <= min(H(T), H(B)); fixture type/value are ~independent
+    assert -1e-9 <= r.mi_nats <= min(r.h_type_nats, r.h_bin_nats) + 1e-9
+    # value does not encode type in the fixture, but finite-sample MI is
+    # biased up by ~(|T|-1)(|B|-1)/(2N) nats (= 0.018 at sf0.001's N=1000)
+    assert r.mi_nats < 36.0 / (2 * r.n_events) + 0.01
+    import math
+
+    assert 0 < r.h_type_nats <= math.log(5) + 1e-9
+    assert 0 < r.h_bin_nats <= math.log(10) + 1e-9
