@@ -259,23 +259,38 @@ def near_dup_minhash(
 # --------------------------------------------------------------------------
 
 
-def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 → for each bit position sum
-    ±1 → sign bit. Explode + one groupBy(id): two stages, linear.
+def simhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash: per token, hash → for each bit position sum ±1 → sign
+    bit. Explode + one groupBy(id): two stages, linear.
 
-    The per-bit tally is expressed as 64 conditional sums over the
+    The per-bit tally is expressed as ``bits`` conditional sums over the
     exploded token hashes — wide but flat aggregation, all codegen.
-    """
+
+    ``hash_fn``: ``xxhash64`` (engine-local, the fast 64-bit default) or
+    ``md5`` — the cross-engine kernel (CLAUDE.md): the top 15 hex chars
+    of md5 parsed base-16 give 60 bits that DuckDB reproduces exactly
+    (``CAST('0x'||SUBSTRING(MD5(x),1,15) AS BIGINT)``), making the
+    whole signature — and therefore the candidate pair set —
+    oracle-checkable. Use bits=60 with md5."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     tok = df.repartition(parallelism, id_col).select(id_col, F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     bit_sums = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     tallies = tok.groupBy(id_col).agg(*bit_sums)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
     return tallies.select(id_col, sig.alias("simhash"))
 
@@ -284,12 +299,14 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Hamming-≤k pair search via the pigeonhole band trick: split 64
-    bits into k+1 chunks; any pair within distance k agrees exactly on
-    ≥1 chunk → equi-join per chunk, verify Hamming on candidates."""
+def simhash_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Hamming-≤k pair search via the pigeonhole band trick: split the
+    signature into k+1 chunks; any pair within distance k agrees exactly
+    on ≥1 chunk → equi-join per chunk, verify Hamming on candidates."""
     chunks = max_hamming + 1
-    width = 64 // chunks
+    width = bits // chunks
     banded = sig_df.select(
         id_col,
         "simhash",

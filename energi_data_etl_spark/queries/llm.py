@@ -169,6 +169,73 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_candidate_pairs(sigs, max_hamming=3).orderBy("a", "b")
 
 
+def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB replica of the md5-kernel SimHash: same 60-bit signature
+    per document (top 15 md5 hex chars → base-16 long, ±1 bit tallies,
+    sign bits), then BRUTE-FORCE all-pairs Hamming — so the oracle
+    certifies the Spark pigeonhole banding finds EXACTLY the
+    Hamming-≤k pair set, completeness included."""
+    sig_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                      x -> LENGTH(x) > 0)) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST('0x' || SUBSTRING(MD5(tok), 1, 15) AS BIGINT) AS h
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id, {sig_terms} AS simhash
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT s1.doc_id AS a, s2.doc_id AS b,
+               CAST(BIT_COUNT(XOR(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+        FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+        WHERE BIT_COUNT(XOR(s1.simhash, s2.simhash)) <= {max_hamming}
+        ORDER BY a, b
+    """
+
+
+@query(
+    "neardup_simhash_md5",
+    tier="L2 (SimHash near-dup, md5 cross-engine kernel — banding EXACTLY oracled vs brute force)",
+    oracle=_simhash_md5_oracle(),
+)
+def neardup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correctness twin of `neardup_simhash`: identical pipeline
+    (token → hash → ±1 bit tallies → sign signature → pigeonhole
+    chunk-band join → Hamming verify) but on the md5 cross-engine
+    kernel (top 15 hex chars → 60 bits, CLAUDE.md), which DuckDB
+    reproduces bit-for-bit. The oracle rebuilds the SAME signatures and
+    brute-forces ALL pairs — a hash match therefore certifies both
+    directions of the banding: no false pair survives the verify AND
+    no Hamming-≤3 pair escapes the pigeonhole bands (completeness, the
+    part tests could only sample). xxhash64 stays the production hash
+    (`neardup_simhash`, rows-only): one engine-local 64-bit hash call
+    per token vs md5+hex-parse, same plan shape — this twin pays the
+    kernel cost to make the ALGORITHM driver-certifiable, the same
+    split as exact_knn vs ann_lsh_topk.
+
+    Scale: identical to neardup_simhash — explode + one groupBy(id)
+    for signatures (60 conditional sums, all codegen), chunk-band
+    equi-join for candidates; the oracle's all-pairs check is the
+    DuckDB side only, never the Spark plan."""
+    d = load_table(spark, "documents", sf_dir)
+    sigs = D.simhash_signature(d, hash_fn="md5", bits=60)
+    return (
+        D.simhash_candidate_pairs(sigs, max_hamming=3, bits=60)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
 @query(
     "lsh_bucket_stats",
     tier="L2 observability (per-band LSH bucket audit, verdict-oracled)",

@@ -735,7 +735,7 @@ def time_weighted_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type, h
         ORDER BY event_type, h
     """,
-    bench=False,  # 3.6k output rows of pure window+agg; the per-hour shape is covered
+    bench=True,
 )
 def ohlc_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC resampling — the canonical irregular→regular downsample
