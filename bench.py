@@ -50,6 +50,16 @@ def main() -> int:
     # range-exchange machinery. Warmed at sf0.001 they cost ~0.3 s each.
     _materialize(QUERIES["token_budget_packing"].fn(spark, warm_dir))
     _materialize(QUERIES["global_row_index"].fn(spark, warm_dir))
+    # Structured Streaming engine init (micro-batch planner, state-store
+    # machinery): the r08 window rotation put seven streaming queries at
+    # catalog positions 1-7, where the first one absorbed ~3 s of
+    # one-time init (isolated re-runs at r07 levels). One tiny bounded
+    # stream at sf0.001 pays it here instead.
+    _materialize(QUERIES["streaming_tumbling_daily"].fn(spark, warm_dir))
+    # ...and the Python DataSource reader machinery (interpreter worker
+    # spin-up per micro-batch), which the api_source_* trio at window
+    # positions 1-7 otherwise pays first.
+    _materialize(QUERIES["api_source_daily_rollup"].fn(spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
