@@ -478,3 +478,63 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).alias("n_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+@query(
+    "hierarchy_rollup_recursive",
+    tier="EXT SQL surface (WITH RECURSIVE: multi-level hierarchy walk + rollup, Spark 4)",
+    oracle="""
+        WITH RECURSIVE chain(custkey, anc, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT custkey, anc // 10, depth + 1 FROM chain WHERE anc > 0
+        ),
+        lineage AS (
+            SELECT custkey, MAX(depth) AS lineage_len FROM chain GROUP BY custkey
+        )
+        SELECT CAST(lineage_len AS INT) AS lineage_len,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+        FROM lineage l JOIN customer c ON l.custkey = c.c_custkey
+        GROUP BY lineage_len
+        ORDER BY lineage_len
+    """,
+)
+def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE — the SQL surface every warehouse migration asks
+    about first (org charts, BOM explosions, account trees) and a
+    Spark 4 addition this engine now certifies (probed per the
+    CLAUDE.md probe-before-assuming rule: WITH RECURSIVE executes in
+    this 4.1 build). The hierarchy is derived, transparent, and
+    engine-identical: each customer reports up the chain
+    anc → anc div 10 until 0, so the recursion truly iterates
+    (up to 4 levels at sf0.01) and the rollup groups customers by
+    lineage length with an account-balance average per level.
+
+    Cross-engine: integer division is `div` in Spark SQL and `//` in
+    DuckDB (the CAST-rounds trap never enters); depths/counts exact,
+    the avg ROUND(4). Scale: Spark executes the recursion as iterated
+    unions with the WHERE pruning each step — each level is one
+    map-side projection of the previous frame, no shuffle until the
+    final rollup; depth is data-bounded (digits of the key), not
+    row-bounded."""
+    c = load_table(spark, "customer", sf_dir)
+    c.createOrReplaceTempView("__rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, anc, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM __rcte_customer
+            UNION ALL
+            SELECT custkey, anc div 10, depth + 1 FROM chain WHERE anc > 0
+        ),
+        lineage AS (
+            SELECT custkey, MAX(depth) AS lineage_len FROM chain GROUP BY custkey
+        )
+        SELECT CAST(lineage_len AS INT) AS lineage_len,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+        FROM lineage l JOIN __rcte_customer c ON l.custkey = c.c_custkey
+        GROUP BY lineage_len
+        ORDER BY lineage_len
+        """
+    )
