@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the round-8 quality tier:
+the Spark pipelines checked against independent numpy/pure-Python
+references on randomized inputs — the invariants hold for ANY data,
+not just the fixture.
+
+Each example writes a tiny parquet table and runs the real query
+(the catalog functions are (spark, sf_dir)-closed), so examples are
+few; the properties are the contract:
+
+* key_skew_audit's integer Gini == the textbook numpy Gini
+* changepoint_binary_segmentation's argmax == numpy brute force
+* heavyhitters_misra_gries flags exactly the > n/k keys and the
+  sketch-superset verdict holds under any skew / partitioning
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_events(spark, d, rows):
+    """rows: list of (user_id, day0based, type, value)."""
+    spark.createDataFrame(
+        [
+            (i, (1704067200_000000 + day * 86_400_000_000 + i), int(u), t, float(v), "{}")
+            for i, (u, day, t, v) in enumerate(rows)
+        ],
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(4).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=2, max_size=25),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_key_skew_gini_matches_numpy(spark, counts, data):
+    """The query's all-integer Gini == textbook numpy Gini on the same
+    per-key counts (any multiset)."""
+    from energi_data_etl_spark.queries.quality import key_skew_audit
+
+    rows = []
+    for k, c in enumerate(counts):
+        rows += [(k, 0, "view", 1.0)] * c
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        # the audit also reads lineitem for two keys; give it the same skew
+        spark.createDataFrame(
+            [(int(k), int(k)) for k, c in enumerate(counts) for _ in range(c)],
+            "l_partkey long, l_suppkey long",
+        ).repartition(4).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = {r.key_name: r for r in key_skew_audit(spark, d).collect()}
+    c = np.sort(np.array(counts, dtype=np.int64))
+    n, tot = len(c), c.sum()
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini_ref = (2 * int((i * c).sum()) - (n + 1) * int(tot)) / (n * int(tot))
+    for key_name in ("events.user_id", "lineitem.l_partkey", "lineitem.l_suppkey"):
+        r = out[key_name]
+        assert r.n_keys == n and r.n_rows == tot and r.max_count == int(c.max())
+        assert abs(r.gini - gini_ref) <= 1e-6 + 1e-12  # FLOOR-1e6 cut vs exact
+        assert abs(r.top_share - int(c.max()) / int(tot)) <= 1e-6 + 1e-12
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=0.5, max_value=100.0, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_changepoint_matches_numpy_bruteforce(spark, series):
+    """The windowed-cumsum argmax == numpy brute force over every split
+    of the same ROUND(2) daily series (single type, one event per day
+    so the daily sum is the value itself)."""
+    from energi_data_etl_spark.queries.quality import changepoint_binary_segmentation
+
+    rows = [(0, day, "view", round(v, 2)) for day, v in enumerate(series)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        r = changepoint_binary_segmentation(spark, d).collect()[0]
+    v = np.round(np.array(series, dtype=np.float64), 2)
+    n = len(v)
+    stats = []
+    for cn in range(1, n):
+        ml, mr = v[:cn].sum() / cn, v[cn:].sum() / (n - cn)
+        stats.append(abs(ml - mr) * np.sqrt(cn * (n - cn) / n))
+    best = int(np.argmax(stats))  # first max = earliest day, matching the d-asc tiebreak
+    assert r.left_days == best + 1
+    assert abs(r.gap_stat - round(float(stats[best]), 4)) <= 1e-9
+
+
+@given(
+    hot_share=st.integers(min_value=0, max_value=9),
+    n_cold=st.integers(min_value=1, max_value=200),
+    n_rows=st.integers(min_value=50, max_value=2000),
+)
+@settings(**SETTINGS)
+def test_misra_gries_flags_exactly_the_heavy_keys(spark, hot_share, n_cold, n_rows):
+    """For any skew profile: is_heavy == (freq > n/8) exactly, and the
+    MG-candidate superset verdict holds regardless of partitioning."""
+    from energi_data_etl_spark.queries.quality import heavyhitters_misra_gries
+
+    rows = []
+    for i in range(n_rows):
+        key = "hot" if (i % 10) < hot_share else f"c{i % n_cold}"
+        rows.append((i, 0, key, 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        out = heavyhitters_misra_gries(spark, d).collect()
+    from collections import Counter
+
+    freq = Counter(k for _, _, k, _ in rows)
+    n = sum(freq.values())
+    for r in out:
+        assert r.n_events == freq[r.event_type]
+        assert r.is_heavy == (freq[r.event_type] * 8 > n)
+        assert r.sketch_found_all_heavy
