@@ -684,3 +684,44 @@ def streaming_interval_join_fouter(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.col("l_user").isNull().cast("bigint")).alias("n_purchase_only"),
         F.round(F.sum("l_value"), 4).alias("click_value"),
     )
+
+
+@query(
+    "streaming_ohlc_candles",
+    tier="T3+EXT (streaming OHLC candles: min_by/max_by state per window, batch-twin oracle)",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                      ORDER BY ts, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rl
+            FROM events
+        )
+        SELECT h, event_type,
+               MAX(CASE WHEN rf = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rl = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume
+        FROM ranked
+        GROUP BY h, event_type
+    """,
+)
+def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tick-to-candle pipeline as a REAL stream (AvailableNow
+    drain, complete mode): open/close are min_by/max_by over the
+    (ts, event_id) struct — incrementally-maintained state, one row
+    per live candle holding only the current best pair, never the
+    window's events. The batch oracle derives the same candles with
+    the two-sided-rank plan (ohlc_hourly_resample's shape), certifying
+    stream/batch equivalence for a non-trivial ORDER-dependent
+    aggregate — the fully tie-broken struct key is what makes the
+    streaming and rank formulations provably pick the same row.
+
+    Scale: state is |open candles|×|types| rows, evicted past the
+    watermark; each micro-batch does one map-side partial per candle."""
+    from ..streaming.ops import ohlc_candles
+
+    stream = events_stream(spark, _events_path(sf_dir))
+    return run_to_memory(ohlc_candles(stream), output_mode="complete")

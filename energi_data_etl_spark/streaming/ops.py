@@ -388,3 +388,25 @@ def foreachbatch_merge_sink(base: str, key: str = "event_type", value: str = "va
         state["path"] = f"{base}/state_v{state['last']}"
 
     return upsert, state
+
+
+def ohlc_candles(stream: DataFrame, width: str = "1 hour", watermark: str = "1 day") -> DataFrame:
+    """Streaming OHLC: per (tumbling window × type), open/close via
+    min_by/max_by on the (ts, event_id) struct — declarative aggregates
+    the streaming engine maintains incrementally (one state row per
+    candle, each holding the current best (key, value) pair), so the
+    candle is exact without ever buffering the window's events. The
+    streaming twin of queries/timeseries.py::ohlc_hourly_resample's
+    two-sided-rank batch plan."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+        .select(F.col("win.start").alias("h"), "event_type", "open", "high", "low", "close", "volume")
+    )

@@ -321,3 +321,21 @@ def test_mutual_information_bounds(spark, sf_dir):
 
     assert 0 < r.h_type_nats <= math.log(5) + 1e-9
     assert 0 < r.h_bin_nats <= math.log(10) + 1e-9
+
+
+def test_streaming_ohlc_equals_batch_ohlc(spark, sf_dir):
+    """Stream/batch equivalence (SURVEY §5.2.6) for the ORDER-dependent
+    candle aggregate: the incremental min_by/max_by stream and the
+    two-sided-rank batch plan must produce identical candles."""
+    from energi_data_etl_spark.queries.streaming import streaming_ohlc_candles
+    from energi_data_etl_spark.queries.timeseries import ohlc_hourly_resample
+
+    s = {
+        (r.event_type, r.h): (r.open, r.high, r.low, r.close, r.volume)
+        for r in streaming_ohlc_candles(spark, sf_dir).collect()
+    }
+    b = {
+        (r.event_type, r.h): (r.open, r.high, r.low, r.close, r.volume)
+        for r in ohlc_hourly_resample(spark, sf_dir).collect()
+    }
+    assert s == b
