@@ -579,10 +579,14 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     )
+    # consumed twice (purchase-side filter + final latency join) —
+    # localCheckpoint so the view-side scan+agg runs once (CLAUDE.md
+    # compute-once rule; was 3 fact scans, now 2)
     fv = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
+        .localCheckpoint(eager=False)
     )
     fp = (
         ev.filter(F.col("event_type") == "purchase")

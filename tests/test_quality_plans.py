@@ -67,3 +67,58 @@ def test_mi_joint_frame_is_checkpointed_once(spark, sf_dir):
     plan = explain_str(QUERIES["mutual_information_type_value"].fn(spark, sf_dir), mode="simple")
     assert plan.count("Scan parquet") == 0, plan  # all branches read the checkpoint
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_psi_collapses_before_the_grid_join(spark, sf_dir):
+    """The fact table partial-aggregates; the types×10 zero-fill grid
+    and the PSI fold never see corpus-sized rows."""
+    plan = explain_str(QUERIES["psi_value_drift"].fn(spark, sf_dir), mode="simple")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_changepoint_single_fact_scan(spark, sf_dir):
+    """Daily rollup + three windows + rank — the fact table is read
+    exactly once."""
+    plan = explain_str(QUERIES["changepoint_binary_segmentation"].fn(spark, sf_dir), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_key_skew_rank_window_over_reduced_rows(spark, sf_dir):
+    """The Gini rank window consumes the per-key COUNT frame (post-agg),
+    so a HashAggregate sits below the Window in every branch."""
+    plan = explain_str(QUERIES["key_skew_audit"].fn(spark, sf_dir), mode="formatted")
+    # formatted mode lists operators top-down: Window must reference the
+    # aggregated count column, and partial aggregation must exist
+    assert "Window" in plan and "partial_count" in plan, plan
+
+
+def test_fuzzy_prefix_no_broadcast_nested_loop(spark, sf_dir):
+    """The prefix-posting self-join is an equi-join on the gram — never
+    a nested-loop cartesian."""
+    plan = explain_str(QUERIES["fuzzy_join_prefix_filtered"].fn(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_user_path_reuses_userday_exchange(spark, sf_dir):
+    """Rank window and listagg share the (user, day) partitioning: the
+    plan carries exactly two hash exchanges (user-day, then path)."""
+    plan = explain_str(QUERIES["user_path_topk"].fn(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_conversion_latency_quantile_over_reduced_rows(spark, sf_dir):
+    """The exact percentile aggregate consumes per-user latencies; the
+    twice-consumed view-side frame is checkpointed (compute-once), so
+    the plan has ONE parquet scan (purchase leg) + two checkpoint reads
+    — it was three fact scans before the localCheckpoint."""
+    plan = explain_str(QUERIES["conversion_latency_quantiles"].fn(spark, sf_dir), mode="simple")
+    assert "percentile_disc" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+
+
+def test_recursive_hierarchy_plans_union_loop(spark, sf_dir):
+    """WITH RECURSIVE lowers to the recursion operator (UnionLoop /
+    recursive relation), not a static unrolled union."""
+    plan = explain_str(QUERIES["hierarchy_rollup_recursive"].fn(spark, sf_dir), mode="simple")
+    assert "UnionLoop" in plan or "Recursive" in plan.replace("recursive", "Recursive"), plan
