@@ -304,9 +304,15 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Hamming-≤k pair search via the pigeonhole band trick: split the
     signature into k+1 chunks; any pair within distance k agrees exactly
-    on ≥1 chunk → equi-join per chunk, verify Hamming on candidates."""
+    on ≥1 chunk → equi-join per chunk, verify Hamming on candidates.
+
+    The signature frame is checkpointed first: both sides of the
+    self-join read it, and without the checkpoint each side recomputes
+    the full |bits|-conditional-sum signature pipeline (measured as a
+    doubled corpus scan in the plan audit)."""
     chunks = max_hamming + 1
     width = bits // chunks
+    sig_df = sig_df.localCheckpoint(eager=False)
     banded = sig_df.select(
         id_col,
         "simhash",

