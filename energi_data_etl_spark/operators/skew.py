@@ -78,11 +78,19 @@ def adaptive_salted_join(
     Returns the joined frame with the probe and build columns.
     """
     total = probe.count()
+    # checkpointed: the hot set (≤ 1/hot_frac rows) feeds BOTH broadcast
+    # lookups; without it each broadcast recomputes the full probe-side
+    # key-count aggregation. The TAGGED frames below are deliberately
+    # NOT checkpointed: they are corpus-sized, and re-scanning the input
+    # for the cold and hot filters streams in parallel for free, while
+    # materializing them at 100 TB would cost more than it saves
+    # (recompute-over-materialize, the same call exact_knn makes).
     hot_keys = (
         probe.groupBy(probe_key)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > float(total) * hot_frac)
         .select(F.col(probe_key).alias("__hk"))
+        .localCheckpoint(eager=False)
     )
     p_tagged = probe.join(
         F.broadcast(hot_keys), probe[probe_key] == hot_keys["__hk"], "left"
