@@ -16,7 +16,8 @@ from . import datapipe  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import lifecycle  # noqa: F401,E402
 from . import behavior  # noqa: F401,E402
-from . import quality  # noqa: F401,E402
+from . import quality  # noqa: F401
+from . import opsanalytics  # noqa: F401,E402
 
 # ORDER MATTERS: the driver's per-round correctness file records only the
 # FIRST 50 queries in registration order, so the window is rotated

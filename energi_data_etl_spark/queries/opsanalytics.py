@@ -1,0 +1,722 @@
+"""Round-8 late batch: operational-analytics operators — the classic
+"hard SQL interview" shapes a warehouse team reaches for weekly, each
+re-expressed as the scale-correct Spark plan:
+
+* ``active_users_rolling_7d`` — EXACT sliding-window distinct users
+  (DAU / 7-day WAU / stickiness). The exact twin of the approximate
+  ``hll_merge_weekly_users`` sketch path.
+* ``max_concurrent_sessions`` — interval-overlap concurrency via the
+  sweep-line (+1/−1 running sum), sessions split at day boundaries so
+  the sweep parallelizes by day instead of one global total order.
+* ``order_date_streaks`` — gaps-and-islands over calendar days (the
+  date-minus-row_number grouping key), longest-streak report.
+* ``run_length_collapse`` — RLE collapse of consecutive same-type
+  events per user (the "dedup consecutive duplicates" cleaning op).
+* ``pareto_frontier_lineitem`` — skyline / Pareto frontier as one sort
+  + running-min window (O(n log n)); the oracle re-derives it from the
+  definitional NOT EXISTS domination check.
+* ``proration_largest_remainder`` — exact integer allocation of each
+  order's total across its lineitems (largest-remainder rounding);
+  conservation is exact by construction, all-BIGINT arithmetic.
+* ``floored_running_balance`` — clamped-below running balance. The
+  naive form needs a stateful scan (b_i = max(0, b_{i-1}+x_i)); the
+  identity b_i = S_i − min(0, min_{j≤i} S_j) turns it into two plain
+  windows over one partition order — no applyInPandas, pure codegen.
+* ``ab_test_two_proportion`` — md5-hash-split A/B readout with the
+  pooled two-proportion z statistic (IEEE-exact: +,−,×,÷,sqrt are all
+  correctly rounded, so both engines produce the same double).
+* ``sql_udf_surface`` — Spark 4 SQL scalar UDFs (CREATE TEMPORARY
+  FUNCTION … RETURN expr): declarative reusable logic that inlines
+  into the plan (still whole-stage codegen, unlike Python UDFs).
+
+Reference parity: the reference pipeline (scripts/energy_etl.py:69-70)
+ends at a daily-mean dashboard; this tier is the EXT mandate's
+"operations on the event/order warehouse a real team runs next".
+
+Cross-engine discipline per CLAUDE.md: epoch seconds via
+``ts.cast("timestamp").cast("long")`` == DuckDB ``CAST(FLOOR(EPOCH(ts))
+AS BIGINT)``; every DuckDB integer SUM CAST to BIGINT (HUGEINT trap);
+quotients FLOOR-truncated, never ROUND; cents via FLOOR(x*100 + 0.5)
+on both engines (DuckDB CAST rounds, Spark truncates); windows fully
+tie-broken on unique keys; struct extrema use named-literal structs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.tables import load_table
+from .catalog import query
+
+#: inactivity gap (seconds) that closes a session — same rule as
+#: sessionize_events_batch so session populations are comparable.
+SESSION_GAP_S = 1800
+
+
+def _epoch_s(col: str = "ts"):
+    return F.col(col).cast("timestamp").cast("long")
+
+
+# --------------------------------------------------------------------------
+# Exact rolling active users (DAU / WAU / stickiness)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "active_users_rolling_7d",
+    tier="EXT ops-analytics (exact sliding-window COUNT DISTINCT: DAU/WAU/stickiness)",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM ud
+        )
+        SELECT days.d AS d,
+               CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END) AS BIGINT) AS dau,
+               CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau_7d,
+               FLOOR(COUNT(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END) * 10000.0
+                     / COUNT(DISTINCT ud.user_id)) / 10000 AS stickiness
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d
+    """,
+)
+def active_users_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per day, with same-day DAU and
+    the DAU/WAU stickiness ratio, all from ONE pass: dedup events to
+    (user, day) — a single map-side-combined shuffle — then band-join
+    the tiny day spine (broadcast nested-loop: |spine| rows on the
+    build side, each (user, day) row lands in ≤7 spine days), then one
+    low-cardinality rollup whose partial aggregation collapses each map
+    task to ≤|days| rows. No COUNT(DISTINCT) window (which Spark lacks)
+    and no 7-way self-union.
+
+    100 TB: the (user, day) dedup is the only fact-sized shuffle; the
+    spine is always tiny (days, not rows). When exactness can be
+    relaxed, ``hll_merge_weekly_users`` is the sketch-merge variant of
+    this report — this query is its exact twin.
+    """
+    ud = (
+        load_table(spark, "events", sf_dir)
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds BOTH the spine and the join probe side
+    )
+    days = ud.select("d").distinct()
+    j = F.broadcast(days.withColumnRenamed("d", "spine_d")).join(
+        ud,
+        (F.col("d") >= F.date_sub(F.col("spine_d"), 6)) & (F.col("d") <= F.col("spine_d")),
+    )
+    dau = F.countDistinct(F.when(F.col("d") == F.col("spine_d"), F.col("user_id")))
+    wau = F.countDistinct("user_id")
+    return (
+        j.groupBy(F.col("spine_d").alias("d"))
+        .agg(dau.alias("dau"), wau.alias("wau_7d"))
+        .withColumn("stickiness", F.floor(F.col("dau") * 10000.0 / F.col("wau_7d")) / 10000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval concurrency
+# --------------------------------------------------------------------------
+
+
+@query(
+    "max_concurrent_sessions",
+    tier="EXT ops-analytics (interval-overlap concurrency: day-partitioned sweep-line)",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, ts, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
+        ), l AS (
+            SELECT *, LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS ps FROM e
+        ), f AS (
+            SELECT *, CASE WHEN ps IS NULL OR s - ps > {SESSION_GAP_S} THEN 1 ELSE 0 END AS is_new
+            FROM l
+        ), sid AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f
+        ), sess AS (
+            SELECT user_id, session_id, MIN(s) AS st, MAX(s) AS en,
+                   CAST(MIN(ts) AS DATE) AS st_d, CAST(MAX(ts) AS DATE) AS en_d
+            FROM sid GROUP BY user_id, session_id
+        ), sd AS (
+            SELECT user_id, session_id, st, en, st_d + CAST(u.o AS INTEGER) AS day
+            FROM sess, UNNEST(generate_series(0, en_d - st_d)) AS u(o)
+        ), cl AS (
+            SELECT user_id, session_id, day,
+                   GREATEST(st, dep) AS st_c, LEAST(en, dep + 86399) AS en_c
+            FROM (SELECT *, CAST(FLOOR(EPOCH(CAST(day AS TIMESTAMP))) AS BIGINT) AS dep FROM sd)
+        ), sweep AS (
+            SELECT day, st_c AS t, 1 AS delta, user_id, session_id FROM cl
+            UNION ALL
+            SELECT day, en_c + 1, -1, user_id, session_id FROM cl
+        ), conc AS (
+            SELECT day, delta, user_id,
+                   SUM(delta) OVER (PARTITION BY day
+                                    ORDER BY t, delta DESC, user_id, session_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+            FROM sweep
+        )
+        SELECT day,
+               CAST(MAX(c) AS BIGINT) AS max_concurrent,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sessions_touching,
+               CAST(COUNT(DISTINCT CASE WHEN delta = 1 THEN user_id END) AS BIGINT) AS users_touching
+        FROM conc GROUP BY day
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line: sessionize
+    (same gap rule as ``sessionize_events_batch``), split each session
+    at day boundaries, emit +1/−1 boundary events, running-sum per day.
+
+    The split is what makes the sweep SCALE: the naive formulation is
+    one global ordered cumsum (a single reducer forever). Clipping each
+    session to the days it touches makes the partition key the day —
+    sessions straddling midnight contribute a +1 at day start, so each
+    day's carry-in is counted without any cross-partition prefix pass.
+    Ties are swept +1-before-−1 (delta DESC) so touching intervals
+    count as concurrent, and the within-tie order is pinned by
+    (user_id, session_id); the per-day MAX is invariant either way.
+
+    100 TB: one user_id shuffle (sessionize), one day shuffle (sweep).
+    At extreme per-day event counts the refinement is a two-level sweep
+    (hour partials + per-day prefix carry over 24 rows) — same algebra,
+    documented here, not needed at any probed scale.
+    """
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", _epoch_s().alias("s")
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    sid = (
+        e.withColumn("ps", F.lag("s").over(wo))
+        .withColumn(
+            "is_new",
+            (F.col("ps").isNull() | ((F.col("s") - F.col("ps")) > SESSION_GAP_S)).cast("int"),
+        )
+        .withColumn("session_id", F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    sess = sid.groupBy("user_id", "session_id").agg(
+        F.min("s").alias("st"),
+        F.max("s").alias("en"),
+        F.min("ts").cast("date").alias("st_d"),
+        F.max("ts").cast("date").alias("en_d"),
+    )
+    sd = sess.select(
+        "user_id",
+        "session_id",
+        "st",
+        "en",
+        F.explode(F.sequence(F.col("st_d"), F.col("en_d"))).alias("day"),
+    )
+    cl = (
+        sd.withColumn("dep", F.col("day").cast("timestamp").cast("long"))
+        .select(
+            "user_id",
+            "session_id",
+            "day",
+            F.greatest("st", F.col("dep")).alias("st_c"),
+            F.least("en", F.col("dep") + 86399).alias("en_c"),
+        )
+        # feeds both union branches of the sweep — checkpoint so the whole
+        # sessionize pipeline doesn't execute twice (CLAUDE.md r07 rule)
+        .localCheckpoint(eager=False)
+    )
+    starts = cl.select("day", F.col("st_c").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id")
+    ends = cl.select("day", (F.col("en_c") + 1).alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id")
+    sweep = starts.unionAll(ends)
+    wd = Window.partitionBy("day").orderBy(
+        F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    conc = sweep.withColumn("c", F.sum("delta").over(wd))
+    return conc.groupBy("day").agg(
+        F.max("c").alias("max_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("sessions_touching"),
+        F.countDistinct(F.when(F.col("delta") == 1, F.col("user_id"))).alias("users_touching"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaps and islands over calendar days
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_date_streaks",
+    tier="EXT ops-analytics (gaps-and-islands: consecutive-day streaks per customer)",
+    oracle="""
+        WITH od AS (
+            SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+        ), rn AS (
+            SELECT o_custkey, d,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS INTEGER) AS r
+            FROM od
+        ), isl AS (
+            SELECT o_custkey, d - r AS grp, COUNT(*) AS len, MIN(d) AS st
+            FROM rn GROUP BY o_custkey, d - r
+        )
+        SELECT o_custkey,
+               CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX({'len': len, 'st': st}).len AS BIGINT) AS longest_streak,
+               MAX({'len': len, 'st': st}).st AS longest_streak_start
+        FROM isl GROUP BY o_custkey
+    """,
+)
+def order_date_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-order-day streaks per customer — gaps-and-islands
+    via the date-minus-row_number key: within a customer, consecutive
+    days share (d − row_number), so one window plus one groupBy finds
+    every island with no self-join. Longest streak is tie-broken
+    toward the LATEST start via struct-MAX over (len, start) — the
+    grouped-extrema idiom both engines order identically.
+
+    100 TB: dedup, window, and both rollups all key on o_custkey — one
+    Exchange reused end-to-end.
+    """
+    od = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = (
+        od.withColumn("r", F.row_number().over(w))
+        .withColumn("grp", F.expr("date_sub(d, r)"))
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("d").alias("st"))
+    )
+    best = F.max(F.struct(F.col("len"), F.col("st")))
+    return isl.groupBy("o_custkey").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        best.getField("len").alias("longest_streak"),
+        best.getField("st").alias("longest_streak_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Run-length collapse of consecutive duplicate events
+# --------------------------------------------------------------------------
+
+
+@query(
+    "run_length_collapse",
+    tier="EXT ops-analytics (RLE collapse of consecutive same-type events per user)",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s
+            FROM events
+        ), l AS (
+            SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id) AS pt
+            FROM e
+        ), f AS (
+            SELECT *, CASE WHEN pt IS NULL OR pt <> event_type THEN 1 ELSE 0 END AS is_new
+            FROM l
+        ), rid AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM f
+        ), runs AS (
+            SELECT user_id, run_id, MIN(event_type) AS event_type, COUNT(*) AS len
+            FROM rid GROUP BY user_id, run_id
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(len) AS BIGINT) AS longest_run,
+               CAST(SUM(len) AS BIGINT) AS n_events,
+               FLOOR(SUM(len) * 10000.0 / COUNT(*)) / 10000 AS avg_run_len
+        FROM runs GROUP BY event_type
+    """,
+)
+def run_length_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse consecutive same-type events per user into runs (the
+    RLE form of "drop consecutive duplicates" — the event-stream
+    cleaning op that exact dedup can't express because non-adjacent
+    repeats are legitimate). Same islands build as sessionization but
+    keyed on the VALUE changing rather than the time gap; reports
+    per-type run statistics.
+
+    100 TB: both windows and the run rollup share the user_id
+    Exchange; the final per-type report partial-aggregates to
+    |event_type| rows per task.
+    """
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", _epoch_s().alias("s")
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    rid = (
+        e.withColumn("pt", F.lag("event_type").over(wo))
+        .withColumn(
+            "is_new",
+            (F.col("pt").isNull() | (F.col("pt") != F.col("event_type"))).cast("int"),
+        )
+        .withColumn("run_id", F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    runs = rid.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"), F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("len").alias("longest_run"),
+        F.sum("len").alias("n_events"),
+        (F.floor(F.sum("len") * 10000.0 / F.count(F.lit(1))) / 10000).alias("avg_run_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_lineitem",
+    tier="EXT ops-analytics (skyline operator: sort + running-min window vs the n-squared definition)",
+    oracle="""
+        WITH b AS (
+            SELECT l_returnflag, l_quantity AS qty, MIN(l_extendedprice) AS best_price
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        )
+        SELECT b1.l_returnflag AS l_returnflag, b1.qty AS qty, b1.best_price AS best_price
+        FROM b b1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b b2
+            WHERE b2.l_returnflag = b1.l_returnflag
+              AND b2.qty > b1.qty AND b2.best_price <= b1.best_price
+        )
+    """,
+)
+def pareto_frontier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of lineitems per return flag —
+    maximize quantity, minimize price. Only the min-price point at each
+    quantity level can be on the frontier, so the fact table first
+    collapses to ≤|quantity levels| rows per group (one partial-agg
+    shuffle), then ONE running-min window over quantity-descending
+    order decides frontier membership: a level survives iff its best
+    price is strictly below every best price at strictly higher
+    quantity. O(n log n) against the definitional O(n²) domination
+    check, which the DuckDB oracle runs verbatim (NOT EXISTS over the
+    same reduced set — both inner-query scopes qualified) — so the
+    window formulation is certified against the definition itself.
+
+    100 TB: the window runs over the REDUCED per-level frame (≤ levels
+    per group), never the fact table; the only fact-sized operation is
+    the initial map-side-combined groupBy.
+    """
+    best = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag", F.col("l_quantity").alias("qty"))
+        .agg(F.min("l_extendedprice").alias("best_price"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("qty").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strict_min = F.min("best_price").over(w)
+    return (
+        best.withColumn("sm", strict_min)
+        .filter(F.col("sm").isNull() | (F.col("best_price") < F.col("sm")))
+        .select("l_returnflag", "qty", "best_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder proration
+# --------------------------------------------------------------------------
+
+
+@query(
+    "proration_largest_remainder",
+    tier="EXT ops-analytics (exact integer allocation: largest-remainder rounding, conservation by construction)",
+    oracle="""
+        WITH oc AS (
+            SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+            FROM orders
+        ), li AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+            FROM lineitem
+        ), j AS (
+            SELECT o_orderkey, l_linenumber, w, total_cents,
+                   CAST(SUM(w) OVER (PARTITION BY o_orderkey) AS BIGINT) AS wsum
+            FROM li JOIN oc ON l_orderkey = o_orderkey
+        ), sh AS (
+            SELECT *, (total_cents * w) // wsum AS share,
+                   (total_cents * w) % wsum AS rem
+            FROM j
+        ), rk AS (
+            SELECT *,
+                   CAST(total_cents - SUM(share) OVER (PARTITION BY o_orderkey) AS BIGINT) AS leftover,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                      ORDER BY rem DESC, l_linenumber) AS rn
+            FROM sh
+        )
+        SELECT o_orderkey, l_linenumber,
+               CAST(share + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+        FROM rk
+    """,
+)
+def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate each order's total (in cents) across its lineitems
+    proportionally to extended price, with largest-remainder rounding:
+    floor shares first, then hand the leftover cents to the lines with
+    the largest remainders (ties to the lowest line number). The
+    allocation CONSERVES exactly — per-order sums equal the order total
+    to the cent — because it is all BIGINT arithmetic: cents via
+    FLOOR(x·100 + 0.5) (the cross-engine half-up idiom; DuckDB CAST
+    rounds while Spark truncates), shares via integer division, never
+    a float percentage.
+
+    100 TB: the join, both windows, and the rank all key on the order
+    key — Spark reuses one hash partitioning end-to-end (no extra
+    Exchange after the join; verified in tests/test_opsanalytics.py).
+    The int64 headroom is explicit: total_cents·w ≲ 5e14 ≪ 2^63, so
+    ANSI mode never overflows.
+    """
+    oc = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100 + 0.5).alias("total_cents")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", F.floor(F.col("l_extendedprice") * 100 + 0.5).alias("w")
+    )
+    j = li.join(oc, li.l_orderkey == oc.o_orderkey).select(
+        "o_orderkey", "l_linenumber", "w", "total_cents"
+    )
+    wp = Window.partitionBy("o_orderkey")
+    sh = (
+        j.withColumn("wsum", F.sum("w").over(wp))
+        .withColumn("share", F.expr("(total_cents * w) div wsum"))
+        .withColumn("rem", F.expr("(total_cents * w) % wsum"))
+    )
+    rk = sh.withColumn("leftover", F.col("total_cents") - F.sum("share").over(wp)).withColumn(
+        "rn",
+        F.row_number().over(wp.orderBy(F.col("rem").desc(), F.col("l_linenumber"))),
+    )
+    return rk.select(
+        "o_orderkey",
+        "l_linenumber",
+        (F.col("share") + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)).alias(
+            "alloc_cents"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Clamped running balance as pure windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "floored_running_balance",
+    tier="EXT ops-analytics (stateful clamped cumsum via the running-min identity — no stateful scan)",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                     * CASE WHEN event_type = 'purchase' THEN -10 ELSE 1 END AS delta
+            FROM events
+        ), c AS (
+            SELECT user_id, event_id, delta,
+                   SUM(delta) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS rs
+            FROM e
+        ), m AS (
+            SELECT *, LEAST(0, MIN(rs) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                             ROWS UNBOUNDED PRECEDING)) AS floor_sub,
+                   s_ord.s AS s
+            FROM c JOIN (SELECT user_id AS u2, event_id AS e2,
+                                CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events) s_ord
+              ON c.user_id = s_ord.u2 AND c.event_id = s_ord.e2
+        ), b AS (
+            SELECT user_id, event_id, delta, s, rs - floor_sub AS bal FROM m
+        )
+        SELECT user_id,
+               CAST(MAX({'s': s, 'e': event_id, 'b': bal}).b AS BIGINT) AS final_balance,
+               CAST(MAX(bal) AS BIGINT) AS max_balance,
+               CAST(SUM(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamps
+        FROM b GROUP BY user_id
+    """,
+)
+def floored_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loyalty-points ledger per user: every non-purchase event accrues
+    floor(value·100+0.5) points, every purchase redeems 10× that, and
+    the balance is CLAMPED at zero — the classic "stateful scan" that
+    b_i = max(0, b_{i-1} + x_i) seems to force row-at-a-time. The
+    identity b_i = S_i − min(0, min_{j≤i} S_j) (floor-at-zero only;
+    a two-sided cap has no such closed form and would need the
+    applyInPandas path) re-expresses it as two plain running windows
+    over ONE partition order — whole-stage codegen, no Python, no
+    recursion. Reports final balance (struct-MAX argmax-by-time),
+    peak balance, and clamp count.
+
+    100 TB: one user_id Exchange feeds both windows and the rollup.
+    """
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        _epoch_s().alias("s"),
+        (
+            F.floor(F.col("value") * 100 + 0.5)
+            * F.when(F.col("event_type") == "purchase", -10).otherwise(1)
+        ).alias("delta"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = (
+        e.withColumn("rs", F.sum("delta").over(wo))
+        .withColumn("floor_sub", F.least(F.lit(0), F.min("rs").over(wo)))
+        .withColumn("bal", F.col("rs") - F.col("floor_sub"))
+    )
+    last = F.max(F.struct(F.col("s"), F.col("event_id").alias("e"), F.col("bal").alias("b")))
+    return b.groupBy("user_id").agg(
+        last.getField("b").alias("final_balance"),
+        F.max("bal").alias("max_balance"),
+        F.sum(F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1).otherwise(0)).alias("n_clamps"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_two_proportion",
+    tier="EXT ops-analytics (md5 hash-split A/B readout + pooled two-proportion z)",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv,
+                   CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS v
+            FROM events GROUP BY user_id
+        ), agg AS (
+            SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                   CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+            FROM u
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               FLOOR((conv_a / n_a) * 1000000) / 1000000 AS rate_a,
+               FLOOR((conv_b / n_b) * 1000000) / 1000000 AS rate_b,
+               CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+                 FLOOR(((conv_a / n_a) - (conv_b / n_b))
+                       / SQRT((((conv_a + conv_b) / (n_a + n_b)) * (1.0 - ((conv_a + conv_b) / (n_a + n_b))))
+                              * ((1.0 / n_a) + (1.0 / n_b)))
+                       * 10000) / 10000
+               END AS z_floor4
+        FROM agg
+    """,
+)
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a deterministic hash split: variant
+    = first-8-hex-chars of md5(user_id) mod 2 (the CLAUDE.md
+    cross-engine int-bucket kernel — the ONLY hash both engines
+    share), conversion = user ever made a big-ticket purchase
+    (value ≥ 150 — "ever purchased at all" is degenerate on this
+    corpus: every user converts and the pooled variance vanishes).
+    Emits per-variant counts and rates plus the pooled two-proportion
+    z statistic, NULL-guarded for the all-or-none pools where the
+    statistic is undefined (ANSI Spark throws on the 0-divide that
+    DuckDB would quietly turn into inf/nan).
+
+    The z is certifiable to 4dp WITHOUT any tolerance verdict because
+    every operation in it — add, subtract, multiply, divide, sqrt — is
+    correctly rounded under IEEE-754, so identical BIGINT inputs fed
+    through the IDENTICAL expression tree produce the identical double
+    in both engines; only the final quotient is FLOOR-truncated (the
+    .5-boundary ROUND trap, CLAUDE.md). The Spark expression mirrors
+    the oracle's parenthesization operation-for-operation.
+
+    100 TB: one user_id shuffle (per-user conversion rollup), then a
+    4-scalar global partial-agg; the z arithmetic is a 1-row project.
+    """
+    u = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn(
+            "v",
+            F.expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2"),
+        )
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt((pool * (F.lit(1.0) - pool)) * ((F.lit(1.0) / F.col("n_a")) + (F.lit(1.0) / F.col("n_b"))))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        (F.floor(p_a * 1000000) / 1000000).alias("rate_a"),
+        (F.floor(p_b * 1000000) / 1000000).alias("rate_b"),
+        F.when(
+            ((F.col("conv_a") + F.col("conv_b")) > 0)
+            & ((F.col("conv_a") + F.col("conv_b")) < (F.col("n_a") + F.col("n_b"))),
+            F.floor(((p_a - p_b) / se) * 10000) / 10000,
+        ).alias("z_floor4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL UDF surface (Spark 4 CREATE FUNCTION ... RETURN)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_udf_surface",
+    tier="EXT Spark-4 surface (SQL scalar UDF: declarative reusable logic, codegen-inlined)",
+    oracle="""
+        SELECT CASE WHEN o_totalprice >= 300000 THEN 'premium'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'value' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION … RETURN
+    expr): bands each order's price through a named reusable function.
+    Unlike a Python UDF, the body INLINES into the plan — the grouped
+    aggregate still runs in whole-stage codegen with zero interpreter
+    crossings (plan asserted in tests/test_opsanalytics.py; the SQL
+    table-UDF variant is exercised there too). The oracle simply
+    inlines the CASE, which is exactly what Catalyst does.
+
+    The function is created in the session catalog and NOT dropped:
+    the returned plan references it lazily and the driver collects
+    after this function returns (CLAUDE.md lazy-plan rule).
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION eds_price_band(p DOUBLE) RETURNS STRING
+        RETURN CASE WHEN p >= 300000 THEN 'premium'
+                    WHEN p >= 100000 THEN 'mid'
+                    ELSE 'value' END
+        """
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(F.expr("eds_price_band(o_totalprice)").alias("band"), "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
