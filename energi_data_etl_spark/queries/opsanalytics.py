@@ -28,6 +28,18 @@ re-expressed as the scale-correct Spark plan:
 * ``sql_udf_surface`` — Spark 4 SQL scalar UDFs (CREATE TEMPORARY
   FUNCTION … RETURN expr): declarative reusable logic that inlines
   into the plan (still whole-stage codegen, unlike Python UDFs).
+* ``revenue_bridge_monthly`` — the SaaS finance waterfall: MoM totals
+  decomposed into new/resurrected/expansion/contraction/churn, the
+  bridge identity exact in integer cents.
+* ``weighted_median_by_flag`` — exact weighted median via the
+  cumulative-weight crossing (2·cum ≥ tot in integers).
+* ``km_conversion_hazard`` — Kaplan-Meier hazard table for
+  time-to-conversion with right-censoring at corpus end.
+* ``bfs_reachability_levels`` — multi-source BFS min-levels as a
+  recursive CTE with a JOIN in the recursive term (depth-capped;
+  the big-graph path is operators/graph.py's iterative loops).
+* ``compaction_small_files`` — the small-files compaction rewrite
+  with its file-layout arithmetic certified against COUNT(*).
 
 Reference parity: the reference pipeline (scripts/energy_etl.py:69-70)
 ends at a daily-mean dashboard; this tier is the EXT mandate's
@@ -719,4 +731,544 @@ def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Monthly revenue bridge (SaaS-style waterfall decomposition)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_bridge_monthly",
+    tier="EXT ops-analytics (MoM revenue waterfall: new/resurrected/expansion/contraction/churn)",
+    oracle="""
+        WITH cm AS (
+            SELECT o_custkey,
+                   EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) - 1 AS m_idx,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1, 2
+        ), w AS (
+            SELECT *,
+                   LAG(m_idx)  OVER (PARTITION BY o_custkey ORDER BY m_idx) AS prev_idx,
+                   LAG(rev)    OVER (PARTITION BY o_custkey ORDER BY m_idx) AS prev_rev,
+                   LEAD(m_idx) OVER (PARTITION BY o_custkey ORDER BY m_idx) AS next_idx
+            FROM cm
+        ), act AS (
+            SELECT m_idx,
+                   CAST(SUM(rev) AS BIGINT) AS total_rev,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN prev_idx IS NULL THEN rev ELSE 0 END) AS BIGINT) AS new_rev,
+                   CAST(SUM(CASE WHEN prev_idx IS NOT NULL AND m_idx - prev_idx > 1 THEN rev ELSE 0 END) AS BIGINT) AS resurrected_rev,
+                   CAST(SUM(CASE WHEN m_idx - prev_idx = 1 AND rev > prev_rev THEN rev - prev_rev ELSE 0 END) AS BIGINT) AS expansion_rev,
+                   CAST(SUM(CASE WHEN m_idx - prev_idx = 1 AND rev < prev_rev THEN rev - prev_rev ELSE 0 END) AS BIGINT) AS contraction_rev
+            FROM w GROUP BY m_idx
+        ), churn AS (
+            SELECT m_idx + 1 AS m_idx,
+                   CAST(SUM(-rev) AS BIGINT) AS churned_rev
+            FROM w
+            WHERE next_idx IS NULL OR next_idx - m_idx > 1
+            GROUP BY m_idx + 1
+        )
+        SELECT MAKE_DATE(CAST(COALESCE(act.m_idx, churn.m_idx) // 12 AS INTEGER),
+                         CAST(COALESCE(act.m_idx, churn.m_idx) % 12 + 1 AS INTEGER), 1) AS month_start,
+               COALESCE(total_rev, 0) AS total_rev,
+               COALESCE(n_active, 0) AS n_active,
+               COALESCE(new_rev, 0) AS new_rev,
+               COALESCE(resurrected_rev, 0) AS resurrected_rev,
+               COALESCE(expansion_rev, 0) AS expansion_rev,
+               COALESCE(contraction_rev, 0) AS contraction_rev,
+               COALESCE(churned_rev, 0) AS churned_rev
+        FROM act FULL OUTER JOIN churn ON act.m_idx = churn.m_idx
+    """,
+)
+def revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue waterfall — the SaaS finance report:
+    each month's total decomposed into new, resurrected (returning
+    after a ≥1-month gap), expansion, contraction (adjacent-month
+    delta split by sign) and churn (a customer's revenue leaves the
+    bridge the month AFTER their last active month). The identity
+    total(m) = total(m−1) + new + resurrected + expansion +
+    contraction + churn(m) holds EXACTLY because everything is
+    integer cents — asserted over every month pair in
+    tests/test_opsanalytics.py.
+
+    Months are integer indices (year·12 + month − 1): pure BIGINT
+    arithmetic instead of cross-engine DATE+INTERVAL typing, rendered
+    back via make_date only at the output edge.
+
+    100 TB: one custkey shuffle for the per-customer month series
+    (windows reuse it), then two month-keyed rollups over |customers|
+    rows and a ≤|months| outer join — the fact table is touched once.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    cm = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m_idx"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+        )
+        .groupBy("o_custkey", "m_idx")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("m_idx")
+    w = (
+        cm.withColumn("prev_idx", F.lag("m_idx").over(wc))
+        .withColumn("prev_rev", F.lag("rev").over(wc))
+        .withColumn("next_idx", F.lead("m_idx").over(wc))
+        .localCheckpoint(eager=False)  # feeds the activity AND churn rollups
+    )
+    adj = F.col("m_idx") - F.col("prev_idx") == 1
+    act = w.groupBy("m_idx").agg(
+        F.sum("rev").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("prev_idx").isNull(), F.col("rev")).otherwise(0)).alias("new_rev"),
+        F.sum(
+            F.when(
+                F.col("prev_idx").isNotNull() & (F.col("m_idx") - F.col("prev_idx") > 1),
+                F.col("rev"),
+            ).otherwise(0)
+        ).alias("resurrected_rev"),
+        F.sum(
+            F.when(adj & (F.col("rev") > F.col("prev_rev")), F.col("rev") - F.col("prev_rev")).otherwise(0)
+        ).alias("expansion_rev"),
+        F.sum(
+            F.when(adj & (F.col("rev") < F.col("prev_rev")), F.col("rev") - F.col("prev_rev")).otherwise(0)
+        ).alias("contraction_rev"),
+    )
+    churn = (
+        w.filter(F.col("next_idx").isNull() | (F.col("next_idx") - F.col("m_idx") > 1))
+        .groupBy((F.col("m_idx") + 1).alias("m_idx"))
+        .agg(F.sum(-F.col("rev")).alias("churned_rev"))
+    )
+    j = act.join(churn, "m_idx", "full_outer")
+    return j.select(
+        F.make_date(
+            F.expr("m_idx div 12"), F.col("m_idx") % 12 + 1, F.lit(1)
+        ).alias("month_start"),
+        F.coalesce("total_rev", F.lit(0)).alias("total_rev"),
+        F.coalesce("n_active", F.lit(0)).alias("n_active"),
+        F.coalesce("new_rev", F.lit(0)).alias("new_rev"),
+        F.coalesce("resurrected_rev", F.lit(0)).alias("resurrected_rev"),
+        F.coalesce("expansion_rev", F.lit(0)).alias("expansion_rev"),
+        F.coalesce("contraction_rev", F.lit(0)).alias("contraction_rev"),
+        F.coalesce("churned_rev", F.lit(0)).alias("churned_rev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_by_flag",
+    tier="EXT ops-analytics (exact weighted median via cumulative-weight crossing)",
+    oracle="""
+        WITH b AS (
+            SELECT l_returnflag, l_extendedprice AS price,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY l_returnflag, l_extendedprice
+        ), c AS (
+            SELECT *,
+                   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+            FROM b
+        )
+        SELECT l_returnflag,
+               MIN(CASE WHEN 2 * cum >= tot THEN price END) AS weighted_median_price,
+               CAST(MAX(tot) AS BIGINT) AS total_weight
+        FROM c GROUP BY l_returnflag
+    """,
+)
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the
+    lower weighted median: the smallest price whose cumulative weight
+    reaches half the total (2·cum ≥ tot in integers, so the half-point
+    is exact, never a float quotient). Spark has no weighted
+    percentile aggregate; the cumulative-crossing build is the
+    standard composition: collapse to distinct values (merging tied
+    prices' weights — REQUIRED for determinism, a tie straddling the
+    crossing is otherwise row-order-dependent), one running-sum
+    window, one min-case rollup.
+
+    100 TB: the fact table reduces to distinct (flag, price) rows in a
+    map-side-combined groupBy; the window and rollup run on the
+    reduced frame. The 100 TB relaxation is approx_percentile over
+    exploded weights or a two-pass bisection; this exact form is the
+    correctness baseline.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum(F.floor("l_quantity")).alias("w")
+    )
+    wf = Window.partitionBy("l_returnflag")
+    c = b.withColumn(
+        "cum", F.sum("w").over(wf.orderBy("price").rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("w").over(wf))
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+        F.max("tot").alias("total_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier hazard table (time-to-conversion with censoring)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "km_conversion_hazard",
+    tier="EXT ops-analytics (Kaplan-Meier hazard table: time-to-convert with right-censoring)",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
+        ), t0 AS (
+            SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN s END) AS t0
+            FROM e GROUP BY user_id
+        ), tp AS (
+            SELECT e.user_id, MIN(e.s) AS tp
+            FROM e JOIN t0 ON e.user_id = t0.user_id
+            WHERE e.event_type = 'purchase' AND e.s > t0.t0
+            GROUP BY e.user_id
+        ), tend AS (
+            SELECT MAX(s) AS tend FROM e
+        ), u AS (
+            SELECT t0.user_id,
+                   CASE WHEN tp.tp IS NOT NULL THEN (tp.tp - t0.t0) // 86400
+                        ELSE (tend.tend - t0.t0) // 86400 END AS dur,
+                   CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS converted
+            FROM t0 LEFT JOIN tp ON t0.user_id = tp.user_id CROSS JOIN tend
+            WHERE t0.t0 IS NOT NULL
+        ), g AS (
+            SELECT dur, CAST(SUM(converted) AS BIGINT) AS d_events,
+                   CAST(COUNT(*) AS BIGINT) AS m_total
+            FROM u GROUP BY dur
+        ), r AS (
+            SELECT *, SUM(m_total) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk
+            FROM g
+        )
+        SELECT dur AS dur_days,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               d_events,
+               FLOOR(d_events * 1000000.0 / n_at_risk) / 1000000 AS hazard
+        FROM r WHERE d_events > 0
+    """,
+)
+def km_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier style hazard table for first-view → first-purchase
+    latency with right-censoring: users who never purchase after their
+    first view are censored at the corpus end instead of dropped (the
+    mistake that biases every naive conversion-latency report toward
+    fast converters). Emits, per event day d: the at-risk count
+    (everyone whose event/censor day ≥ d), the conversions at d, and
+    the hazard d/n. All counts exact BIGINT; the hazard is the one
+    FLOOR-truncated quotient. The cumulative survival CURVE is
+    deliberately not emitted cross-engine: it is an ordered float
+    product whose evaluation strategy differs by engine (DuckDB
+    PRODUCT vs exp∘sum∘log), while the hazard table carries the same
+    information exactly.
+
+    100 TB: one user_id shuffle shared by the t0 rollup and the
+    after-t0 purchase join; the KM table itself is ≤|distinct days|
+    rows, and its reverse-cumulative window runs on that reduced
+    frame. The global censor time is a 1-row broadcast.
+    """
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", _epoch_s().alias("s")
+    )
+    t0 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("s"))).alias("t0")
+    )
+    tp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("s") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("tp"))
+    )
+    tend = e.agg(F.max("s").alias("tend"))
+    u = (
+        t0.filter(F.col("t0").isNotNull())
+        .join(tp, "user_id", "left")
+        .crossJoin(F.broadcast(tend))
+        .select(
+            F.when(F.col("tp").isNotNull(), F.expr("(tp - t0) div 86400"))
+            .otherwise(F.expr("(tend - t0) div 86400"))
+            .alias("dur"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("converted"),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.sum("converted").alias("d_events"), F.count(F.lit(1)).alias("m_total")
+    )
+    r = g.withColumn(
+        "n_at_risk",
+        F.sum("m_total").over(
+            Window.orderBy(F.col("dur").desc()).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return r.filter(F.col("d_events") > 0).select(
+        F.col("dur").alias("dur_days"),
+        "n_at_risk",
+        "d_events",
+        (F.floor(F.col("d_events") * 1000000.0 / F.col("n_at_risk")) / 1000000).alias("hazard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BFS reachability via recursive CTE
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bfs_reachability_levels",
+    tier="EXT graph+SQL (multi-source BFS min-level via WITH RECURSIVE over a join)",
+    oracle="""
+        WITH RECURSIVE ed AS (
+            SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'P' || CAST(l_partkey AS VARCHAR) AS b
+            FROM lineitem WHERE l_quantity = 1
+        ), bi AS (
+            SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed
+        ), seeds AS (
+            SELECT DISTINCT a AS node FROM ed
+            WHERE CAST(SUBSTRING(a, 2) AS BIGINT) % 10 = 0
+        ),
+        bfs(node, lvl) AS (
+            SELECT node, 0 AS lvl FROM seeds
+            UNION ALL
+            SELECT bi.b, bfs.lvl + 1 FROM bfs JOIN bi ON bi.a = bfs.node
+            WHERE bfs.lvl < 3
+        ),
+        dist AS (
+            SELECT node, CAST(MIN(lvl) AS BIGINT) AS dist FROM bfs GROUP BY node
+        )
+        SELECT dist,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CASE WHEN SUBSTRING(node, 1, 1) = 'S' THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CASE WHEN SUBSTRING(node, 1, 1) = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_parts
+        FROM dist GROUP BY dist
+    """,
+)
+def bfs_reachability_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance labels over the (sparse) supplier-part
+    bipartite graph — edges are the quantity-1 lineitems, seeds every
+    10th supplier — expressed as WITH RECURSIVE with a JOIN in the
+    recursive term (probed: this Spark 4.1 build runs it; recursive
+    UNION-distinct is NOT yet supported, so min-level dedup happens in
+    a post-aggregation and the frontier blowup is bounded by the depth
+    cap lvl < 3 over a deliberately sparse edge set — the level-wise
+    path count is Σ degree-products, measured thousands at fixture
+    SFs). Reports node counts per BFS distance, split by node type.
+
+    100 TB: recursive CTEs replay ALL paths without a visited set —
+    the scalable form of this operator is the iterative frontier join
+    with checkpointed lineage (operators/graph.py's connected
+    components / PageRank loops); this query certifies the SQL-surface
+    semantics cross-engine, not the big-graph path.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    ed = (
+        li.filter(F.col("l_quantity") == 1)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("a"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both edge directions and the seed scan
+    )
+    ed.createOrReplaceTempView("__bfs_ed")
+    spark.sql(
+        "SELECT a, b FROM __bfs_ed UNION ALL SELECT b AS a, a AS b FROM __bfs_ed"
+    ).createOrReplaceTempView("__bfs_bi")
+    spark.sql(
+        "SELECT DISTINCT a AS node FROM __bfs_ed WHERE CAST(SUBSTRING(a, 2) AS BIGINT) % 10 = 0"
+    ).createOrReplaceTempView("__bfs_seeds")
+    return spark.sql(
+        """
+        WITH RECURSIVE bfs(node, lvl) AS (
+            SELECT node, 0 AS lvl FROM __bfs_seeds
+            UNION ALL
+            SELECT bi.b, bfs.lvl + 1 FROM bfs JOIN __bfs_bi bi ON bi.a = bfs.node
+            WHERE bfs.lvl < 3
+        ),
+        dist AS (
+            SELECT node, CAST(MIN(lvl) AS BIGINT) AS dist FROM bfs GROUP BY node
+        )
+        SELECT dist,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CASE WHEN SUBSTRING(node, 1, 1) = 'S' THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CASE WHEN SUBSTRING(node, 1, 1) = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_parts
+        FROM dist GROUP BY dist
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction (maintenance op with certifiable arithmetic)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "compaction_small_files",
+    tier="EXT maintenance (compaction rewrite: bounded-size files, layout arithmetic certified)",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS files_written,
+               CAST(LEAST(COUNT(*), 4096) AS BIGINT) AS max_rows_per_file,
+               CAST(4096 AS BIGINT) AS target_rows_per_file,
+               TRUE AS layout_ok
+        FROM events
+    """,
+)
+def compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files compaction maintenance op — rewrite a table into
+    bounded-row-count files — with its layout arithmetic CERTIFIED:
+    the query actually performs the rewrite (maxRecordsPerFile=4096
+    into a fresh directory), reads the result back, and emits the
+    observed file statistics; the oracle pins the arithmetic the
+    writer must satisfy (⌈n/4096⌉ files, no file above target) from
+    COUNT(*) alone. ``layout_ok`` is COMPUTED from the observed
+    layout on the Spark side and pinned TRUE by the oracle — the
+    sketch-family verdict recipe applied to a storage op.
+
+    The single-partition write is what makes ⌈n/4096⌉ exact (Spark
+    rolls a new file precisely at the record cap within a task); the
+    100 TB form repartitions to ⌈bytes/target_size⌉ tasks first and
+    bounds per-task files the same way — per-file exactness becomes
+    per-task, the auditable invariant (no file above cap) is
+    unchanged. Compaction is the everyday answer to streaming sinks'
+    small-file problem (see streaming_rollup_parquet).
+    """
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="compact_")
+    (
+        ev.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 4096)
+        .parquet(f"{base}/out")
+    )
+    per_file = (
+        spark.read.parquet(f"{base}/out")
+        .select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("rows_in_file"))
+    )
+    return per_file.agg(
+        F.sum("rows_in_file").alias("n_rows"),
+        F.count(F.lit(1)).alias("files_written"),
+        F.max("rows_in_file").alias("max_rows_per_file"),
+        F.lit(4096).cast("long").alias("target_rows_per_file"),
+    ).select(
+        "n_rows",
+        "files_written",
+        "max_rows_per_file",
+        "target_rows_per_file",
+        (
+            (F.col("files_written") == F.expr("(n_rows + 4095) div 4096"))
+            & (F.col("max_rows_per_file") <= F.col("target_rows_per_file"))
+        ).alias("layout_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bag-semantics set operations (ALL variants)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_operations_bag",
+    tier="§2.7+ (INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set ops)",
+    oracle="""
+        WITH a AS (SELECT o_orderpriority AS pr FROM orders WHERE o_orderstatus = 'F'),
+             b AS (SELECT o_orderpriority AS pr FROM orders WHERE o_orderstatus = 'O')
+        SELECT 'intersect_all' AS op, pr, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT pr FROM a INTERSECT ALL SELECT pr FROM b) GROUP BY pr
+        UNION ALL
+        SELECT 'except_all' AS op, pr, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT pr FROM a EXCEPT ALL SELECT pr FROM b) GROUP BY pr
+    """,
+)
+def set_operations_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiplicity-preserving (bag) set operations — INTERSECT ALL
+    keeps min(m_a, m_b) copies per value, EXCEPT ALL keeps
+    max(0, m_a − m_b) — which the distinct-variant ``set_operations``
+    query cannot express (and naive dedup silently corrupts: priority
+    'F' vs 'O' order MIXES share every priority value, so the DISTINCT
+    intersect is all-5-rows trivia while the bag counts carry the
+    actual imbalance). Spark plans both as a single hash aggregation
+    computing per-value multiplicities (map-side combined), not a
+    join — the same shape DuckDB uses, certified value-for-value here.
+
+    100 TB: one shuffle per operand pair on the value itself; output
+    is bounded by distinct values, and the counts rollup rides the
+    same partitioning.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pr"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("pr"))
+    ia = (
+        a.intersectAll(b)
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "pr", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "pr", "n")
+    )
+    return ia.unionAll(ea)
+
+
+# --------------------------------------------------------------------------
+# SQL session variables (Spark 4 DECLARE / SET VAR)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_variables_surface",
+    tier="EXT Spark-4 surface (DECLARE VARIABLE / SET VAR: parameterized SQL without string templating)",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice >= 250000 AND EXTRACT(YEAR FROM o_orderdate) >= 1998
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_variables_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE VARIABLE … / SET VAR):
+    the sanctioned replacement for f-string SQL templating —
+    parameters live in the session, are type-checked, and fold into
+    the plan as literals at analysis time (so predicate pushdown sees
+    the constant and the variable's value is captured when this
+    function analyzes the query, satisfying the lazy-collect
+    contract). The oracle inlines the same two thresholds.
+
+    100 TB: nothing runtime-visible — the folded plan is identical to
+    the literal query, filters pushed to the scan.
+    """
+    spark.sql("DECLARE OR REPLACE VARIABLE eds_min_price DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE eds_min_year INT DEFAULT 1990")
+    spark.sql("SET VAR eds_min_price = 250000")
+    spark.sql("SET VAR eds_min_year = 1998")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__sqlvar_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM __sqlvar_orders
+        WHERE o_totalprice >= eds_min_price AND EXTRACT(YEAR FROM o_orderdate) >= eds_min_year
+        GROUP BY o_orderpriority
+        """
     )

@@ -268,3 +268,157 @@ def test_pareto_window_runs_on_reduced_frame(spark, sf_dir):
     # reducing HashAggregate means the window's input is the reduced frame
     assert "Window" in plan and "HashAggregate" in plan, plan
     assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: revenue bridge / weighted median / KM hazard / BFS / compaction
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_bridge_identity_holds_every_month(spark, sf_dir):
+    """total(m) = total(m-1) + new + resurrected + expansion +
+    contraction + churn(m), exactly, for every month index."""
+    from energi_data_etl_spark.queries.opsanalytics import revenue_bridge_monthly
+
+    rows = {r.month_start: r for r in revenue_bridge_monthly(spark, sf_dir).collect()}
+    months = sorted(rows)
+    for prev_m, m in zip(months, months[1:]):
+        r, p = rows[m], rows[prev_m]
+        assert (
+            r.total_rev
+            == p.total_rev
+            + r.new_rev
+            + r.resurrected_rev
+            + r.expansion_rev
+            + r.contraction_rev
+            + r.churned_rev
+        ), m
+    first = rows[months[0]]
+    assert first.total_rev == first.new_rev  # genesis month: everyone is new
+    assert all(rows[m].churned_rev <= 0 and rows[m].contraction_rev <= 0 for m in months)
+
+
+def test_weighted_median_vs_bruteforce(spark, sf_dir):
+    from energi_data_etl_spark.queries.opsanalytics import weighted_median_by_flag
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_returnflag", "l_extendedprice", F.floor("l_quantity").alias("w"))
+        .collect()
+    )
+    agg = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        agg[r.l_returnflag][r.l_extendedprice] += r.w
+    got = {r.l_returnflag: r for r in weighted_median_by_flag(spark, sf_dir).collect()}
+    for flag, wm in agg.items():
+        total = sum(wm.values())
+        cum = 0
+        want = None
+        for price in sorted(wm):
+            cum += wm[price]
+            if 2 * cum >= total:
+                want = price
+                break
+        assert got[flag].weighted_median_price == want
+        assert got[flag].total_weight == total
+
+
+def test_km_hazard_vs_bruteforce(spark, sf_dir):
+    from energi_data_etl_spark.queries.opsanalytics import km_conversion_hazard
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").cast("long").alias("s"))
+        .collect()
+    )
+    tend = max(r.s for r in ev)
+    t0, tp = {}, {}
+    for r in ev:
+        if r.event_type == "view":
+            t0[r.user_id] = min(t0.get(r.user_id, r.s), r.s)
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in t0 and r.s > t0[r.user_id]:
+            tp[r.user_id] = min(tp.get(r.user_id, r.s), r.s)
+    durs = []
+    for uid, t in t0.items():
+        if uid in tp:
+            durs.append(((tp[uid] - t) // 86400, 1))
+        else:
+            durs.append(((tend - t) // 86400, 0))
+    got = {r.dur_days: r for r in km_conversion_hazard(spark, sf_dir).collect()}
+    event_days = sorted({d for d, c in durs if c == 1})
+    assert sorted(got) == event_days
+    for d in event_days:
+        n_risk = sum(1 for dd, _ in durs if dd >= d)
+        d_ev = sum(1 for dd, c in durs if dd == d and c == 1)
+        assert got[d].n_at_risk == n_risk
+        assert got[d].d_events == d_ev
+        # hazard is monotone-bounded: d/n in (0, 1]
+        assert 0 < got[d].hazard <= 1.0
+
+
+def test_bfs_levels_vs_bruteforce(spark, sf_dir):
+    from energi_data_etl_spark.queries.opsanalytics import bfs_reachability_levels
+
+    ed = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity") == 1)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in ed:
+        a, b = f"S{r.l_suppkey}", f"P{r.l_partkey}"
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = {f"S{r.l_suppkey}" for r in ed if r.l_suppkey % 10 == 0}
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for lvl in (1, 2, 3):
+        frontier = {n for f in frontier for n in adj[f] if n not in dist}
+        for n in frontier:
+            dist[n] = lvl
+    want = defaultdict(lambda: [0, 0, 0])
+    for node, d in dist.items():
+        want[d][0] += 1
+        want[d][1 if node.startswith("S") else 2] += 1
+    got = {r.dist: r for r in bfs_reachability_levels(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(want)
+    for d, (n, ns, np_) in want.items():
+        assert (got[d].n_nodes, got[d].n_suppliers, got[d].n_parts) == (n, ns, np_), d
+
+
+def test_compaction_layout_is_exact(spark, sf_dir):
+    from energi_data_etl_spark.queries.opsanalytics import compaction_small_files
+
+    r = compaction_small_files(spark, sf_dir).first()
+    assert r.layout_ok
+    assert r.files_written == (r.n_rows + 4095) // 4096
+    assert r.max_rows_per_file <= 4096
+
+
+def test_bag_set_ops_vs_counter(spark, sf_dir):
+    from collections import Counter
+
+    from energi_data_etl_spark.queries.opsanalytics import set_operations_bag
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderstatus", "o_orderpriority").collect()
+    ca = Counter(r.o_orderpriority for r in o if r.o_orderstatus == "F")
+    cb = Counter(r.o_orderpriority for r in o if r.o_orderstatus == "O")
+    want_i = {p: min(ca[p], cb[p]) for p in ca if min(ca[p], cb[p]) > 0}
+    want_e = {p: ca[p] - cb[p] for p in ca if ca[p] - cb[p] > 0}
+    got = {(r.op, r.pr): r.n for r in set_operations_bag(spark, sf_dir).collect()}
+    assert {k[1]: v for k, v in got.items() if k[0] == "intersect_all"} == want_i
+    assert {k[1]: v for k, v in got.items() if k[0] == "except_all"} == want_e
+
+
+def test_sql_variable_folds_into_pushed_filter(spark, sf_dir):
+    """The variable's value must appear as a folded literal in the
+    scan's pushed filters — proving parameterization costs nothing."""
+    from energi_data_etl_spark.plans.inspect import explain_str
+    from energi_data_etl_spark.queries.opsanalytics import sql_variables_surface
+
+    plan = explain_str(sql_variables_surface(spark, sf_dir), mode="formatted")
+    assert "250000" in plan, plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_totalprice,250000" in plan, plan
