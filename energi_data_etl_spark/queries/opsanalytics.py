@@ -1272,3 +1272,140 @@ def sql_variables_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-point integer PageRank twin (certifies the rows-only algorithm)
+# --------------------------------------------------------------------------
+
+#: fixed-point scale: total initial mass, integer micro-units
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Three unrolled fixed-point iterations as chained CTEs (standard
+    SQL forbids aggregation in a recursive term, so the loop unrolls)."""
+    head = f"""
+        WITH ed AS (
+            SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'P' || CAST(l_partkey AS VARCHAR) AS b
+            FROM lineitem
+        ), nodes AS (
+            SELECT a AS id FROM ed UNION SELECT b FROM ed
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+        ), deg AS (
+            SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS outdeg FROM ed GROUP BY a
+        ), base AS (
+            SELECT (15 * ({_PR_SCALE} // n)) // 100 AS b, n FROM nn
+        ), r0 AS (
+            SELECT id, {_PR_SCALE} // n AS rank FROM nodes, nn
+        )"""
+    steps = []
+    for k in range(_PR_ITERS):
+        steps.append(f"""
+        , dg{k} AS (
+            SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dg
+            FROM r{k} r LEFT JOIN deg d ON d.id = r.id WHERE d.outdeg IS NULL
+        ), in{k} AS (
+            SELECT ed.b AS id, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inc
+            FROM ed JOIN r{k} r ON r.id = ed.a JOIN deg d ON d.id = ed.a
+            GROUP BY ed.b
+        ), r{k + 1} AS (
+            SELECT n.id,
+                   base.b + (85 * (COALESCE(i.inc, 0) + dg{k}.dg // base.n)) // 100 AS rank
+            FROM nodes n LEFT JOIN in{k} i ON i.id = n.id, dg{k}, base
+        )""")
+    tail = f"""
+        SELECT id AS node, CAST(rank AS BIGINT) AS rank_fp
+        FROM r{_PR_ITERS} ORDER BY rank DESC, id LIMIT 20
+    """
+    return head + "".join(steps) + tail
+
+
+@query(
+    "pagerank_integer_twin",
+    tier="EXT graph (fixed-point integer PageRank: the rows-only operator's algorithm, hash-certifiable)",
+    oracle=_pr_oracle(),
+)
+def pagerank_integer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correctness TWIN of the rows-only float PageRank
+    (operators/graph.py:64-181, `pagerank_supplier_part`): the same
+    damping / dangling-redistribution / contribution algebra in
+    FIXED-POINT INTEGER arithmetic, so every step is engine-exact and
+    the driver can hash-certify the whole ranking — the simhash-md5
+    precedent applied to the last rows-only family. Rule per
+    iteration, all BIGINT with floor division (Spark `div` == DuckDB
+    `//`):
+
+        r'(v) = (15·(S div N)) div 100
+              + (85·(Σ_{u→v} r(u) div outdeg(u) + DG div N)) div 100
+
+    with S = 10^12 total mass and DG the dangling (part-side) mass.
+    Three unrolled iterations — standard SQL forbids aggregation in a
+    recursive term, so the oracle chains CTEs, which is also exactly
+    what the Spark loop builds. Emits the top-20 (rank, node)
+    deterministically tie-broken.
+
+    The float operator stays the production path (pre-attached edge
+    weights, one edge shuffle, checkpointed iterations — its 100 TB
+    design); this twin certifies the ALGORITHM, accepting the
+    quantization (≤ N floor-losses per step of 1 micro-unit each,
+    total mass drift < N·iters ≪ S).
+
+    100 TB: same join/agg shapes as the float path; the per-iteration
+    frames are |V| rows, edges shuffled once into `ed`.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    ed = (
+        li.select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("a"),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds nodes, deg, and every iteration's join
+    )
+    nodes = (
+        ed.select(F.col("a").alias("id"))
+        .union(ed.select("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = ed.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
+        eager=False
+    )
+    n = nodes.count()  # bounded driver scalar: |distinct nodes|
+    init = _PR_SCALE // n
+    base = (15 * init) // 100
+    ranks = nodes.select("id", F.lit(init).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        ranks = ranks.localCheckpoint(eager=False)  # consumed by dangling agg + contrib join
+        dg_frame = F.broadcast(
+            ranks.join(deg, "id", "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dg")
+            )
+        )
+        contribs = (
+            ranks.join(deg, "id")
+            .select("id", F.expr("rank div outdeg").alias("per_edge"))
+            .join(ed, F.col("id") == F.col("a"))
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum("per_edge").alias("inc"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(dg_frame)
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"(85 * (coalesce(inc, 0) + (dg div {n}))) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+        .select(F.col("id").alias("node"), F.col("rank").alias("rank_fp"))
+    )
