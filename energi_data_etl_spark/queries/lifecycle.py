@@ -432,3 +432,64 @@ def file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fn").alias("n_files"),
         (F.max("ri") + F.lit(1)).alias("rows_by_index"),
     )
+
+
+@query(
+    "api_sink_roundtrip",
+    tier="S5+ (Python DataSource WRITER: task-level JSONL uplink, manifest-committed exactly-once)",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def api_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the WRITE half of the custom connector
+    (sources/api_datasource.py::EnergiUplinkWriter) end-to-end: the
+    daily per-type rollup is pushed through
+    ``df.write.format("energi_prices")`` — each task emits one JSONL
+    document (the batch-POST shape), the driver-side commit atomically
+    publishes a manifest of successful documents — then read back
+    MANIFEST-FIRST (only committed files, the exactly-once contract)
+    and returned; the oracle recomputes the rollup straight from the
+    events table, so a value match proves the sink → manifest → read
+    path loses and corrupts nothing (dates survive ISO round-trip,
+    doubles survive shortest-repr JSON round-trip).
+
+    100 TB: the writer inherits the rollup's partitioning — one
+    document per task, no driver fan-in; the manifest is |tasks|
+    entries. The abort path (failed/speculative tasks leaving orphan
+    documents that the manifest never references) is exercised in
+    tests/test_api_and_formats.py.
+    """
+    import json as _json
+    import tempfile
+
+    from ..sources.api_datasource import EnergiPricesDataSource
+    from ..sources.tables import load_table
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    rollup = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    uplink = tempfile.mkdtemp(prefix="uplink_")
+    (
+        rollup.write.format("energi_prices")
+        .option("uplink_dir", uplink)
+        .mode("append")
+        .save()
+    )
+    with open(f"{uplink}/manifest.json", encoding="utf-8") as fh:
+        manifest = _json.load(fh)
+    back = spark.read.schema(
+        "d string, event_type string, n_events long, sum_value double"
+    ).json(manifest["files"])
+    return back.select(
+        F.to_date("d").alias("d"), "event_type", "n_events", "sum_value"
+    )

@@ -1071,6 +1071,12 @@ def bfs_reachability_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     components / PageRank loops); this query certifies the SQL-surface
     semantics cross-engine, not the big-graph path.
     """
+    # recursion replays paths, not nodes: total rows ≈ Σ degree-products,
+    # which passes Spark's 1M-row recursion guard around ~5M input rows
+    # (measured, scale_probe_r08c). Raise it and LEAVE it set — the
+    # returned plan executes the recursion at collect time (lazy-plan
+    # rule: never unset a conf the returned plan still needs).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(50_000_000))
     li = load_table(spark, "lineitem", sf_dir)
     ed = (
         li.filter(F.col("l_quantity") == 1)

@@ -37,7 +37,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .http_json import DEFAULT_URL_TEMPLATE, DEFAULT_ZONES, with_retry
@@ -230,3 +232,93 @@ class EnergiPricesDataSource(DataSource):
 
     def streamReader(self, schema) -> EnergiPricesStreamReader:  # noqa: ANN001
         return EnergiPricesStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "EnergiUplinkWriter":  # noqa: ANN001
+        return EnergiUplinkWriter(self.options, overwrite)
+
+
+@dataclass
+class UplinkCommit(WriterCommitMessage):
+    """Per-task commit message: which document the task produced and how
+    many rows it carries. Must stay picklable (plain dataclass)."""
+
+    path: str
+    n_rows: int
+
+
+class EnergiUplinkWriter(DataSourceWriter):
+    """The WRITE half of the connector (Spark 4 Python DataSource
+    writer): each task serializes its partition as one JSON-lines
+    document — the shape a batch POST to a reporting API would carry —
+    and the COMMIT/ABORT protocol makes the whole job exactly-once:
+
+    * ``write`` (executors) emits the document under a task-unique name
+      and returns an :class:`UplinkCommit`;
+    * ``commit`` (driver) atomically publishes ``manifest.json`` listing
+      ONLY successfully-committed documents (tmp + rename — the same
+      atomic-publish idiom as queries/lifecycle.py's fixture writer);
+    * ``abort`` removes whatever partial documents the failed job left.
+
+    Readers that honor the manifest (see lifecycle.api_sink_roundtrip)
+    never observe output of failed or speculative tasks — task retries
+    produce orphan files that the manifest simply never references.
+
+    Offline contract: the container has no network, so the "POST"
+    lands in ``uplink_dir`` (same serialization the HTTP branch would
+    send; fixture symmetry with the reader's replay dir). At cluster
+    scale ``uplink_dir`` is shared storage — or the write() body swaps
+    the file write for the actual POST with http_json.with_retry, the
+    commit protocol unchanged.
+    """
+
+    def __init__(self, options, overwrite: bool) -> None:  # noqa: ANN001
+        self.uplink_dir = options.get("uplink_dir")
+        if not self.uplink_dir:
+            raise ValueError("energi_prices writer requires .option('uplink_dir', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):  # noqa: ANN001
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.uplink_dir, exist_ok=True)
+        path = os.path.join(self.uplink_dir, f"doc-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        tmp = path + ".inprogress"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str, sort_keys=True))
+                fh.write("\n")
+                n += 1
+        os.rename(tmp, path)
+        return UplinkCommit(path=path, n_rows=n)
+
+    def commit(self, messages) -> None:  # noqa: ANN001
+        import json as _json
+        import os
+
+        files = sorted(m.path for m in messages if m is not None)
+        total = sum(m.n_rows for m in messages if m is not None)
+        manifest = os.path.join(self.uplink_dir, "manifest.json")
+        # append mode folds this job's documents into the committed set;
+        # overwrite mode replaces it — so the manifest is always the
+        # complete exactly-once view across jobs
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                prev = _json.load(fh)
+            files = sorted(set(prev["files"]) | set(files))
+            total += prev["n_rows"]
+        tmp = manifest + ".inprogress"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump({"files": files, "n_rows": total}, fh)
+        os.rename(tmp, manifest)
+
+    def abort(self, messages) -> None:  # noqa: ANN001
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(m.path)

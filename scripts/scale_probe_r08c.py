@@ -39,6 +39,13 @@ PROBED = [
     "proration_largest_remainder",
     "pareto_frontier_lineitem",
     "order_date_streaks",
+    # batch 10/11 additions
+    "revenue_bridge_monthly",
+    "weighted_median_by_flag",
+    "km_conversion_hazard",
+    "bfs_reachability_levels",
+    "pagerank_integer_twin",
+    "compaction_small_files",
 ]
 
 
@@ -89,6 +96,8 @@ def _gen(spark, n: int, d: str) -> None:
         .repartition(32)
         .select(
             (F.abs(F.xxhash64("id", F.lit(8))) % n_orders).alias("l_orderkey"),
+            (F.abs(F.xxhash64("id", F.lit(12))) % max(n // 500, 1)).alias("l_partkey"),
+            (F.abs(F.xxhash64("id", F.lit(13))) % 100).alias("l_suppkey"),
             (F.col("id") % 7 + 1).cast("int").alias("l_linenumber"),
             (F.abs(F.xxhash64("id", F.lit(9))) % 9_999_900 / 100.0 + 1.0).alias(
                 "l_extendedprice"

@@ -279,3 +279,56 @@ def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
     q = spark.read.parquet(dest).filter("date = DATE'2024-01-02'")
     assert "PartitionFilters" in explain_str(q)
     assert q.count() == spark.read.parquet(src).filter("date = DATE'2024-01-02'").count()
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (EnergiUplinkWriter)
+# ---------------------------------------------------------------------------
+
+
+def test_uplink_writer_commit_abort_protocol(spark, sf_dir):
+    """The writer's exactly-once contract, driven through real jobs plus
+    a direct abort: (1) append jobs accumulate manifest entries; (2)
+    overwrite replaces them; (3) abort removes the partial documents;
+    (4) orphan files never referenced by the manifest are invisible to
+    a manifest-first reader."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from energi_data_etl_spark.sources.api_datasource import (
+        EnergiPricesDataSource,
+        EnergiUplinkWriter,
+    )
+    from energi_data_etl_spark.sources.tables import load_table
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    d = tempfile.mkdtemp(prefix="uplink_t_")
+    df = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.write.format("energi_prices").option("uplink_dir", d).mode("append").save()
+    m1 = json.load(open(f"{d}/manifest.json"))
+    df.write.format("energi_prices").option("uplink_dir", d).mode("append").save()
+    m2 = json.load(open(f"{d}/manifest.json"))
+    assert m2["n_rows"] == 2 * m1["n_rows"]  # append accumulated
+    assert set(m1["files"]) < set(m2["files"])
+    df.write.format("energi_prices").option("uplink_dir", d).mode("overwrite").save()
+    m3 = json.load(open(f"{d}/manifest.json"))
+    assert m3["n_rows"] == m1["n_rows"]  # overwrite replaced
+    # every manifest file exists; orphans (from replaced jobs) may remain
+    # on disk but a manifest-first reader never sees them
+    assert all(os.path.exists(f) for f in m3["files"])
+    back = spark.read.schema("event_type string, n long").json(m3["files"])
+    assert back.count() == df.count()
+
+    # direct abort: write a partition, then abort with its message
+    w = EnergiUplinkWriter({"uplink_dir": d}, overwrite=False)
+    msg = w.write(iter([Row(event_type="x", n=1)]))
+    assert os.path.exists(msg.path)
+    w.abort([msg])
+    assert not os.path.exists(msg.path)
