@@ -725,3 +725,51 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, _events_path(sf_dir))
     return run_to_memory(ohlc_candles(stream), output_mode="complete")
+
+
+@query(
+    "streaming_daily_active_users",
+    tier="T6+T3 chained (two stateful operators in one stream: within-watermark dedup -> windowed count)",
+    oracle="""
+        WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events)
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events, mx
+        WHERE CAST(ts AS DATE) < mx.md - 1
+        GROUP BY CAST(ts AS DATE), mx.md
+    """,
+)
+def streaming_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU via TWO CHAINED STATEFUL OPERATORS in one query —
+    dropDuplicatesWithinWatermark on (user, day) feeding a 1-day
+    tumbling count in append mode (legal since Spark 3.5; no other
+    catalog query chains stateful operators). After the dedup, one
+    surviving row per user-day means the window's plain COUNT(*) IS
+    the exact DAU — the streaming twin of ``active_users_rolling_7d``'s
+    dau column.
+
+    The finalization cut: append mode emits a window only when the
+    watermark passes its end, and the 25-hour delay (sized so any
+    same-user-day duplicate is deduped even across micro-batches)
+    leaves the last TWO fixture days unfinalized at drain end — the
+    oracle applies the same cut in closed form (d < max_day − 1), the
+    same batch-certified-finalization discipline as
+    ``streaming_interval_join_louter``.
+
+    100 TB: both operators key their state compatibly (user-day /
+    window), state is evicted by the same watermark, and the emitted
+    stream is |days| rows.
+    """
+    from ..streaming.ops import events_stream, run_to_memory
+
+    stream = (
+        events_stream(spark, _events_path(sf_dir))
+        .select("ts", "user_id")
+        .withColumn("day", F.col("ts").cast("date"))
+    )
+    deduped = stream.withWatermark("ts", "25 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "day"]
+    )
+    agg = deduped.groupBy(F.window("ts", "1 day")).agg(F.count(F.lit(1)).alias("dau"))
+    drained = run_to_memory(agg, output_mode="append")
+    return drained.select(F.col("window.start").cast("date").alias("d"), "dau")

@@ -298,3 +298,18 @@ def test_foreachbatch_merge_sink_is_idempotent_under_retry(spark, tmp_path):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_chained_stateful_dau_equals_batch_dau(spark, sf_dir):
+    """The two-stateful-operator stream (dedup -> windowed count) agrees
+    exactly with the batch DAU on every finalized day."""
+    from energi_data_etl_spark.queries.opsanalytics import active_users_rolling_7d
+    from energi_data_etl_spark.queries.streaming import streaming_daily_active_users
+
+    got = {r.d: r.dau for r in streaming_daily_active_users(spark, sf_dir).collect()}
+    want = {r.d: r.dau for r in active_users_rolling_7d(spark, sf_dir).collect()}
+    assert got  # the finalization cut leaves 28 of 30 fixture days
+    for d, dau in got.items():
+        assert want[d] == dau, d
+    # exactly the last two days are unfinalized
+    assert len(want) - len(got) == 2
