@@ -18,6 +18,7 @@ from . import lifecycle  # noqa: F401,E402
 from . import behavior  # noqa: F401,E402
 from . import quality  # noqa: F401
 from . import opsanalytics  # noqa: F401,E402
+from . import spatial  # noqa: F401,E402
 
 # ORDER MATTERS: the driver's per-round correctness file records only the
 # FIRST 50 queries in registration order, so the window is rotated
