@@ -19,6 +19,7 @@ from . import behavior  # noqa: F401,E402
 from . import quality  # noqa: F401
 from . import opsanalytics  # noqa: F401,E402
 from . import spatial  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402
 
 # ORDER MATTERS: the driver's per-round correctness file records only the
 # FIRST 50 queries in registration order, so the window is rotated
