@@ -397,3 +397,98 @@ def rollup_cascade_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
         )
     )
+
+
+@query(
+    "association_rules_lift",
+    tier="EXT analytics (association rules over basket pairs: support/confidence/lift)",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+        parts AS (SELECT l_partkey, COUNT(*) AS n_p FROM li GROUP BY l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY part_a, part_b
+        ),
+        top AS (
+            SELECT part_a, part_b, n_ab FROM pairs
+            ORDER BY n_ab DESC, part_a ASC, part_b ASC LIMIT 20
+        )
+        SELECT t.part_a, t.part_b,
+               CAST(t.n_ab AS BIGINT) AS n_ab,
+               CAST(pa.n_p AS BIGINT) AS n_a,
+               CAST(pb.n_p AS BIGINT) AS n_b,
+               CAST(tot.n AS BIGINT) AS n_orders,
+               ((t.n_ab * 1000000) // tot.n) / 1000000.0 AS support,
+               ((t.n_ab * 1000000) // pa.n_p) / 1000000.0 AS conf_a_to_b,
+               ((t.n_ab * 1000000) // pb.n_p) / 1000000.0 AS conf_b_to_a,
+               ((t.n_ab * 1000000 * tot.n) // (pa.n_p * pb.n_p)) / 1000000.0 AS lift
+        FROM top t
+        JOIN parts pa ON t.part_a = pa.l_partkey
+        JOIN parts pb ON t.part_b = pb.l_partkey
+        CROSS JOIN tot
+        ORDER BY n_ab DESC, part_a ASC, part_b ASC
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the basket pairs: for the top-20
+    co-occurring part pairs, both directed rules' confidence plus
+    support and lift — the step after market_basket_pairs that turns a
+    co-count into a recommendation decision (lift > 1 = genuinely
+    associated, not just individually popular).
+
+    Cross-engine: every ratio is an exact-integer floor division
+    scaled to 6dp (Spark ``div`` == DuckDB ``//`` — no float quotient
+    ever forms, so there is no .5-boundary trap at all).
+
+    Scale (100 TB): the pair counts reuse the bounded per-order
+    fan-out plan (never quadratic in the table); singleton part counts
+    are one partial-aggregated pass over the SAME distinct frame
+    (localCheckpoint'd, read once); the metric joins attach part
+    counts to 20 rows — the tiny side broadcasts, the part-counts
+    table is never shuffled twice."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by tot/parts/pairs
+    )
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    parts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    top = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+    f6 = lambda num, den: (F.expr(f"({num}) div ({den})") / 1000000.0)  # noqa: E731
+    return (
+        F.broadcast(top)
+        .join(parts.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a")), "part_a")
+        .join(parts.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n").cast("long").alias("n_orders"),
+            f6("n_ab * 1000000", "n").alias("support"),
+            f6("n_ab * 1000000", "n_a").alias("conf_a_to_b"),
+            f6("n_ab * 1000000", "n_b").alias("conf_b_to_a"),
+            f6("n_ab * 1000000 * n", "n_a * n_b").alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+    )

@@ -1005,3 +1005,111 @@ def mutual_information_type_value(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(-F.col("h_b"), 6).alias("h_bin_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence (categorical association)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chisq_independence_audit",
+    tier="EXT data-eng (chi-square independence test: event type x day-of-week)",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS t,
+                   (epoch_us(ts) // 86400000000) % 7 AS d,
+                   COUNT(*) AS o
+            FROM events GROUP BY t, d
+        ),
+        mt AS (SELECT t, SUM(o) AS n_t FROM cells GROUP BY t),
+        md AS (SELECT d, SUM(o) AS n_d FROM cells GROUP BY d),
+        tot AS (SELECT SUM(o) AS n FROM cells),
+        -- COMPLETE grid: unobserved (t, d) cells are structural zeros
+        -- whose (0-E)^2/E terms are part of the statistic
+        grid AS (
+            SELECT mt.t, md.d, mt.n_t, md.n_d, COALESCE(c.o, 0) AS o
+            FROM mt CROSS JOIN md
+            LEFT JOIN cells c ON c.t = mt.t AND c.d = md.d
+        )
+        SELECT CAST(t2.n AS BIGINT) AS n_events,
+               CAST((SELECT COUNT(*) FROM mt) AS BIGINT) AS n_types,
+               CAST((SELECT COUNT(*) FROM md) AS BIGINT) AS n_dows,
+               CAST(((SELECT COUNT(*) FROM mt) - 1)
+                    * ((SELECT COUNT(*) FROM md) - 1) AS BIGINT) AS dof,
+               ROUND(SUM((g.o - CAST(g.n_t AS DOUBLE) * g.n_d / t2.n)
+                         * (g.o - CAST(g.n_t AS DOUBLE) * g.n_d / t2.n)
+                         / (CAST(g.n_t AS DOUBLE) * g.n_d / t2.n)), 6) AS chisq_stat,
+               ROUND(SQRT(SUM((g.o - CAST(g.n_t AS DOUBLE) * g.n_d / t2.n)
+                              * (g.o - CAST(g.n_t AS DOUBLE) * g.n_d / t2.n)
+                              / (CAST(g.n_t AS DOUBLE) * g.n_d / t2.n))
+                          / (t2.n * (LEAST((SELECT COUNT(*) FROM mt),
+                                           (SELECT COUNT(*) FROM md)) - 1))), 6)
+                   AS cramers_v
+        FROM grid g
+        CROSS JOIN tot t2
+        GROUP BY t2.n
+    """,
+)
+def chisq_independence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and
+    day-of-week, plus Cramer's V effect size — the categorical cousin
+    of mutual_information_type_value (DQ teams run exactly this to
+    catch schedule-coupled event mixes: a batch job that only emits
+    'error' on Sundays lights it up).
+
+    Cross-engine: day-of-week is EPOCH-DAY ARITHMETIC ((epoch_us div
+    86.4e9) % 7 — an anchor-arbitrary 0..6 index), never dayofweek()
+    (Spark 1=Sunday vs DuckDB 0=Sunday, CLAUDE.md trap); counts are
+    exact BIGINTs; expected counts and the statistic mirror the same
+    expression tree on both engines with a 6dp ROUND cut over the
+    <=35-term sum (the MI precedent — relative wobble ~1e-16).
+
+    Scale: the fact table collapses to |types| x 7 cells in ONE
+    partial-aggregated pass; marginals are rollups OF the cell frame
+    (localCheckpoint'd, corpus read once); everything after is
+    broadcast joins over a few dozen rows."""
+    cells = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000) % 7").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    mt = cells.groupBy("t").agg(F.sum("o").alias("n_t"))
+    md = cells.groupBy("d").agg(F.sum("o").alias("n_d"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    nt = mt.agg(F.count(F.lit(1)).alias("kt"))
+    nd = md.agg(F.count(F.lit(1)).alias("kd"))
+    e = F.col("n_t").cast("double") * F.col("n_d") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    # COMPLETE grid: a (t, d) combination with no events is a structural
+    # zero whose (0-E)^2/E term belongs in the statistic (dropping it
+    # understates dependence — caught by the planted-permutation test)
+    grid = (
+        mt.crossJoin(F.broadcast(md))
+        .join(cells, ["t", "d"], "left")
+        .select("t", "d", "n_t", "n_d", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nd))
+        .groupBy()
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max("kt").cast("long").alias("n_types"),
+            F.max("kd").cast("long").alias("n_dows"),
+            ((F.max("kt") - 1) * (F.max("kd") - 1)).cast("long").alias("dof"),
+            F.round(F.sum(term), 6).alias("chisq_stat"),
+            F.round(
+                F.sqrt(
+                    F.sum(term)
+                    / (F.max("n") * (F.least(F.max("kt"), F.max("kd")) - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
