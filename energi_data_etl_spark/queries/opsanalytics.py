@@ -1415,3 +1415,155 @@ def pagerank_integer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("id").alias("node"), F.col("rank").alias("rank_fp"))
     )
+
+
+# --------------------------------------------------------------------------
+# FIFO inventory matching (cumulative-interval allocation)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fifo_inventory_matching",
+    tier="EXT ops-analytics (FIFO supply/demand allocation via cumulative-interval overlap)",
+    oracle="""
+        WITH supply AS (
+            SELECT l_partkey,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+                   SUM(CAST(FLOOR(l_quantity) AS BIGINT)) OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ) AS hi
+            FROM lineitem WHERE l_returnflag = 'R'
+        ),
+        demand AS (
+            SELECT l_partkey,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+                   SUM(CAST(FLOOR(l_quantity) AS BIGINT)) OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ) AS hi
+            FROM lineitem WHERE l_returnflag = 'A'
+        ),
+        s AS (SELECT l_partkey, qty, hi, hi - qty AS lo FROM supply),
+        d AS (SELECT l_partkey, qty, hi, hi - qty AS lo FROM demand),
+        matches AS (
+            SELECT s.l_partkey,
+                   LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo) AS alloc
+            FROM s JOIN d ON s.l_partkey = d.l_partkey
+                         AND s.lo < d.hi AND d.lo < s.hi
+        ),
+        st AS (SELECT l_partkey, MAX(hi) AS supply_total FROM s GROUP BY l_partkey),
+        dt AS (SELECT l_partkey, MAX(hi) AS demand_total FROM d GROUP BY l_partkey),
+        ma AS (SELECT l_partkey, COUNT(*) AS n_matches, SUM(alloc) AS allocated
+               FROM matches GROUP BY l_partkey)
+        SELECT COALESCE(st.l_partkey, dt.l_partkey) AS partkey,
+               CAST(COALESCE(st.supply_total, 0) AS BIGINT) AS supply_total,
+               CAST(COALESCE(dt.demand_total, 0) AS BIGINT) AS demand_total,
+               CAST(COALESCE(ma.n_matches, 0) AS BIGINT) AS n_matches,
+               CAST(COALESCE(ma.allocated, 0) AS BIGINT) AS qty_allocated,
+               CAST(COALESCE(st.supply_total, 0) - COALESCE(ma.allocated, 0) AS BIGINT)
+                   AS unmatched_supply,
+               CAST(COALESCE(dt.demand_total, 0) - COALESCE(ma.allocated, 0) AS BIGINT)
+                   AS unmatched_demand
+        FROM st FULL OUTER JOIN dt ON st.l_partkey = dt.l_partkey
+        LEFT JOIN ma ON COALESCE(st.l_partkey, dt.l_partkey) = ma.l_partkey
+        ORDER BY qty_allocated DESC, partkey ASC
+        LIMIT 20
+    """,
+)
+def fifo_inventory_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO matching of a supply stream against a demand stream per
+    part (receipts = returnflag 'R' rows, issues = 'A' rows, both in
+    shipdate order) WITHOUT iteration: each row becomes a half-open
+    interval [cumsum − qty, cumsum) on its side's cumulative axis, and
+    FIFO allocation is EXACTLY interval intersection — supply row s
+    fills demand row d by min(hi_s, hi_d) − max(lo_s, lo_d) whenever
+    the intervals overlap. The stateful queue simulation every
+    imperative implementation runs (and the method test replays) falls
+    out of two window cumsums and one bounded join.
+
+    Emits the top-20 parts by allocated quantity with full conservation
+    accounting (allocated == min(supply_total, demand_total) by
+    construction; unmatched sides are the leftovers).
+
+    Cross-engine: all-BIGINT (quantities are integral doubles —
+    FLOOR'd before the cast per the CAST-rounds trap); full tie-broken
+    window order (shipdate, orderkey, linenumber) — the lineitem PK.
+
+    Scale (100 TB): the cumsum windows partition by part (millions of
+    independent partitions, no global order); the match join is
+    equi-on-part plus interval overlap, and FIFO structure bounds the
+    fan-out at n_supply + n_demand − 1 matches per part (each match
+    consumes at least one side's interval) — never quadratic. The
+    rollups and the <=|parts|-row outer join are partial-aggregated.
+    This is the bank-ledger / cost-basis / warehouse-picking shape."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+
+    def side(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                "l_partkey",
+                F.floor("l_quantity").cast("long").alias("qty"),
+                "l_shipdate",
+                "l_orderkey",
+                "l_linenumber",
+            )
+            .select(
+                "l_partkey",
+                "qty",
+                F.sum("qty").over(w).alias("hi"),
+            )
+            .select("l_partkey", "qty", "hi", (F.col("hi") - F.col("qty")).alias("lo"))
+            .localCheckpoint(eager=False)  # consumed by the match join AND the totals rollup
+        )
+
+    s, d = side("R"), side("A")
+    matches = (
+        s.alias("s")
+        .join(
+            d.alias("d"),
+            (F.col("s.l_partkey") == F.col("d.l_partkey"))
+            & (F.col("s.lo") < F.col("d.hi"))
+            & (F.col("d.lo") < F.col("s.hi")),
+        )
+        .select(
+            F.col("s.l_partkey").alias("l_partkey"),
+            (
+                F.least(F.col("s.hi"), F.col("d.hi")) - F.greatest(F.col("s.lo"), F.col("d.lo"))
+            ).alias("alloc"),
+        )
+    )
+    st = s.groupBy("l_partkey").agg(F.max("hi").alias("supply_total"))
+    dt = d.groupBy("l_partkey").agg(F.max("hi").alias("demand_total"))
+    ma = matches.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_matches"), F.sum("alloc").alias("allocated")
+    )
+    joined = (
+        st.alias("st")
+        .join(dt.alias("dt"), F.col("st.l_partkey") == F.col("dt.l_partkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("st.l_partkey"), F.col("dt.l_partkey")).alias("partkey"),
+            F.coalesce(F.col("supply_total"), F.lit(0)).alias("supply_total"),
+            F.coalesce(F.col("demand_total"), F.lit(0)).alias("demand_total"),
+        )
+        .join(ma, F.col("partkey") == ma.l_partkey, "left")
+    )
+    return (
+        joined.select(
+            "partkey",
+            F.col("supply_total").cast("long").alias("supply_total"),
+            F.col("demand_total").cast("long").alias("demand_total"),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce(F.col("allocated"), F.lit(0)).cast("long").alias("qty_allocated"),
+            (F.col("supply_total") - F.coalesce(F.col("allocated"), F.lit(0)))
+            .cast("long")
+            .alias("unmatched_supply"),
+            (F.col("demand_total") - F.coalesce(F.col("allocated"), F.lit(0)))
+            .cast("long")
+            .alias("unmatched_demand"),
+        )
+        .orderBy(F.col("qty_allocated").desc(), F.col("partkey").asc())
+        .limit(20)
+    )

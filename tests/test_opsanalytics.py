@@ -456,3 +456,50 @@ def test_pagerank_integer_twin_mass_and_float_agreement(spark, sf_dir):
     assert overlap >= 15, (overlap, float_top, [r.node for r in top])
     # every emitted fixed-point rank is positive and below total mass
     assert all(0 < r.rank_fp < _PR_SCALE for r in top)
+
+
+def test_fifo_matching_replays_queue_simulation(spark, sf_dir):
+    """The interval-overlap formulation == a literal python FIFO queue
+    simulation per part (the definitional algorithm), for every part in
+    the fixture — totals, match counts, allocations, leftovers — plus
+    the structural fan-out bound n_matches <= n_s + n_d - 1."""
+    from energi_data_etl_spark.queries.opsanalytics import fifo_inventory_matching
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_returnflag", "l_quantity", "l_shipdate", "l_orderkey", "l_linenumber"
+    ).collect()
+    sides: dict[str, dict[int, list[int]]] = {"R": defaultdict(list), "A": defaultdict(list)}
+    for r in sorted(li, key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber)):
+        if r.l_returnflag in sides:
+            sides[r.l_returnflag][r.l_partkey].append(int(r.l_quantity))
+    expect: dict[int, tuple] = {}
+    for part in set(sides["R"]) | set(sides["A"]):
+        sup = list(sides["R"].get(part, []))
+        dem = list(sides["A"].get(part, []))
+        n_s, n_d = len(sup), len(dem)
+        i = j = 0
+        s_left = sup[0] if sup else 0
+        d_left = dem[0] if dem else 0
+        n_matches = allocated = 0
+        while i < len(sup) and j < len(dem):
+            take = min(s_left, d_left)
+            n_matches += 1
+            allocated += take
+            s_left -= take
+            d_left -= take
+            if s_left == 0:
+                i += 1
+                s_left = sup[i] if i < len(sup) else 0
+            if d_left == 0:
+                j += 1
+                d_left = dem[j] if j < len(dem) else 0
+        st, dt = sum(sup), sum(dem)
+        assert n_matches <= max(0, n_s + n_d - 1)
+        expect[part] = (st, dt, n_matches, allocated, st - allocated, dt - allocated)
+    rows = fifo_inventory_matching(spark, sf_dir).collect()
+    assert len(rows) == min(20, len(expect))
+    want_order = sorted(expect.items(), key=lambda kv: (-kv[1][3], kv[0]))[: len(rows)]
+    assert [(r.partkey, (r.supply_total, r.demand_total, r.n_matches, r.qty_allocated,
+                         r.unmatched_supply, r.unmatched_demand)) for r in rows] == want_order
+    for r in rows:
+        assert r.qty_allocated == min(r.supply_total, r.demand_total)
