@@ -43,16 +43,17 @@ _XY_SQL = (
 )
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _points(spark: SparkSession, sf_dir: str, space: int = SPACE) -> DataFrame:
     """Deterministic lattice points, one per customer (the md5 kernel
     stands in for a real lat/lon pair quantized to a fixed grid — the
     quantization is exactly what a production geo pipeline does before
-    cell-blocking anyway)."""
+    cell-blocking anyway). ``space`` is parameterized so the scale
+    probe can hold point DENSITY constant while scaling N."""
 
     def axis(tag: str):
         return F.expr(
             "cast(conv(substring(md5(concat(cast(c_custkey as string),"
-            f"'{tag}')),1,8),16,10) as bigint) % {SPACE}"
+            f"'{tag}')),1,8),16,10) as bigint) % {space}"
         )
 
     return (
@@ -68,7 +69,7 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _candidate_pairs(pts: DataFrame) -> DataFrame:
+def _candidate_pairs(pts: DataFrame, radius: int = RADIUS) -> DataFrame:
     """Directed neighbor pairs within RADIUS via 9-cell grid blocking.
 
     Probe side keeps its own cell; build side is exploded to its 9
@@ -76,12 +77,13 @@ def _candidate_pairs(pts: DataFrame) -> DataFrame:
     at 100 TB this is one hash-partitioned shuffle on cell id, and the
     per-cell fan-out is bounded by physical density, never N^2. The
     exact integer distance predicate then verifies candidates."""
+    r2 = radius * radius
     a = pts.select(
         F.col("id").alias("a_id"),
         F.col("x").alias("ax"),
         F.col("y").alias("ay"),
-        F.expr(f"x div {RADIUS}").alias("acx"),
-        F.expr(f"y div {RADIUS}").alias("acy"),
+        F.expr(f"x div {radius}").alias("acx"),
+        F.expr(f"y div {radius}").alias("acy"),
     )
     offsets = F.array(
         *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -97,8 +99,8 @@ def _candidate_pairs(pts: DataFrame) -> DataFrame:
             "b_id",
             "bx",
             "by",
-            (F.expr(f"bx div {RADIUS}") + F.col("o.dx")).alias("bcx"),
-            (F.expr(f"by div {RADIUS}") + F.col("o.dy")).alias("bcy"),
+            (F.expr(f"bx div {radius}") + F.col("o.dx")).alias("bcx"),
+            (F.expr(f"by div {radius}") + F.col("o.dy")).alias("bcy"),
         )
     )
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
@@ -108,7 +110,7 @@ def _candidate_pairs(pts: DataFrame) -> DataFrame:
         a.join(b, (F.col("acx") == F.col("bcx")) & (F.col("acy") == F.col("bcy")))
         .where(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", d2.alias("d2"))
-        .where(F.col("d2") <= F.lit(R2))
+        .where(F.col("d2") <= F.lit(r2))
     )
 
 
