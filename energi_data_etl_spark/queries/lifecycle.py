@@ -493,3 +493,79 @@ def api_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.to_date("d").alias("d"), "event_type", "n_events", "sum_value"
     )
+
+
+@query(
+    "api_sink_stream_roundtrip",
+    tier="S5+T7 (Python DataSource STREAM writer: epoch-manifest exactly-once JSONL uplink)",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def api_sink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the STREAMING write half of the custom connector
+    (sources/api_datasource.py::EnergiUplinkStreamWriter), completing
+    the connector matrix — batch read (api_source_daily_rollup),
+    stream read (api_source_stream_rollup), batch write
+    (api_sink_roundtrip), and now stream write. The events table is
+    replayed as a MULTI-EPOCH stream (4-file source, 1 file per
+    trigger) through ``writeStream.format("energi_prices")``: each
+    micro-batch's tasks emit JSONL documents and the driver commit
+    REPLACES that epoch's manifest entry atomically (replacement is
+    what makes a micro-batch retry idempotent — certified under a
+    forced double-commit in tests/test_api_and_formats.py). The rows
+    are then read back MANIFEST-FIRST across all epochs and rolled up;
+    the oracle recomputes the rollup straight from the events table, so
+    a value match proves no epoch was lost, duplicated, or corrupted.
+
+    100 TB: per-epoch parallelism is the micro-batch's partitioning
+    (one document/POST per task, no driver fan-in); the manifest is
+    |epochs| entries each |tasks| long, and an idempotent receiver gets
+    its dedup key for free from the task-unique document names."""
+    import json as _json
+    import tempfile
+
+    from ..sources.api_datasource import EnergiPricesDataSource
+    from ..sources.tables import load_table
+    from ..streaming.ops import _ephemeral_checkpoint_dir, drain_conf
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    base = tempfile.mkdtemp(prefix="uplink_stream_")
+    src = f"{base}/src"
+    (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "value")
+        .repartition(4)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = f"{base}/uplink"
+    with drain_conf(spark):
+        q = (
+            stream.writeStream.format("energi_prices")
+            .option("uplink_dir", sink)
+            .option("checkpointLocation", _ephemeral_checkpoint_dir())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    with open(f"{sink}/stream_manifest.json", encoding="utf-8") as fh:
+        epochs = _json.load(fh)["epochs"]
+    files = sorted(f for e in epochs.values() for f in e["files"])
+    back = spark.read.schema("event_type string, value double").json(files)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

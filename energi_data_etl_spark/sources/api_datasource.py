@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -236,6 +237,9 @@ class EnergiPricesDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "EnergiUplinkWriter":  # noqa: ANN001
         return EnergiUplinkWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "EnergiUplinkStreamWriter":  # noqa: ANN001
+        return EnergiUplinkStreamWriter(self.options)
+
 
 @dataclass
 class UplinkCommit(WriterCommitMessage):
@@ -315,6 +319,81 @@ class EnergiUplinkWriter(DataSourceWriter):
         os.rename(tmp, manifest)
 
     def abort(self, messages) -> None:  # noqa: ANN001
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(m.path)
+
+
+class EnergiUplinkStreamWriter(DataSourceStreamWriter):
+    """The STREAMING write half of the connector (Spark 4 Python
+    DataSource stream writer) — completes the connector matrix
+    (batch read / stream read / batch write / stream write).
+
+    Exactly-once story: the epoch manifest. Each micro-batch's tasks
+    emit task-unique JSONL documents (same batch-POST serialization as
+    :class:`EnergiUplinkWriter`); ``commit(messages, batchId)`` then
+    REPLACES the manifest entry for that epoch atomically. Replacement
+    (not append) is what makes a micro-batch RETRY idempotent: the
+    replayed batch's fresh documents overwrite the stale epoch entry,
+    and whatever the failed attempt wrote stays orphaned — present on
+    disk, referenced by nothing. Manifest-honoring readers therefore
+    see each epoch exactly once no matter how many times the engine
+    re-runs it (certified under a forced double-commit of the same
+    batchId in tests/test_api_and_formats.py).
+
+    At cluster scale the documents are the POSTs (swap the file write
+    for http_json.with_retry keyed by (batchId, task) — the dedup key
+    an idempotent receiver needs is already in the name) and the
+    manifest lives in shared storage; the protocol is unchanged.
+    """
+
+    MANIFEST = "stream_manifest.json"
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.uplink_dir = options.get("uplink_dir")
+        if not self.uplink_dir:
+            raise ValueError("energi_prices stream writer requires .option('uplink_dir', ...)")
+
+    def write(self, iterator):  # noqa: ANN001
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.uplink_dir, exist_ok=True)
+        path = os.path.join(self.uplink_dir, f"epochdoc-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        tmp = path + ".inprogress"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str, sort_keys=True))
+                fh.write("\n")
+                n += 1
+        os.rename(tmp, path)
+        return UplinkCommit(path=path, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: ANN001, N803
+        import json as _json
+        import os
+
+        files = sorted(m.path for m in messages if m is not None)
+        total = sum(m.n_rows for m in messages if m is not None)
+        manifest = os.path.join(self.uplink_dir, self.MANIFEST)
+        epochs: dict = {}
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                epochs = _json.load(fh)["epochs"]
+        # idempotent per epoch: a retried micro-batch REPLACES its entry
+        epochs[str(batchId)] = {"files": files, "n_rows": total}
+        tmp = manifest + ".inprogress"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump({"epochs": epochs}, fh)
+        os.rename(tmp, manifest)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: ANN001, N803
         import contextlib
         import os
 

@@ -332,3 +332,63 @@ def test_uplink_writer_commit_abort_protocol(spark, sf_dir):
     assert os.path.exists(msg.path)
     w.abort([msg])
     assert not os.path.exists(msg.path)
+
+
+def test_uplink_stream_writer_epoch_protocol(spark, sf_dir):
+    """The STREAM writer's epoch manifest: a multi-epoch drain produces
+    one entry per micro-batch; re-committing the SAME batchId REPLACES
+    its entry (micro-batch retry idempotence); abort removes partials."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from energi_data_etl_spark.sources.api_datasource import (
+        EnergiPricesDataSource,
+        EnergiUplinkStreamWriter,
+    )
+    from energi_data_etl_spark.sources.tables import load_table
+    from energi_data_etl_spark.streaming.ops import _ephemeral_checkpoint_dir, drain_conf
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    base = tempfile.mkdtemp(prefix="uplink_st_")
+    src = f"{base}/src"
+    load_table(spark, "events", sf_dir).select("event_type", "value").repartition(4).write.parquet(src)
+    with drain_conf(spark):
+        q = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("energi_prices")
+            .option("uplink_dir", f"{base}/uplink")
+            .option("checkpointLocation", _ephemeral_checkpoint_dir())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    manifest = json.load(open(f"{base}/uplink/stream_manifest.json"))
+    epochs = manifest["epochs"]
+    assert len(epochs) >= 2, "1-file-per-trigger over 4 files must span multiple epochs"
+    n_src = load_table(spark, "events", sf_dir).count()
+    assert sum(e["n_rows"] for e in epochs.values()) == n_src
+    assert all(os.path.exists(f) for e in epochs.values() for f in e["files"])
+
+    # idempotent per-epoch commit: replaying batchId 0 REPLACES it
+    w = EnergiUplinkStreamWriter({"uplink_dir": f"{base}/uplink"})
+    replay = w.write(iter([Row(event_type="x", value=1.0)]))
+    w.commit([replay], batchId=0)
+    m2 = json.load(open(f"{base}/uplink/stream_manifest.json"))
+    assert m2["epochs"]["0"] == {"files": [replay.path], "n_rows": 1}
+    assert len(m2["epochs"]) == len(epochs)  # replaced, never appended
+    # the superseded epoch-0 documents are orphans: on disk, unreferenced
+    referenced = {f for e in m2["epochs"].values() for f in e["files"]}
+    assert all(f not in referenced for f in epochs["0"]["files"])
+
+    # abort removes the failed attempt's partials
+    msg = w.write(iter([Row(event_type="y", value=2.0)]))
+    assert os.path.exists(msg.path)
+    w.abort([msg], batchId=99)
+    assert not os.path.exists(msg.path)
+    assert "99" not in json.load(open(f"{base}/uplink/stream_manifest.json"))["epochs"]
