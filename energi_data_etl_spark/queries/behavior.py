@@ -684,3 +684,65 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     ).orderBy("touch")
+
+
+@query(
+    "trending_users_decayed",
+    tier="EXT behavior (exponential time-decay ranking in EXACT integer arithmetic)",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, (epoch_us(ts) // 86400000000) AS d FROM events
+        ),
+        mx AS (SELECT MAX(d) AS md FROM ev)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(1 AS BIGINT)
+                        << CAST(GREATEST(0, 30 - (mx.md - ev.d)) AS INT)) AS BIGINT)
+                   AS decay_score
+        FROM ev CROSS JOIN mx
+        GROUP BY user_id
+        ORDER BY decay_score DESC, user_id ASC
+        LIMIT 20
+    """,
+)
+def trending_users_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-keys ranking under exponential time decay (half-life =
+    1 day), the 'what is hot NOW' ordering every feed/abuse/ops
+    dashboard wants — done in EXACT integer arithmetic: an event aged
+    `a` days scores 2^(30-a), i.e. the decay weights are bit shifts,
+    so the per-user score is an exact BIGINT sum (corpus spans 30
+    days; the float formulation sum(0.5^a) is ORDER-DEPENDENT at the
+    ulp and uncertifiable, while this one is the same number on any
+    partitioning, any engine). A yesterday-event is worth 2x a
+    two-days-ago event; 2^30 >> 30-day tail means one recent burst
+    outranks any volume of old traffic — which is the semantics.
+
+    Scale: one conditional-shift projection + one partial-aggregated
+    groupBy (the decay fold is map-side combined like any SUM);
+    the global max-day is a broadcast scalar; top-20 is
+    TakeOrderedAndProject. Headroom: score <= n_user_events * 2^30 —
+    int64-safe to ~8e12 events per key; beyond that, rescale the
+    exponent base period (weekly ages) or split the window."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+        )
+        .localCheckpoint(eager=False)  # feeds the max-day scalar AND the rollup
+    )
+    mx = ev.agg(F.max("d").alias("md"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.expr("shiftleft(cast(1 as bigint), cast(greatest(0, 30 - (md - d)) as int))")
+            )
+            .cast("long")
+            .alias("decay_score"),
+        )
+        .orderBy(F.col("decay_score").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from collections import Counter
 
 import numpy as np
+import pyspark.sql.functions as F
 
 from energi_data_etl_spark.queries.analytics import association_rules_lift
 from energi_data_etl_spark.queries.quality import chisq_independence_audit
@@ -99,3 +100,81 @@ def test_chisq_detects_planted_dependence(spark):
     assert row.n_types == 7 and row.n_dows == 7
     assert abs(row.chisq_stat - row.n_events * 6) < 1e-3
     assert abs(row.cramers_v - 1.0) < 1e-9
+
+
+def test_entity_resolution_matches_union_find(spark, sf_dir):
+    """Iterative CC output == python union-find on the same fuzzy
+    candidate edges; cluster stats conserve members and rows."""
+    from energi_data_etl_spark.queries.datapipe import entity_resolution_clusters
+
+    names = {
+        r.p_name: r.n
+        for r in load_table(spark, "part", sf_dir).groupBy("p_name").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    import itertools
+
+    by_blk: dict[str, list[str]] = {}
+    for n in names:
+        by_blk.setdefault(n[0], []).append(n)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = 0
+    for blk in by_blk.values():
+        for a, b in itertools.combinations(sorted(blk), 2):
+            if lev(a, b) <= 3:
+                edges += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    comp: dict[str, str] = {}
+    for n in parent:
+        comp.setdefault(find(n), n)
+    want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+    rows = entity_resolution_clusters(spark, sf_dir).collect()
+    assert {r.name: r.component for r in rows} == want
+    assert edges > 0
+    for r in rows:
+        members = [n for n in want if want[n] == r.component]
+        assert r.cluster_size == len(members)
+        assert r.cluster_rows == sum(names[m] for m in members)
+
+
+def test_trending_decay_is_exact_integer(spark, sf_dir):
+    """Decay scores == a python bit-shift replay; ordering fully
+    deterministic; a single yesterday event outweighs any count of
+    30-day-old events (the semantics the shift encodes)."""
+    from energi_data_etl_spark.queries.behavior import trending_users_decayed
+
+    ev = load_table(spark, "events", sf_dir).selectExpr(
+        "user_id", "unix_micros(cast(ts as timestamp)) div 86400000000 AS d"
+    ).collect()
+    md = max(r.d for r in ev)
+    scores: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for r in ev:
+        scores[r.user_id] = scores.get(r.user_id, 0) + (1 << max(0, 30 - (md - r.d)))
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    rows = trending_users_decayed(spark, sf_dir).collect()
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r.user_id, r.decay_score) for r in rows] == want
+    assert all(r.n_events == counts[r.user_id] for r in rows)
+    # dominance: weight(age 1) == 2^29 > 29 days * any plausible volume at weight 1
+    assert (1 << 29) > 10_000_000 * 1
