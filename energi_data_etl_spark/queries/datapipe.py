@@ -1821,3 +1821,92 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name", "component", "cluster_size", "cluster_rows")
         .orderBy("component", "name")
     )
+
+
+#: token_budget_apportionment: global token budget to split across
+#: sources (largest-remainder / Hamilton method).
+APPORTION_BUDGET = 10_000_000
+
+
+@query(
+    "token_budget_apportionment",
+    tier="L-pipeline (largest-remainder integer apportionment of a global token budget)",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                            x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per),
+        quotas AS (
+            SELECT p.source, p.n_tokens,
+                   ({APPORTION_BUDGET} * p.n_tokens) // tot.t AS quota_floor,
+                   ({APPORTION_BUDGET} * p.n_tokens) % tot.t AS remainder
+            FROM per p CROSS JOIN tot
+        ),
+        leftover AS (
+            SELECT {APPORTION_BUDGET} - CAST(SUM(quota_floor) AS BIGINT) AS l FROM quotas
+        ),
+        ranked AS (
+            SELECT q.*, l.l,
+                   ROW_NUMBER() OVER (ORDER BY q.remainder DESC, q.source ASC) AS rk
+            FROM quotas q CROSS JOIN leftover l
+        )
+        SELECT source, n_tokens,
+               CAST(quota_floor AS BIGINT) AS quota_floor,
+               CAST(remainder AS BIGINT) AS remainder,
+               rk <= l AS got_extra,
+               CAST(quota_floor + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT) AS final_alloc
+        FROM ranked ORDER BY source
+    """,
+)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed global
+    token budget across corpus sources — the integer-exact step after
+    mixture planning (domain_mixture_plan emits float rates; a real
+    sharding job must hand each source a WHOLE number of tokens that
+    sums EXACTLY to the budget). Floor quotas via integer division
+    (Spark ``div`` == DuckDB ``//``), then the budget's unassigned
+    residue goes +1-at-a-time to the largest remainders (ties broken
+    by source name) — every emitted number is a BIGINT derived from
+    integer arithmetic only; the final_alloc column sums to the budget
+    by construction, so a division or ranking bug shifts a whole token
+    between sources and fails the hash gate.
+
+    Scale (100 TB): token counting is the only corpus-sized work — one
+    partial-aggregated groupBy(source); everything after runs on
+    |sources| rows (the window sort is over that tiny frame, never the
+    corpus), with the total and leftover as broadcast one-row frames."""
+    per = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(X.tokens("text"))).cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=False)  # tiny; feeds total + quotas
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("t"))
+    quotas = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({APPORTION_BUDGET} * n_tokens) div t").alias("quota_floor"),
+        (F.lit(APPORTION_BUDGET) * F.col("n_tokens") % F.col("t")).alias("remainder"),
+    ).localCheckpoint(eager=False)  # feeds leftover + ranked
+    leftover = quotas.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("quota_floor")).cast("long").alias("l")
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("remainder").desc(), F.col("source").asc()))
+    return (
+        quotas.crossJoin(F.broadcast(leftover))
+        .select("*", rk.alias("rk"))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("quota_floor").cast("long").alias("quota_floor"),
+            F.col("remainder").cast("long").alias("remainder"),
+            (F.col("rk") <= F.col("l")).alias("got_extra"),
+            (F.col("quota_floor") + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("final_alloc"),
+        )
+        .orderBy("source")
+    )

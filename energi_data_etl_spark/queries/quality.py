@@ -1113,3 +1113,121 @@ def chisq_independence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+def _profile_sql(col: str, kind: str, num_expr: str | None = None) -> str:
+    """One UNION branch of the DuckDB ANALYZE twin: per-column n/nulls/
+    exact-NDV plus type-appropriate min/max (numeric columns surface as
+    DOUBLE, strings as VARCHAR with an exact integer-division mean
+    length x100). Every COUNT/SUM is CAST to BIGINT (HUGEINT rule)."""
+    ne = num_expr or col
+    if kind == "num":
+        minmax = (
+            f"CAST(MIN({ne}) AS DOUBLE) AS min_num, CAST(MAX({ne}) AS DOUBLE) AS max_num,\n"
+            "               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,\n"
+            "               CAST(NULL AS BIGINT) AS avg_len_c"
+        )
+    else:
+        minmax = (
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,\n"
+            f"               MIN({col}) AS min_str, MAX({col}) AS max_str,\n"
+            f"               CAST(CAST(SUM(LENGTH({col})) AS BIGINT) * 100 // COUNT({col}) AS BIGINT) AS avg_len_c"
+        )
+    return f"""
+        SELECT '{col}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+               {minmax}
+        FROM orders"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num", None),
+    ("o_custkey", "num", None),
+    ("o_totalprice", "num", None),
+    ("o_orderdate", "num", "DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"),
+    ("o_orderstatus", "str", None),
+    ("o_orderpriority", "str", None),
+]
+
+
+@query(
+    "column_profile_report",
+    tier="EXT quality (ANALYZE-style per-column statistics: exact NDV, nulls, min/max, mean length)",
+    oracle="\n        UNION ALL\n".join(_profile_sql(c, k, e) for c, k, e in _PROFILE_COLS)
+    + "\n        ORDER BY col_name",
+)
+def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics-collection pass behind every cost-based
+    optimizer (ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS): per
+    column of ``orders`` emit row count, null count, EXACT NDV, and
+    type-appropriate extremes — numeric columns (timestamps via
+    epoch-day) as raw DOUBLE min/max (bit-identical parquet values on
+    both engines, so no rounding is needed or applied), string columns
+    as binary min/max plus an exact integer-division mean length x100.
+
+    Scale (100 TB): one branch per column, each a column-PRUNED
+    parquet scan (ReadSchema carries exactly one column) with fully
+    partial-aggregated min/max/count; the exact-NDV groupBy shuffles
+    only distinct values. This is deliberately a union of independent
+    single-column passes rather than one multi-distinct aggregate —
+    Spark plans N simultaneous COUNT(DISTINCT)s as an N-way Expand
+    (every row replicated N times BEFORE the shuffle), which loses to
+    N pruned scans as soon as the table outgrows the page cache; at
+    petabyte scale you'd swap the exact NDV for HLL partials
+    (approx_count_distinct, certified separately) column-by-column."""
+    orders = load_table(spark, "orders", sf_dir)
+    frames = []
+    for col, kind, _ in _PROFILE_COLS:
+        if col == "o_orderdate":
+            num = F.datediff(F.col(col).cast("date"), F.to_date(F.lit("1970-01-01")))
+        else:
+            num = F.col(col)
+        base = orders.select(col)
+        if kind == "num":
+            frames.append(
+                base.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
+                    F.countDistinct(col).cast("long").alias("ndv"),
+                    F.min(num).cast("double").alias("min_num"),
+                    F.max(num).cast("double").alias("max_num"),
+                ).select(
+                    F.lit(col).alias("col_name"),
+                    "n_rows",
+                    "n_null",
+                    "ndv",
+                    "min_num",
+                    "max_num",
+                    F.lit(None).cast("string").alias("min_str"),
+                    F.lit(None).cast("string").alias("max_str"),
+                    F.lit(None).cast("long").alias("avg_len_c"),
+                )
+            )
+        else:
+            frames.append(
+                base.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
+                    F.countDistinct(col).cast("long").alias("ndv"),
+                    F.min(col).alias("min_str"),
+                    F.max(col).alias("max_str"),
+                    F.sum(F.length(col)).cast("long").alias("sl"),
+                    F.count(col).cast("long").alias("nn"),
+                ).select(
+                    F.lit(col).alias("col_name"),
+                    "n_rows",
+                    "n_null",
+                    "ndv",
+                    F.lit(None).cast("double").alias("min_num"),
+                    F.lit(None).cast("double").alias("max_num"),
+                    "min_str",
+                    "max_str",
+                    F.expr("(sl * 100) div nn").cast("long").alias("avg_len_c"),
+                )
+            )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("col_name")

@@ -279,3 +279,114 @@ def countmin_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "cms_join_cardinality",
+    tier="EXT sketch (count-min inner-product join-size estimate vs exact F2; overestimate guarantee)",
+    oracle=f"""
+        WITH per_key AS (
+            SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+        ),
+        hashed AS (
+            SELECT k, cnt, r,
+                   CASE r
+                     WHEN 0 THEN {_md5_pos_sql('k', 'j0', CMS_WIDTH)}
+                     WHEN 1 THEN {_md5_pos_sql('k', 'j1', CMS_WIDTH)}
+                     ELSE {_md5_pos_sql('k', 'j2', CMS_WIDTH)}
+                   END AS bkt
+            FROM per_key CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS r)
+        ),
+        cells AS (
+            SELECT r, bkt, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM hashed GROUP BY r, bkt
+        ),
+        per_row AS (
+            SELECT r, CAST(SUM(total * total) AS BIGINT) AS est
+            FROM cells GROUP BY r
+        ),
+        exact AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS exact_join_rows
+            FROM per_key
+        )
+        SELECT e.n_rows, e.n_keys, e.exact_join_rows,
+               CAST(MAX(CASE WHEN p.r = 0 THEN p.est END) AS BIGINT) AS est_d0,
+               CAST(MAX(CASE WHEN p.r = 1 THEN p.est END) AS BIGINT) AS est_d1,
+               CAST(MAX(CASE WHEN p.r = 2 THEN p.est END) AS BIGINT) AS est_d2,
+               CAST(MIN(p.est) AS BIGINT) AS cms_est,
+               CAST(MIN(p.est) - e.exact_join_rows AS BIGINT) AS overcount,
+               MIN(p.est) >= e.exact_join_rows AS is_overestimate,
+               CAST(FLOOR((MIN(p.est) - e.exact_join_rows) * 1000000
+                          / e.exact_join_rows) AS BIGINT) AS overcount_ppm
+        FROM exact e CROSS JOIN per_row p
+        GROUP BY e.n_rows, e.n_keys, e.exact_join_rows
+    """,
+)
+def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketches — the optimizer
+    statistic behind join reordering: the self-equi-join cardinality of
+    ``lineitem`` on ``l_partkey`` is the second frequency moment
+    F2 = sum(c(k)^2), and a CMS estimates it WITHOUT the key table as
+    the inner product of the sketch with itself, min'd over the d
+    rows: est_r = sum_bkt C_r[bkt]^2. Colliding keys only ADD
+    non-negative cross terms, so every est_r >= F2 — the emitted
+    `is_overestimate` is the construction guarantee (a bucketing or
+    merge bug flips it), and the exact-vs-estimate columns measure the
+    error a planner would actually eat (overcount_ppm).
+
+    Scale (100 TB): per-key counts are ONE partial-aggregated pass over
+    the column-pruned scan; everything downstream lives on <=
+    {CMS_DEPTH}x{CMS_WIDTH} cells. In a real two-table deployment each
+    side sketches independently (the groupBy partials ARE the per-
+    executor sketch merge) and the estimate is a {CMS_DEPTH * CMS_WIDTH}-
+    cell dot product on the driver — this query audits that machinery
+    against the exact answer while both still fit."""
+    per_key = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # consumed by the sketch AND the exact side
+    )
+    cells = (
+        per_key.select(
+            "cnt",
+            F.posexplode(
+                F.array(*[_md5_pos_spark("k", f"j{r}", CMS_WIDTH) for r in range(CMS_DEPTH)])
+            ).alias("r", "bkt"),
+        )
+        .groupBy("r", "bkt")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+    )
+    per_row = cells.groupBy("r").agg(F.sum(F.col("total") * F.col("total")).cast("long").alias("est"))
+    ests = per_row.agg(
+        F.max(F.when(F.col("r") == 0, F.col("est"))).cast("long").alias("est_d0"),
+        F.max(F.when(F.col("r") == 1, F.col("est"))).cast("long").alias("est_d1"),
+        F.max(F.when(F.col("r") == 2, F.col("est"))).cast("long").alias("est_d2"),
+        F.min("est").cast("long").alias("cms_est"),
+    )
+    exact = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_join_rows"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(ests))
+        .select(
+            "n_rows",
+            "n_keys",
+            "exact_join_rows",
+            "est_d0",
+            "est_d1",
+            "est_d2",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_join_rows")).cast("long").alias("overcount"),
+            (F.col("cms_est") >= F.col("exact_join_rows")).alias("is_overestimate"),
+            F.floor(
+                (F.col("cms_est") - F.col("exact_join_rows")) * 1000000 / F.col("exact_join_rows")
+            )
+            .cast("long")
+            .alias("overcount_ppm"),
+        )
+    )

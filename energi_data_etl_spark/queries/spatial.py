@@ -224,3 +224,95 @@ def spatial_grid_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("d2", "point_id")
         .limit(20)
     )
+
+
+#: Point-in-polygon fence: a deliberately NON-convex hexagon (the
+#: notch between (900,200) and (900,900) via (700,500) is what convex
+#: shortcuts get wrong) with integer vertices inside the lattice.
+FENCE = [(100, 100), (900, 200), (700, 500), (900, 900), (300, 800), (200, 400)]
+#: Quadrant side for the density rollup (1024 / 4).
+QUAD = 256
+
+
+def _crossing_terms(px: str, py: str):
+    """Per-edge ray-crossing indicators (Spark expr, SQL expr) — the
+    even-odd rule with an EXACT integer orientation test, generated
+    from the same vertex list so both engines evaluate the identical
+    arithmetic. Edge (x1,y1)->(x2,y2) crosses the +x ray from (px,py)
+    iff py is in the half-open y-span and the point lies strictly on
+    the interior side: sign((x2-x1)*(py-y1) - (y2-y1)*(px-x1)) ==
+    sign(y2-y1). Coordinates < 2^10, so products < 2^21 — exact BIGINT
+    on both engines, no floats anywhere."""
+    spark_terms, sql_terms = [], []
+    n = len(FENCE)
+    for i in range(n):
+        x1, y1 = FENCE[i]
+        x2, y2 = FENCE[(i + 1) % n]
+        sgn = 1 if y2 > y1 else -1
+        yspan = (
+            f"(({y1} <= {py} AND {y2} > {py}) OR ({y2} <= {py} AND {y1} > {py}))"
+        )
+        left = f"(({x2}-{x1})*({py}-{y1}) - ({y2}-{y1})*({px}-{x1})) * {sgn} > 0"
+        term = f"CASE WHEN {yspan} AND {left} THEN 1 ELSE 0 END"
+        sql_terms.append(term)
+        spark_terms.append(term)  # identical: pure ANSI arithmetic
+    return spark_terms, sql_terms
+
+
+_SPARK_CROSS, _SQL_CROSS = _crossing_terms("x", "y")
+
+
+@query(
+    "spatial_point_in_polygon",
+    tier="EXT spatial (point-in-polygon geofence, exact integer even-odd ray cast)",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   {_XY_SQL.format(axis='x')} AS x,
+                   {_XY_SQL.format(axis='y')} AS y
+            FROM customer
+        ),
+        flagged AS (
+            SELECT x // {QUAD} AS qx, y // {QUAD} AS qy,
+                   ({' + '.join(_SQL_CROSS)}) % 2 = 1 AS inside
+            FROM pts
+        )
+        SELECT CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy,
+               CAST(COUNT(*) AS BIGINT) AS n_pts,
+               CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+        FROM flagged GROUP BY qx, qy ORDER BY qx, qy
+    """,
+)
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence containment: classify every lattice point against a
+    non-convex literal polygon with the even-odd ray cast, then roll
+    the verdicts up into a 4x4 quadrant density grid (n_pts /
+    n_inside per quadrant). Every crossing test is the exact integer
+    orientation predicate from _crossing_terms — both engines run the
+    IDENTICAL expression tree, so the hash gate certifies the
+    geometry, not float luck; the non-convex notch means a wrong
+    even-odd accumulation (e.g. counting touching-vertex edges twice)
+    shifts whole quadrant counts.
+
+    Scale (100 TB): containment is a pure map stage — the polygon is
+    |edges| literal comparisons codegen'd into the scan projection (a
+    real fence table would broadcast edges and F.aggregate over them);
+    the rollup partial-aggregates to 16 cells. No join, no explode,
+    ONE shuffle of 16 rows. This is the geofence filter a trillion-row
+    GPS table wants: pushdown-friendly, skew-free."""
+    pts = _points(spark, sf_dir)
+    inside = (sum(F.expr(t) for t in _SPARK_CROSS) % 2 == 1).alias("inside")
+    return (
+        pts.select(
+            F.expr(f"x div {QUAD}").alias("qx"),
+            F.expr(f"y div {QUAD}").alias("qy"),
+            inside,
+        )
+        .groupBy("qx", "qy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pts"),
+            F.sum(F.when(F.col("inside"), 1).otherwise(0)).cast("long").alias("n_inside"),
+        )
+        .select(F.col("qx").cast("long").alias("qx"), F.col("qy").cast("long").alias("qy"), "n_pts", "n_inside")
+        .orderBy("qx", "qy")
+    )

@@ -844,3 +844,111 @@ def seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "d", "v", F.round("z", 4).alias("z"))
         .orderBy("event_type", "d")
     )
+
+
+#: interval_coalesce_users: each event opens a 30-minute presence
+#: window; coalescing merges overlap AND touch (half-open [s, e)).
+PRESENCE_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "interval_coalesce_users",
+    tier="EXT timeseries (interval coalescing / gaps-and-islands by running-max watermark)",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts) + {PRESENCE_US} AS e
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, s, e,
+                   CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             IS NULL
+                          OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                         ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked
+        ),
+        merged AS (
+            SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(en - st) AS BIGINT) AS coverage_us,
+               CAST(MAX(en - st) AS BIGINT) AS max_island_us
+        FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interval_coalesce_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (merge overlapping/touching spans) — the
+    gaps-and-islands classic behind uptime accounting, presence
+    sessions, and calendar free/busy merges: each event opens a
+    30-minute half-open window; per user the merged islands' count,
+    total coverage, and longest island are emitted. The island
+    boundary is the running-max WATERMARK trick: a new island starts
+    exactly when this interval's start passes the max end seen so far
+    (shifted one row back), so no self-join and no iteration — two
+    window passes in ONE partition order. All arithmetic is exact
+    integer µs (epoch_us == unix_micros after the ntz cast, the r08
+    certified idiom), ties broken by event_id on both engines.
+
+    The island-id sum window orders by (s, e): once new_island is
+    computed, island assignment is prefix-invariant under reordering
+    of equal (s, e) rows, so both engines number islands identically
+    without needing event_id in the second sort.
+
+    Scale (100 TB): partitioned by user — millions of concurrent
+    window partitions, no global sort; the two window functions share
+    one shuffle+sort (same partition/order key), and the rollups
+    partial-aggregate. The same plan shape serves ANY interval table
+    (maintenance windows, ad sessions, sensor outages)."""
+    iv = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + PRESENCE_US).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull() | (F.col("s") > F.max("e").over(w_prev)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_isl = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_isl).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(F.col("en") - F.col("st")).cast("long").alias("coverage_us"),
+            F.max(F.col("en") - F.col("st")).cast("long").alias("max_island_us"),
+        )
+        .orderBy("user_id")
+    )

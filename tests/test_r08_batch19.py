@@ -1,0 +1,153 @@
+"""Method tests for the r08 fourth-session batch: each query pinned
+against an INDEPENDENT python implementation on the real fixture data
+(not the DuckDB twin — parity already rides test_oracle_parity.py),
+plus plan evidence for the scale claims that matter."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from energi_data_etl_spark.queries.datapipe import (
+    APPORTION_BUDGET,
+    token_budget_apportionment,
+)
+from energi_data_etl_spark.queries.quality import column_profile_report
+from energi_data_etl_spark.queries.sketches import cms_join_cardinality
+from energi_data_etl_spark.queries.spatial import (
+    FENCE,
+    QUAD,
+    _points,
+    spatial_point_in_polygon,
+)
+from energi_data_etl_spark.queries.timeseries import (
+    PRESENCE_US,
+    interval_coalesce_users,
+)
+
+
+def _ray_cast(px: int, py: int) -> bool:
+    """Independent float even-odd ray cast (textbook form with the
+    explicit intersection-x comparison, NOT the integer orientation
+    test the query uses)."""
+    inside = False
+    n = len(FENCE)
+    for i in range(n):
+        x1, y1 = FENCE[i]
+        x2, y2 = FENCE[(i + 1) % n]
+        if (y1 <= py) != (y2 <= py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def test_point_in_polygon_matches_float_ray_cast(spark, sf_dir):
+    pts = _points(spark, sf_dir).collect()
+    grid_n = Counter((r.x // QUAD, r.y // QUAD) for r in pts)
+    grid_in = Counter(
+        (r.x // QUAD, r.y // QUAD) for r in pts if _ray_cast(r.x, r.y)
+    )
+    got = spatial_point_in_polygon(spark, sf_dir).collect()
+    assert sum(r.n_inside for r in got) > 0  # fence actually catches points
+    for r in got:
+        assert r.n_pts == grid_n[(r.qx, r.qy)]
+        assert r.n_inside == grid_in.get((r.qx, r.qy), 0)
+
+
+def test_point_in_polygon_is_join_free(spark, sf_dir):
+    plan = spatial_point_in_polygon(spark, sf_dir)._sc._jvm.PythonSQLUtils.explainString(
+        spatial_point_in_polygon(spark, sf_dir)._jdf.queryExecution(), "simple"
+    )
+    assert "Join" not in plan  # containment is a pure map stage
+
+
+def test_cms_join_cardinality_exact_side_and_guarantee(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey").toPandas()
+    counts = df["l_partkey"].value_counts()
+    f2 = int((counts.astype("int64") ** 2).sum())
+    row = cms_join_cardinality(spark, sf_dir).collect()[0]
+    assert row.exact_join_rows == f2
+    assert row.n_rows == len(df) and row.n_keys == counts.size
+    for est in (row.est_d0, row.est_d1, row.est_d2):
+        assert est >= f2  # CMS inner product can only overestimate
+    assert row.cms_est == min(row.est_d0, row.est_d1, row.est_d2)
+    assert row.is_overestimate and row.overcount == row.cms_est - f2
+
+
+def test_interval_coalesce_matches_python_merge(spark, sf_dir):
+    from energi_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts").toPandas()
+    # independent µs derivation: pandas datetime arithmetic, not unix_micros
+    us = (ev["ts"] - pd.Timestamp("1970-01-01")) // pd.Timedelta(microseconds=1)
+    merged_stats = {}
+    by_user: dict[int, list[int]] = {}
+    for u, s in zip(ev["user_id"], us):
+        by_user.setdefault(int(u), []).append(int(s))
+    for u, starts in by_user.items():
+        islands = []
+        for s in sorted(starts):
+            e = s + PRESENCE_US
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        merged_stats[u] = (
+            len(islands),
+            sum(e - s for s, e in islands),
+            max(e - s for s, e in islands),
+        )
+    got = interval_coalesce_users(spark, sf_dir).collect()
+    assert len(got) == len(merged_stats)
+    for r in got:
+        n, cov, mx = merged_stats[r.user_id]
+        assert (r.n_islands, r.coverage_us, r.max_island_us) == (n, cov, mx)
+
+
+def test_apportionment_sums_to_budget_and_matches_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text").toPandas()
+    toks = docs["text"].str.lower().str.split(" ").map(lambda ts: sum(1 for t in ts if t))
+    per = pd.DataFrame({"source": docs["source"], "n": toks}).groupby("source")["n"].sum()
+    total = int(per.sum())
+    quotas = {s: (APPORTION_BUDGET * int(t)) // total for s, t in per.items()}
+    rems = {s: (APPORTION_BUDGET * int(t)) % total for s, t in per.items()}
+    leftover = APPORTION_BUDGET - sum(quotas.values())
+    order = sorted(per.index, key=lambda s: (-rems[s], s))
+    final = {s: quotas[s] + (1 if order.index(s) < leftover else 0) for s in per.index}
+    got = token_budget_apportionment(spark, sf_dir).collect()
+    assert sum(r.final_alloc for r in got) == APPORTION_BUDGET
+    for r in got:
+        assert r.n_tokens == int(per[r.source])
+        assert r.quota_floor == quotas[r.source]
+        assert r.final_alloc == final[r.source]
+
+
+def test_column_profile_matches_pandas(spark, sf_dir):
+    pdf = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    got = {r.col_name: r for r in column_profile_report(spark, sf_dir).collect()}
+    assert set(got) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderstatus",
+        "o_orderpriority",
+    }
+    for c in ("o_orderkey", "o_custkey", "o_totalprice"):
+        r = got[c]
+        assert r.n_rows == len(pdf)
+        assert r.n_null == int(pdf[c].isna().sum())
+        assert r.ndv == pdf[c].nunique()
+        assert r.min_num == float(pdf[c].min()) and r.max_num == float(pdf[c].max())
+        assert r.min_str is None and r.avg_len_c is None
+    for c in ("o_orderstatus", "o_orderpriority"):
+        r = got[c]
+        assert r.ndv == pdf[c].nunique()
+        assert r.min_str == pdf[c].min() and r.max_str == pdf[c].max()
+        lens = pdf[c].dropna().str.len()
+        assert r.avg_len_c == (int(lens.sum()) * 100) // len(lens)
+    d = got["o_orderdate"]
+    days = (pdf["o_orderdate"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    assert d.min_num == float(days.min()) and d.max_num == float(days.max())
