@@ -1443,3 +1443,133 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("rrf") * 1000000.0) / 1000000.0).alias("rrf_score"),
         )
     )
+
+
+@query(
+    "semdedup_cell_prune",
+    tier="L2-ext (SemDeDup: centroid-cell-blocked semantic dedup prune over embeddings)",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x)) AS nrm
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 32
+        ), dists AS (
+            SELECT e.vec_id, e.v, e.nrm, c.cid,
+                   LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+            FROM e CROSS JOIN c
+        ), assigned AS (
+            SELECT vec_id, v, nrm, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists
+        ), members AS (
+            SELECT vec_id, v, nrm, cid FROM assigned WHERE rn = 1
+        ), dup_pairs AS (
+            SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id
+            FROM members a JOIN members b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                      i -> a.v[i] * b.v[i]))
+                  / (SQRT(a.nrm) * SQRT(b.nrm)) > 0.4
+        ), cell_pairs AS (
+            SELECT cid,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+                   CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_pruned
+            FROM dup_pairs GROUP BY cid
+        )
+        SELECT m.cid AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COALESCE(MAX(p.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_pruned,
+               CAST(COUNT(*) - COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_kept
+        FROM members m LEFT JOIN cell_pairs p ON m.cid = p.cid
+        GROUP BY m.cid ORDER BY cell
+    """,
+)
+def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public) — semantic deduplication of
+    an embedding corpus WITHOUT the all-pairs product: coarse-quantize
+    every vector to its nearest of K=32 seed centroids (the IVF assign
+    step), compare pairs only WITHIN a cell, and prune the higher
+    vec_id of any pair with cosine > 0.4; emits the per-cell audit
+    (members, duplicate pairs, pruned, kept). Missing cross-cell dups
+    is the algorithm's documented recall trade — the knob is K.
+
+    Cross-engine exactness: every distance/dot is the SEQUENTIAL
+    zip_with+aggregate fold (the kmeans_lloyd_assign idiom — both
+    engines sum the 64 terms in identical order), the cosine keeps one
+    mirrored expression tree dot/(sqrt(na)*sqrt(nb)) used ONLY as a
+    strict threshold predicate, and the output is pure BIGINT counts —
+    no float column ever crosses the driver hash.
+
+    Scale (100 TB): centroids broadcast (K*d doubles); assignment is a
+    map stage; the pair join is an equi-join on cell id with Σ n_c²/2
+    candidates (N²/(2K) balanced — K scales with N to hold cell size
+    constant, exactly how production SemDeDup sizes its k-means), and
+    the per-cell rollup partial-aggregates. The numpy-matmul kernel
+    (operators/similarity.py) is the drop-in for the fold when cells
+    grow past interpreter comfort; the fold form is what makes the
+    algorithm hash-certifiable end-to-end."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x),
+    )
+    c = e.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    d = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(c)).select("vec_id", "v", "nrm", "cid", d.alias("d"))
+    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "cid"))
+    members = (
+        dists.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+        # consumed by BOTH sides of the pair join + the per-cell rollup
+        .localCheckpoint(eager=False)
+    )
+    a = members.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = members.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dup_pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", dot / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cos") > 0.4)
+        .select("cid", "a_id", "b_id")
+    )
+    cell_pairs = dup_pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("b_id").cast("long").alias("n_pruned"),
+    )
+    return (
+        members.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .join(F.broadcast(cell_pairs), "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cell"),
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("n_vecs") - F.coalesce("n_pruned", F.lit(0))).cast("long").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

@@ -151,3 +151,46 @@ def test_column_profile_matches_pandas(spark, sf_dir):
     d = got["o_orderdate"]
     days = (pdf["o_orderdate"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
     assert d.min_num == float(days.min()) and d.max_num == float(days.max())
+
+
+def test_semdedup_matches_numpy_brute_force(spark, sf_dir):
+    """Independent numpy replay: L2-argmin assignment to the 32 seed
+    vectors, within-cell cosine pairs via np.dot, prune = greater id."""
+    import numpy as np
+
+    from energi_data_etl_spark.queries.llm import semdedup_cell_prune
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) v")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.v for r in rows])
+    seed_mask = ids < 32
+    seeds = V[seed_mask][np.argsort(ids[seed_mask])]
+    d2 = ((V[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)  # ties: argmin picks lowest cid, same as ORDER BY d, cid
+    nrm = (V * V).sum(axis=1)
+    n_vecs, n_pairs, pruned = {}, {}, {}
+    order = np.argsort(ids)
+    for k in range(32):
+        idx = order[cell[order] == k]
+        n_vecs[k] = len(idx)
+        n_pairs[k] = 0
+        pr = set()
+        for ii in range(len(idx)):
+            for jj in range(ii + 1, len(idx)):
+                a, b = idx[ii], idx[jj]
+                cos = float(V[a] @ V[b]) / (np.sqrt(nrm[a]) * np.sqrt(nrm[b]))
+                if cos > 0.4:
+                    n_pairs[k] += 1
+                    pr.add(int(ids[b]))
+        pruned[k] = len(pr)
+    got = semdedup_cell_prune(spark, sf_dir).collect()
+    assert sum(r.n_dup_pairs for r in got) > 0  # fixture non-vacuous
+    for r in got:
+        assert r.n_vecs == n_vecs[r.cell]
+        assert r.n_dup_pairs == n_pairs[r.cell], r.cell
+        assert r.n_pruned == pruned[r.cell]
+        assert r.n_kept == r.n_vecs - r.n_pruned
