@@ -1910,3 +1910,109 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "cascade_delete_audit",
+    tier="EXT governance (GDPR right-to-be-forgotten: FK-cascade delete impact audit)",
+    oracle="""
+        WITH victims AS (
+            SELECT c_custkey FROM customer
+            WHERE CAST('0x'||SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)||'gdpr'),1,8) AS BIGINT) % 20 = 0
+        ),
+        del_orders AS (
+            SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)
+        ),
+        stats AS (
+            SELECT 'customer' AS tbl,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM victims)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+            FROM customer
+            UNION ALL
+            SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM victims)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'events', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN user_id IN (SELECT c_custkey FROM victims)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+        )
+        SELECT tbl, n_total, n_delete,
+               CAST(n_total - n_delete AS BIGINT) AS n_survive
+        FROM stats ORDER BY tbl
+    """,
+)
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion cohort (an
+    md5-deterministic 5% of customers standing in for a GDPR request
+    list), walk the FK graph customer → orders → lineitem plus the
+    behavioral side customer → events, and report per table how many
+    rows the cascade deletes vs survives — the dry-run every
+    governance pipeline executes before the destructive MERGE/DELETE.
+
+    Scale (100 TB): the victim-key set is the only thing that crosses
+    stages — broadcast into LEFT SEMI membership probes on each fact
+    scan (a deletion cohort is small by nature; if it weren't, drop
+    the broadcast hint and AQE picks a shuffled semi join). The
+    second-level key set (orders-to-delete) is derived once and
+    reused; each fact table is read exactly once, column-pruned to
+    its keys."""
+    victims = (
+        load_table(spark, "customer", sf_dir)
+        .where(
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(c_custkey as string),'gdpr')),1,8),16,10) as bigint) % 20"
+            )
+            == 0
+        )
+        .select("c_custkey")
+        .localCheckpoint(eager=False)  # probed by customer/orders/events branches
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    del_orders = (
+        orders.join(F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_semi")
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)  # probed by the lineitem branch
+    )
+
+    def branch(tbl: str, frame, key_col: str, keyset, set_col: str) -> DataFrame:
+        flagged = frame.join(
+            F.broadcast(keyset.withColumnRenamed(set_col, "__k")),
+            F.col(key_col) == F.col("__k"),
+            "left",
+        )
+        return flagged.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("__k").isNotNull(), 1).otherwise(0)).cast("long").alias("n_delete"),
+        ).select(
+            "tbl",
+            "n_total",
+            "n_delete",
+            (F.col("n_total") - F.col("n_delete")).cast("long").alias("n_survive"),
+        )
+    out = (
+        branch("customer", load_table(spark, "customer", sf_dir).select("c_custkey"), "c_custkey", victims, "c_custkey")
+        .unionByName(branch("orders", orders.select("o_custkey"), "o_custkey", victims, "c_custkey"))
+        .unionByName(
+            branch(
+                "lineitem",
+                load_table(spark, "lineitem", sf_dir).select("l_orderkey"),
+                "l_orderkey",
+                del_orders,
+                "o_orderkey",
+            )
+        )
+        .unionByName(
+            branch("events", load_table(spark, "events", sf_dir).select("user_id"), "user_id", victims, "c_custkey")
+        )
+    )
+    return out.orderBy("tbl")

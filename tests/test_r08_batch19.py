@@ -194,3 +194,32 @@ def test_semdedup_matches_numpy_brute_force(spark, sf_dir):
         assert r.n_dup_pairs == n_pairs[r.cell], r.cell
         assert r.n_pruned == pruned[r.cell]
         assert r.n_kept == r.n_vecs - r.n_pruned
+
+
+def test_cascade_delete_matches_pandas_replay(spark, sf_dir):
+    import hashlib
+
+    from energi_data_etl_spark.queries.datapipe import cascade_delete_audit
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey").toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey").toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey").toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id").toPandas()
+
+    def bucket(k: int) -> int:
+        return int(hashlib.md5(f"{k}gdpr".encode()).hexdigest()[:8], 16) % 20
+
+    victims = {int(k) for k in cust["c_custkey"] if bucket(int(k)) == 0}
+    del_orders = {int(o) for o, c in zip(orders["o_orderkey"], orders["o_custkey"]) if int(c) in victims}
+    exp = {
+        "customer": (len(cust), len(victims)),
+        "orders": (len(orders), len(del_orders)),
+        "lineitem": (len(li), int(li["l_orderkey"].map(lambda o: int(o) in del_orders).sum())),
+        "events": (len(ev), int(ev["user_id"].map(lambda u: int(u) in victims).sum())),
+    }
+    got = cascade_delete_audit(spark, sf_dir).collect()
+    assert len(got) == 4
+    for r in got:
+        n_total, n_delete = exp[r.tbl]
+        assert (r.n_total, r.n_delete, r.n_survive) == (n_total, n_delete, n_total - n_delete)
+        assert r.n_delete > 0  # cohort non-vacuous at every SF
