@@ -491,3 +491,42 @@ def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "sql_sugar_surface",
+    tier="F-surface (Spark 4 SQL sugar: SELECT * EXCEPT, GROUP BY ALL, ORDER BY ALL)",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority, n_orders, revenue
+    """,
+)
+def sql_sugar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 SQL shorthand surface (each probed working in this
+    build): `SELECT * EXCEPT (...)` prunes columns positionally,
+    `GROUP BY ALL` infers the grouping keys from the non-aggregate
+    select items, and `ORDER BY ALL` orders by every output column
+    left-to-right. The inner star-EXCEPT projection feeds the sugared
+    aggregate, and the explicit-SQL DuckDB oracle hashing identical
+    values certifies the sugar desugars to exactly the classic query —
+    surface parity for users migrating DuckDB/BigQuery-dialect SQL.
+
+    Scale: sugar is parse-time only — the Catalyst tree is the same
+    grouped aggregate (partial-agg, one shuffle) the explicit form
+    plans; column pruning still reaches the scan because EXCEPT
+    resolves before optimization."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__sugar_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate) FROM __sugar_orders)
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
