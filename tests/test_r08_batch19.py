@@ -223,3 +223,35 @@ def test_cascade_delete_matches_pandas_replay(spark, sf_dir):
         n_total, n_delete = exp[r.tbl]
         assert (r.n_total, r.n_delete, r.n_survive) == (n_total, n_delete, n_total - n_delete)
         assert r.n_delete > 0  # cohort non-vacuous at every SF
+
+
+def test_slo_burn_rate_matches_python_replay(spark, sf_dir):
+    from energi_data_etl_spark.queries.opsanalytics import (
+        SLO_BAD_THRESHOLD,
+        SLO_BURN1_PPM,
+        SLO_BURN6_PPM,
+        slo_burn_rate_alert,
+    )
+    from energi_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("ts", "value").toPandas()
+    hours = (ev["ts"] - pd.Timestamp("1970-01-01")) // pd.Timedelta(hours=1)
+    hourly: dict[int, list[int]] = {}
+    for h, v in zip(hours, ev["value"]):
+        n, bad = hourly.get(int(h), [0, 0])
+        hourly[int(h)] = [n + 1, bad + (1 if v >= SLO_BAD_THRESHOLD else 0)]
+    expected = {}
+    for h in sorted(hourly):
+        n1, b1 = hourly[h]
+        n6 = sum(hourly.get(k, [0, 0])[0] for k in range(h - 5, h + 1))
+        b6 = sum(hourly.get(k, [0, 0])[1] for k in range(h - 5, h + 1))
+        burn1, burn6 = b1 * 100000000 // n1, b6 * 100000000 // n6
+        if burn1 >= SLO_BURN1_PPM and burn6 >= SLO_BURN6_PPM:
+            expected[h] = (n1, b1, burn1, n6, b6, burn6)
+    got = slo_burn_rate_alert(spark, sf_dir).collect()
+    assert len(got) > 0  # dials non-vacuous at every SF
+    assert {r.hour_epoch for r in got} == set(expected)
+    for r in got:
+        n1, b1, burn1, n6, b6, burn6 = expected[r.hour_epoch]
+        assert (r.n_1h, r.bad_1h, r.burn1_ppm) == (n1, b1, burn1)
+        assert (r.n_6h, r.bad_6h, r.burn6_ppm) == (n6, b6, burn6)
