@@ -2016,3 +2016,49 @@ def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("tbl")
+
+
+@query(
+    "masking_surface",
+    tier="EXT governance (column masking / pseudonymization: mask(), salted SHA-256, value generalization)",
+    oracle="""
+        SELECT c_custkey,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                   AS name_masked,
+               SHA256(c_name || '#pepper') AS name_pseudo,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) * 1000 AS acctbal_band,
+               c_mktsegment AS segment_kept
+        FROM customer
+        WHERE c_custkey < 50
+        ORDER BY c_custkey
+    """,
+)
+def masking_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The column-protection toolbox a governed lake applies before
+    sharing data sideways: format-preserving masking (Spark 4's
+    `mask()` — upper→X, lower→x, digit→n, punctuation kept, so
+    downstream format validators still pass), salted-SHA-256
+    pseudonymization (deterministic — joins on the pseudonym still
+    work across tables, but the identity needs the pepper), and
+    numeric generalization to 1000-unit bands (the k-anonymity
+    coarsening move; the band arithmetic is one shared expression
+    tree, floor of the same IEEE quotient on both engines). The DuckDB
+    twin rebuilds mask() from its regex definition, so the hash gate
+    certifies the masking SEMANTICS, not just that some function ran.
+
+    Scale (100 TB): all three protections are per-row codegen'd
+    projections — no shuffle, no UDF; pushdown unaffected. Bounded to
+    50 output rows here purely to keep the certified frame small."""
+    return (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") < 50)
+        .select(
+            "c_custkey",
+            F.expr("mask(c_name)").alias("name_masked"),
+            F.sha2(F.concat(F.col("c_name"), F.lit("#pepper")), 256).alias("name_pseudo"),
+            (F.floor(F.col("c_acctbal") / 1000).cast("long") * 1000).alias("acctbal_band"),
+            F.col("c_mktsegment").alias("segment_kept"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -255,3 +255,29 @@ def test_slo_burn_rate_matches_python_replay(spark, sf_dir):
         n1, b1, burn1, n6, b6, burn6 = expected[r.hour_epoch]
         assert (r.n_1h, r.bad_1h, r.burn1_ppm) == (n1, b1, burn1)
         assert (r.n_6h, r.bad_6h, r.burn6_ppm) == (n6, b6, burn6)
+
+
+def test_masking_surface_matches_python_replay(spark, sf_dir):
+    import hashlib
+    import re
+
+    from energi_data_etl_spark.queries.datapipe import masking_surface
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where("c_custkey < 50")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .toPandas()
+        .set_index("c_custkey")
+    )
+    got = masking_surface(spark, sf_dir).collect()
+    assert len(got) == 50
+    for r in got:
+        name = cust.loc[r.c_custkey, "c_name"]
+        masked = re.sub(r"[0-9]", "n", re.sub(r"[a-z]", "x", re.sub(r"[A-Z]", "X", name)))
+        assert r.name_masked == masked
+        assert r.name_pseudo == hashlib.sha256(f"{name}#pepper".encode()).hexdigest()
+        import math
+
+        assert r.acctbal_band == int(math.floor(cust.loc[r.c_custkey, "c_acctbal"] / 1000)) * 1000
+        assert r.segment_kept == cust.loc[r.c_custkey, "c_mktsegment"]
