@@ -952,3 +952,96 @@ def interval_coalesce_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "rolling_correlation_daily",
+    tier="EXT timeseries (rolling Pearson correlation from integer window sums, closed form)",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        rolled AS (
+            SELECT d, x, y,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+            FROM daily
+            WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT d AS day_epoch, x AS views, y AS clicks,
+               CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+               FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+                     / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0)) / 1000000.0
+                   AS corr_f6
+        FROM rolled
+        WHERE n = 7
+        ORDER BY day_epoch
+    """,
+)
+def rolling_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between two event streams'
+    daily volumes (view vs click) — the co-movement monitor quant/ops
+    dashboards track — computed in CLOSED FORM from integer window
+    sums: n, Σx, Σy, Σxy, Σx², Σy² are exact BIGINTs (headroom to
+    ~1.1e9 events/day/type before Σx² nears int64), the covariance
+    numerator n·Σxy − Σx·Σy is emitted as an exact BIGINT witness, and
+    only the final quotient touches floats — one mirrored expression
+    tree (IEEE ÷/√ correctly rounded, r08 z-statistic precedent) under
+    FLOOR-6dp. Degenerate windows (zero variance) yield NULL via the
+    shared NULLIF guard. Only full 7-day windows emit.
+
+    Scale (100 TB): the corpus collapses to day grain in one
+    partial-aggregated pass; the six window sums share ONE sort of the
+    time-bounded daily frame (calendar-sized, not data-sized — the
+    slo_burn_rate_alert argument); everything downstream is
+    arithmetic on that tiny frame."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_x"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_y"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("is_x").cast("long").alias("x"),
+            F.sum("is_y").cast("long").alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rangeBetween(-6, 0)
+    rolled = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        rolled.filter(F.col("n") == 7)
+        .select(
+            F.col("d").alias("day_epoch"),
+            F.col("x").alias("views"),
+            F.col("y").alias("clicks"),
+            num.alias("cov_num"),
+            (F.floor(num.cast("double") * 1000000 / F.nullif(den, F.lit(0.0))) / 1000000.0).alias(
+                "corr_f6"
+            ),
+        )
+        .orderBy("day_epoch")
+    )

@@ -281,3 +281,31 @@ def test_masking_surface_matches_python_replay(spark, sf_dir):
 
         assert r.acctbal_band == int(math.floor(cust.loc[r.c_custkey, "c_acctbal"] / 1000)) * 1000
         assert r.segment_kept == cust.loc[r.c_custkey, "c_mktsegment"]
+
+
+def test_rolling_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from energi_data_etl_spark.queries.timeseries import rolling_correlation_daily
+    from energi_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("ts", "event_type").toPandas()
+    days = (ev["ts"] - pd.Timestamp("1970-01-01")) // pd.Timedelta(days=1)
+    daily: dict[int, list[int]] = {}
+    for d, t in zip(days, ev["event_type"]):
+        x, y = daily.get(int(d), [0, 0])
+        daily[int(d)] = [x + (t == "view"), y + (t == "click")]
+    got = rolling_correlation_daily(spark, sf_dir).collect()
+    assert len(got) > 0
+    ds = sorted(daily)
+    for r in got:
+        window = [daily[k] for k in ds if r.day_epoch - 6 <= k <= r.day_epoch]
+        assert len(window) == 7  # only full windows emit
+        xs = np.array([w[0] for w in window], dtype=float)
+        ys = np.array([w[1] for w in window], dtype=float)
+        ref = float(np.corrcoef(xs, ys)[0, 1])
+        # FLOOR-6dp of the closed form vs numpy's formulation: agree to 1e-6
+        assert abs(r.corr_f6 - ref) < 2e-6
+        n, sx, sy = 7, int(xs.sum()), int(ys.sum())
+        assert r.cov_num == n * int((xs * ys).sum()) - sx * sy
+        assert (r.views, r.clicks) == (daily[r.day_epoch][0], daily[r.day_epoch][1])
