@@ -1671,3 +1671,100 @@ def slo_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch")
     )
+
+
+#: Weighted-DAG routing fixture: 25 nation nodes in 5 layers of 5
+#: (layer = n_nationkey div 5), complete bipartite edges between
+#: consecutive layers, md5-derived integer weights.
+DAG_EDGE_W_SQL = (
+    "1 + CAST('0x'||SUBSTRING(MD5(CAST(a.n_nationkey AS VARCHAR)||'-'||"
+    "CAST(b.n_nationkey AS VARCHAR)),1,8) AS BIGINT) % 1000"
+)
+
+
+@query(
+    "shortest_path_layered_dag",
+    tier="EXT graph (weighted shortest path on a layered DAG: iterative relaxation vs definitional min-over-all-paths)",
+    oracle=f"""
+        WITH RECURSIVE
+        edges AS (
+            SELECT a.n_nationkey AS a, b.n_nationkey AS b,
+                   {DAG_EDGE_W_SQL} AS w,
+                   a.n_nationkey // 5 AS layer
+            FROM nation a JOIN nation b
+              ON b.n_nationkey // 5 = a.n_nationkey // 5 + 1
+        ),
+        paths AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS layer
+            UNION ALL
+            SELECT e.b, p.cost + e.w, p.layer + 1
+            FROM paths p JOIN edges e ON e.a = p.node AND e.layer = p.layer
+            WHERE p.layer < 4
+        )
+        SELECT node,
+               CAST(node // 5 AS BIGINT) AS hops,
+               CAST(MIN(cost) AS BIGINT) AS best_cost
+        FROM paths WHERE layer > 0
+        GROUP BY node ORDER BY node
+    """,
+)
+def shortest_path_layered_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest path (cheapest route) on a layered DAG — the
+    multi-stage routing/planning shape (supply legs, ETL stage costs,
+    travel segments): 25 nation nodes in 5 layers, complete bipartite
+    md5-weighted edges between consecutive layers, source = node 0.
+    The Spark side is the PRODUCTION pattern — iterative frontier
+    relaxation, one broadcast-join + min-groupBy per layer (exactly
+    Bellman-Ford restricted to the DAG's topological order, the same
+    loop skeleton as connected_components/BFS) — while the DuckDB
+    oracle RECURSIVELY ENUMERATES every source path (5^4 = 625 on this
+    fixture) and takes the definitional MIN per node, so the hash gate
+    proves relaxation == min-over-all-paths, not twin agreement. All
+    costs are exact BIGINTs from the cross-engine md5 kernel.
+
+    Scale (100 TB): per layer the frontier is one equi-join on the
+    edge tail + a partial-aggregated MIN — no all-pairs, no path
+    materialization (the oracle's enumeration is the CERT, never the
+    plan); layers beyond int bounds chain the same loop with
+    localCheckpoint lineage truncation (pagerank rule)."""
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey")
+    a = nation.select(F.col("n_nationkey").alias("a"), F.expr("n_nationkey div 5").alias("layer"))
+    b = nation.select(F.col("n_nationkey").alias("b"), F.expr("n_nationkey div 5").alias("bl"))
+    edges = (
+        a.join(b, F.col("bl") == F.col("layer") + 1)
+        .select(
+            "a",
+            "b",
+            "layer",
+            (
+                1
+                + F.expr(
+                    "cast(conv(substring(md5(concat(cast(a as string),'-',cast(b as string))),1,8),16,10) as bigint) % 1000"
+                )
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)  # consumed once per layer iteration
+    )
+    frontier = spark.createDataFrame([(0, 0)], "node long, cost long")
+    out = None
+    for layer in range(4):
+        step = (
+            frontier.join(
+                F.broadcast(edges.filter(F.col("layer") == layer)),
+                F.col("node") == F.col("a"),
+            )
+            .select(F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)  # lineage truncation per round
+        )
+        frontier = step
+        out = step if out is None else out.unionByName(step)
+    return (
+        out.select(
+            F.col("node").cast("long").alias("node"),
+            F.expr("node div 5").cast("long").alias("hops"),
+            F.col("cost").cast("long").alias("best_cost"),
+        )
+        .orderBy("node")
+    )

@@ -309,3 +309,32 @@ def test_rolling_correlation_matches_numpy(spark, sf_dir):
         n, sx, sy = 7, int(xs.sum()), int(ys.sum())
         assert r.cov_num == n * int((xs * ys).sum()) - sx * sy
         assert (r.views, r.clicks) == (daily[r.day_epoch][0], daily[r.day_epoch][1])
+
+
+def test_shortest_path_matches_python_dijkstra(spark, sf_dir):
+    """Independent python Dijkstra (heap-based, not layer relaxation)
+    over the same md5-weighted DAG."""
+    import hashlib
+    import heapq
+
+    from energi_data_etl_spark.queries.opsanalytics import shortest_path_layered_dag
+
+    def w(a: int, b: int) -> int:
+        return 1 + int(hashlib.md5(f"{a}-{b}".encode()).hexdigest()[:8], 16) % 1000
+
+    adj = {a: [(b, w(a, b)) for b in range(25) if b // 5 == a // 5 + 1] for a in range(25)}
+    dist = {0: 0}
+    heap = [(0, 0)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, wt in adj.get(u, []):
+            if d + wt < dist.get(v, 1 << 62):
+                dist[v] = d + wt
+                heapq.heappush(heap, (d + wt, v))
+    got = shortest_path_layered_dag(spark, sf_dir).collect()
+    assert len(got) == 20  # every non-source-layer node reachable
+    for r in got:
+        assert r.best_cost == dist[r.node]
+        assert r.hops == r.node // 5
