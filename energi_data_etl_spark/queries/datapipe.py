@@ -2062,3 +2062,71 @@ def masking_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "target_encoding_loo",
+    tier="EXT ML-prep (leave-one-out target encoding, exact integer-cent arithmetic)",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        stats AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(cents) AS BIGINT) AS cat_sum,
+                   CAST(COUNT(*) AS BIGINT) AS cat_n
+            FROM t GROUP BY o_orderpriority
+        )
+        SELECT t.o_orderkey, t.o_orderpriority, t.cents,
+               s.cat_n,
+               CAST((s.cat_sum - t.cents) // (s.cat_n - 1) AS BIGINT) AS loo_mean_cents,
+               FLOOR((s.cat_sum - t.cents) * 10000 / (s.cat_n - 1)) / 10000.0
+                   AS loo_mean_cents_f4
+        FROM t JOIN stats s USING (o_orderpriority)
+        WHERE t.o_orderkey < 100
+        ORDER BY t.o_orderkey
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    engineering step that replaces a category with the mean target of
+    the OTHER rows in its category (plain per-category means leak the
+    row's own label into its feature; LOO is the standard fix). The
+    target rides the explicit half-up cent kernel FLOOR(x*100+0.5)
+    (CLAUDE.md: Spark CAST truncates where DuckDB rounds — never cast
+    a float to int across engines), making every per-category sum an
+    exact BIGINT; the LOO mean is then an exact integer division plus
+    a FLOOR-4dp float twin of the same quotient. Bounded to 100 output
+    rows for the certified frame.
+
+    Scale (100 TB): one partial-aggregated groupBy over the category
+    column (|categories| rows out), broadcast back onto the row scan —
+    the LOO adjustment is per-row arithmetic, NOT a self-join; this is
+    the only shape that survives a trillion-row encode."""
+    t = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    stats = t.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("long").alias("cat_sum"),
+        F.count(F.lit(1)).cast("long").alias("cat_n"),
+    )
+    return (
+        t.join(F.broadcast(stats), "o_orderpriority")
+        .where(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            "cat_n",
+            F.expr("(cat_sum - cents) div (cat_n - 1)").cast("long").alias("loo_mean_cents"),
+            (
+                F.floor((F.col("cat_sum") - F.col("cents")) * 10000 / (F.col("cat_n") - 1))
+                / 10000.0
+            ).alias("loo_mean_cents_f4"),
+        )
+        .orderBy("o_orderkey")
+    )

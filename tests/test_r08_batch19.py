@@ -338,3 +338,25 @@ def test_shortest_path_matches_python_dijkstra(spark, sf_dir):
     for r in got:
         assert r.best_cost == dist[r.node]
         assert r.hops == r.node // 5
+
+
+def test_target_encoding_loo_matches_pandas(spark, sf_dir):
+    import math
+
+    from energi_data_etl_spark.queries.datapipe import target_encoding_loo
+
+    pdf = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    pdf["cents"] = pdf["o_totalprice"].map(lambda x: int(math.floor(x * 100 + 0.5)))
+    sums = pdf.groupby("o_orderpriority")["cents"].sum().to_dict()
+    ns = pdf.groupby("o_orderpriority")["cents"].count().to_dict()
+    got = target_encoding_loo(spark, sf_dir).collect()
+    assert len(got) > 0
+    lookup = pdf.set_index("o_orderkey")
+    for r in got:
+        pr, cents = lookup.loc[r.o_orderkey, "o_orderpriority"], int(lookup.loc[r.o_orderkey, "cents"])
+        assert r.cents == cents and r.o_orderpriority == pr
+        loo_num, loo_den = sums[pr] - cents, ns[pr] - 1
+        assert r.loo_mean_cents == loo_num // loo_den
+        assert r.loo_mean_cents_f4 == math.floor(loo_num * 10000 / loo_den) / 10000.0
