@@ -2130,3 +2130,76 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+#: Temporal-embargo split dials: last 10 days are test, with a 2-day
+#: embargo gap wiped between train and test.
+EMBARGO_TEST_DAYS = 10
+EMBARGO_GAP_DAYS = 2
+
+
+@query(
+    "split_temporal_embargo",
+    tier="EXT ML-prep (time-series train/test split with embargo gap; leakage-proof by construction)",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        ),
+        cut AS (
+            SELECT MAX(d) - {EMBARGO_TEST_DAYS} + 1 AS test_start FROM t
+        ),
+        tagged AS (
+            SELECT t.user_id, t.d,
+                   CASE WHEN t.d >= c.test_start THEN 'test'
+                        WHEN t.d >= c.test_start - {EMBARGO_GAP_DAYS} THEN 'embargo'
+                        ELSE 'train' END AS split
+            FROM t CROSS JOIN cut c
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(MIN(d) AS BIGINT) AS min_day,
+               CAST(MAX(d) AS BIGINT) AS max_day
+        FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series train/test split with an EMBARGO gap (the financial-
+    ML leakage fix: rows within the gap are dropped entirely so no
+    label window can straddle the boundary — a hash split is leakage-
+    proof for i.i.d. data but WRONG for autocorrelated series, where
+    temporally-adjacent rows share information). Cut points derive
+    from the observed max day (a broadcast one-row frame), tags are
+    pure integer-day comparisons, and the emitted per-split
+    min_day/max_day make the no-overlap guarantee VISIBLE: train's
+    max_day < embargo's min_day <= embargo's max_day < test's min_day
+    holds by construction, so a boundary bug reorders whole rows and
+    fails the gate.
+
+    Scale (100 TB): one scan, one broadcast scalar, a codegen'd CASE,
+    and a partial-aggregated 3-group rollup — the split ASSIGNMENT is
+    a zero-shuffle map stage a writer would fold into its partition
+    column (the distinct-user count is the only shuffle here, and it's
+    audit-only)."""
+    t = load_table(spark, "events", sf_dir).select(
+        "user_id", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    )
+    cut = t.agg((F.max("d") - EMBARGO_TEST_DAYS + 1).alias("test_start"))
+    tagged = t.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        "d",
+        F.when(F.col("d") >= F.col("test_start"), "test")
+        .when(F.col("d") >= F.col("test_start") - EMBARGO_GAP_DAYS, "embargo")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("d").cast("long").alias("min_day"),
+            F.max("d").cast("long").alias("max_day"),
+        )
+        .orderBy("split")
+    )

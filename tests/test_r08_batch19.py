@@ -360,3 +360,15 @@ def test_target_encoding_loo_matches_pandas(spark, sf_dir):
         loo_num, loo_den = sums[pr] - cents, ns[pr] - 1
         assert r.loo_mean_cents == loo_num // loo_den
         assert r.loo_mean_cents_f4 == math.floor(loo_num * 10000 / loo_den) / 10000.0
+
+
+def test_temporal_embargo_boundaries_never_overlap(spark, sf_dir):
+    from energi_data_etl_spark.queries.datapipe import split_temporal_embargo
+
+    rows = {r.split: r for r in split_temporal_embargo(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "embargo", "test"}  # all three non-empty
+    assert rows["train"].max_day < rows["embargo"].min_day
+    assert rows["embargo"].max_day < rows["test"].min_day
+    # gap and test widths match the dials exactly (fixture is day-dense)
+    assert rows["test"].max_day - rows["test"].min_day + 1 == 10
+    assert rows["embargo"].max_day - rows["embargo"].min_day + 1 == 2
