@@ -120,3 +120,24 @@ def test_cascade_delete_probes_are_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # every membership probe carries the broadcast hint; no sort-merge
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_coalesce_windows_share_one_shuffle(spark, sf_dir):
+    from energi_data_etl_spark.queries.timeseries import interval_coalesce_users
+
+    plan = _plan(interval_coalesce_users(spark, sf_dir))
+    # the running-max window and the island-sum window share ONE
+    # hashpartitioning(user_id) exchange; the only other exchange is
+    # the (user_id, island) rollup
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") <= 2
+
+
+def test_rolling_correlation_single_calendar_sort(spark, sf_dir):
+    from energi_data_etl_spark.queries.timeseries import rolling_correlation_daily
+
+    plan = _plan(rolling_correlation_daily(spark, sf_dir))
+    # all six window sums ride ONE single-partition sort of the
+    # calendar-sized daily frame (plus the day-grain groupBy exchange)
+    assert plan.count("SinglePartition") == 1
+    assert plan.count("Exchange") <= 2
