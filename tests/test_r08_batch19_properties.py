@@ -141,3 +141,56 @@ def test_rolling_correlation_single_calendar_sort(spark, sf_dir):
     # calendar-sized daily frame (plus the day-grain groupBy exchange)
     assert plan.count("SinglePartition") == 1
     assert plan.count("Exchange") <= 2
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=3,
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=5,
+        max_size=30,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_ray_cast_terms_match_float_reference_on_random_polygons(poly, points):
+    """The integer-orientation crossing terms (generated as ANSI SQL,
+    evaluated here in DuckDB) implement the even-odd rule for ANY
+    integer polygon — including degenerate/self-intersecting vertex
+    lists, where even-odd is still well-defined — matching the
+    textbook float intersection-x reference exactly (coordinates
+    < 2^10 keep every product exact in both arithmetics)."""
+    import duckdb
+
+    import energi_data_etl_spark.queries.spatial as sp
+
+    # generate terms for this polygon via the same code path the query
+    # uses (swap the module FENCE, restore after)
+    orig = sp.FENCE
+    try:
+        sp.FENCE = poly
+        _, sql_terms = sp._crossing_terms("x", "y")
+    finally:
+        sp.FENCE = orig
+
+    def ref(px, py):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 <= py) != (y2 <= py):
+                if px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                    inside = not inside
+        return inside
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({x}, {y})" for x, y in points)
+    rows = con.execute(
+        f"SELECT x, y, ({' + '.join(sql_terms)}) % 2 = 1 FROM (VALUES {vals}) t(x, y)"
+    ).fetchall()
+    for x, y, got in rows:
+        assert got == ref(x, y), (poly, x, y)
