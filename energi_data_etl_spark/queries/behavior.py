@@ -746,3 +746,136 @@ def trending_users_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decay_score").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+#: Incremental sessionization dials: 12 h inactivity gap; the last 10
+#: days arrive as the "new" batch.
+INC_GAP_US = 12 * 3600 * 1_000_000
+INC_NEW_DAYS = 10
+
+
+@query(
+    "sessionize_incremental_merge",
+    tier="EXT behavior (incremental sessionization: state + new batch == full recompute, certified definitionally)",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_id, us,
+                   CASE WHEN LAG(us) OVER w IS NULL
+                             OR us - LAG(us) OVER w > {INC_GAP_US}
+                        THEN 1 ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+            SELECT user_id, us,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        spans AS (
+            SELECT user_id, sid, MIN(us) AS s, MAX(us) AS e, COUNT(*) AS n
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS total_events,
+               CAST(MAX(e - s) AS BIGINT) AS max_len_us,
+               CAST(MAX(e) AS BIGINT) AS latest_end_us
+        FROM spans GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization — the stateful-batch maintenance
+    problem: yesterday's session SUMMARIES plus today's raw events
+    must yield the same sessions as recomputing from all history. The
+    Spark side actually runs the incremental protocol: sessionize the
+    old partition (the persisted state a real pipeline would carry),
+    sessionize the new batch independently, then stitch the ONE
+    possible seam per user — the last old session extends into the
+    first new session iff the inter-event gap at the boundary is
+    within the inactivity window (old sessions are maximal, so no
+    other merge is possible; time-partitioned batches make the seam
+    provably unique). The DuckDB oracle recomputes sessions from the
+    FULL history definitionally, so the hash gate certifies
+    incremental == full recompute — the IVM guarantee, not twin
+    agreement. The fixture is non-vacuous: 5/44/455 boundary-spanning
+    sessions at sf0.001/0.01/0.1 exercise the merge path itself.
+
+    Scale (100 TB): each day's batch sessionizes over its own
+    partition (the expensive sort touches ONLY new data); the stitch
+    joins |users| summary rows — this is exactly why session state
+    stores carry (start, end, n) per open session rather than raw
+    events. All arithmetic is exact integer µs."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+    )
+    cut = ev.agg((F.max("d") - INC_NEW_DAYS + 1).alias("c"))
+    tagged = ev.crossJoin(F.broadcast(cut))
+    old = tagged.filter(F.col("d") < F.col("c"))
+    new = tagged.filter(F.col("d") >= F.col("c"))
+
+    def sessions(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        marked = df.select(
+            "user_id",
+            "event_id",
+            "us",
+            F.when(
+                F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > INC_GAP_US),
+                1,
+            )
+            .otherwise(0)
+            .alias("ns"),
+        )
+        return (
+            marked.select("user_id", "us", F.sum("ns").over(wc).alias("sid"))
+            .groupBy("user_id", "sid")
+            .agg(F.min("us").alias("s"), F.max("us").alias("e"), F.count(F.lit(1)).alias("n"))
+        )
+
+    old_sess = sessions(old).localCheckpoint(eager=False)  # body + seam
+    new_sess = sessions(new).localCheckpoint(eager=False)
+    last_old = old_sess.groupBy("user_id").agg(
+        F.max(F.struct("sid", "s", "e", "n")).alias("m")
+    ).select("user_id", F.col("m.sid").alias("lo_sid"), F.col("m.s").alias("lo_s"), F.col("m.e").alias("lo_e"), F.col("m.n").alias("lo_n"))
+    first_new = new_sess.groupBy("user_id").agg(
+        F.min(F.struct("sid", "s", "e", "n")).alias("m")
+    ).select("user_id", F.col("m.sid").alias("fn_sid"), F.col("m.s").alias("fn_s"), F.col("m.e").alias("fn_e"), F.col("m.n").alias("fn_n"))
+    seam = (
+        last_old.join(first_new, "user_id")
+        .filter((F.col("fn_s") - F.col("lo_e")) <= INC_GAP_US)
+        .localCheckpoint(eager=False)  # drives both exclusions + merged rows
+    )
+    merged = seam.select(
+        "user_id",
+        F.col("lo_s").alias("s"),
+        F.col("fn_e").alias("e"),
+        (F.col("lo_n") + F.col("fn_n")).alias("n"),
+    )
+    old_keep = old_sess.join(
+        seam.select(F.col("user_id").alias("xuid"), F.col("lo_sid").alias("xsid")),
+        (old_sess.user_id == F.col("xuid")) & (old_sess.sid == F.col("xsid")),
+        "left_anti",
+    ).select("user_id", "s", "e", "n")
+    new_keep = new_sess.join(
+        seam.select(F.col("user_id").alias("xuid"), F.col("fn_sid").alias("xsid")),
+        (new_sess.user_id == F.col("xuid")) & (new_sess.sid == F.col("xsid")),
+        "left_anti",
+    ).select("user_id", "s", "e", "n")
+    final = old_keep.unionByName(new_keep).unionByName(merged)
+    return (
+        final.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("total_events"),
+            F.max(F.col("e") - F.col("s")).cast("long").alias("max_len_us"),
+            F.max("e").cast("long").alias("latest_end_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -372,3 +372,67 @@ def test_temporal_embargo_boundaries_never_overlap(spark, sf_dir):
     # gap and test widths match the dials exactly (fixture is day-dense)
     assert rows["test"].max_day - rows["test"].min_day + 1 == 10
     assert rows["embargo"].max_day - rows["embargo"].min_day + 1 == 2
+
+
+def test_incremental_sessionize_seam_is_exercised(spark, sf_dir):
+    """The merge path must actually fire on the fixture (a vacuous
+    seam would certify nothing), and the stitched result must equal a
+    direct full-data sessionization computed in-Spark."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from energi_data_etl_spark.queries.behavior import (
+        INC_GAP_US,
+        INC_NEW_DAYS,
+        sessionize_incremental_merge,
+    )
+    from energi_data_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+    )
+    # full-data sessionization, straight over all history
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        "d",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > INC_GAP_US), 1
+        )
+        .otherwise(0)
+        .alias("ns"),
+    )
+    spans = (
+        marked.select("user_id", "us", "d", F.sum("ns").over(wc).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("s"),
+            F.max("us").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("d").alias("mind"),
+            F.max("d").alias("maxd"),
+        )
+    )
+    cut = ev.agg((F.max("d") - INC_NEW_DAYS + 1).alias("c")).collect()[0].c
+    n_spanning = spans.where((F.col("mind") < cut) & (F.col("maxd") >= cut)).count()
+    assert n_spanning > 0  # the stitch path actually runs
+
+    full = (
+        spans.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("total_events"),
+            F.max(F.col("e") - F.col("s")).cast("long").alias("max_len_us"),
+            F.max("e").cast("long").alias("latest_end_us"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    inc = sessionize_incremental_merge(spark, sf_dir).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
