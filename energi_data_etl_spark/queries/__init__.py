@@ -25,19 +25,21 @@ from . import sketches  # noqa: F401,E402
 # FIRST 50 queries in registration order, so the window is rotated
 # round-to-round until every query has a driver-certified row.
 #
-# Round 8 window = the ENTIRE remaining never-certified pool: every
-# oracled query with no hash_match=true row in CORRECTNESS_r01..r07
-# (43 — 7 early-r07 additions + 36 r07-second-session additions — plus
-# the 3 LSH queries that gained verdict-style oracles this round:
-# neardup_minhash, lsh_bucket_stats, ann_lsh_topk — VERDICT r07 item 3),
-# then the entry canary, then the 3 stalest certified §2-anchor rows
-# (last green r04; the other three r04-stale rows — percentile_surface,
-# salted_aggregation, null_safety_surface — defer to r09: each has an
-# r06/r07-green close relative). 46+1+3 = 50 — this zeroes the
-# never-certified backlog in one window.
-#
-# Ordered streaming/state/sketch first (VERDICT r07 item 1: highest
-# value if the window truncates), then retrieval, then data-eng.
+# Round 11 window (the rotation the r09 AND r10 verdicts ordered; rounds
+# 9-10 had no builder session so the r08 window ran three times): entry
+# canary + 49 of the 68 never-driver-certified oracled queries (catalog
+# minus hash-green rows in CORRECTNESS_r01..r10 minus the 2 rows-only;
+# ledger recomputed 2026-08-15, staleness 50@r10 / 49@r07 / 37@r06 /
+# 45@r05 / 16@r04). Front-loaded per VERDICT r10 items 1-2: the two
+# never-certified streaming queries, the api_sink pair, and ann_ivf_topk
+# (the ONLY oracled query whose latest driver row is an error — an
+# r01-r04 `no_oracle` row predating the verdict oracle it gained in
+# r08), then the two algorithm twins that justify the rows-only
+# exemptions (pagerank_integer_twin, neardup_simhash_md5), then the
+# heavy/stateful/iterative tier. The 19 deferred (lighter SQL-surface /
+# window-analytics queries, each sim-green) are pinned for r12 in
+# SURVEY.md §7's rotation table alongside the 16 r04-stale and 14
+# oldest-r05 rows.
 #
 # ROWS-ONLY QUERIES STAY OUT OF THE WINDOW: the driver records a
 # no-oracle query as an `err: no_oracle` row (CORRECTNESS_r06
@@ -45,41 +47,48 @@ from . import sketches  # noqa: F401,E402
 # certification. Rows-only queries are carried by exact-method
 # tests in tests/ instead (SURVEY.md §5.2).
 FIRST_50 = [
-    # -- streaming / state family (incl. T2 streaming_late_data_drop,
-    #    the one §2 row never driver-certified) --
-    "streaming_late_data_drop", "streaming_foreachbatch_upsert",
-    "streaming_update_mode_totals", "streaming_rocksdb_stateful_rollup",
-    "statestore_reader_audit", "streaming_interval_join_fouter",
-    "api_source_dedup_stream",
-    # -- sketch family --
-    "kll_quantile_sketch_audit", "theta_sketch_user_overlap",
-    "theta_sketch_weekly_churn", "bitmap_distinct_users",
+    # -- streaming / stream-sink family (first: highest value if the
+    #    window truncates; the only streaming queries without a row) --
+    "streaming_ohlc_candles", "streaming_daily_active_users",
+    "api_sink_stream_roundtrip", "api_sink_roundtrip",
     # -- entry canary (early in case of truncation) --
     "flagship_daily_avg",
-    # -- retrieval stack --
-    "inverted_index_postings", "bm25_topk_search", "hybrid_retrieval_rrf",
-    # -- LSH tier, newly verdict-oracled this round (VERDICT r07 item 3) --
-    "neardup_minhash", "lsh_bucket_stats", "ann_lsh_topk",
-    # -- Spark-4 surface (variant/lateral/collation/UDTF/cogroup) --
-    "variant_shredding_agg", "lateral_join_topk", "collation_ci_grouping",
-    "melt_udtf_polymorphic", "cogroup_order_reconciliation",
-    # -- joins --
-    "join_skew_adaptive_salted", "join_asof_forward", "join_null_safe_keys",
-    "scd2_pointintime_enrich",
-    # -- embeddings / ML tier --
-    "embedding_covariance_block", "embedding_quantization_error",
-    "kmeans_lloyd_assign", "multimodal_resize_stub",
-    # -- data-eng tier --
-    "ivm_join_delta", "cdc_apply_log", "rollup_cascade_weekly",
-    "ewma_value_smoothing", "robust_mad_outliers",
-    "brand_cooccurrence_triangles", "vocabulary_growth_curve",
-    "boilerplate_ngram_prune", "sample_exact_k_per_stratum",
-    "sample_weighted_reservoir", "shuffle_shard_plan",
-    "fuzzy_match_blocked_pairs", "fuzzy_join_qgram_candidates",
-    "k_anonymity_audit", "schema_evolution_union_by_name",
-    "file_metadata_lineage",
-    # -- 3 stalest certified §2-anchor rows (last green r04; U1/U3/L4) --
-    "udf_text_normalize", "tokenize_udtf", "text_stats_by_lang",
+    # -- the one latest-row-is-an-error query (VERDICT r10 item 2) --
+    "ann_ivf_topk",
+    # -- algorithm twins justifying the 2 rows-only exemptions --
+    "neardup_simhash_md5", "pagerank_integer_twin",
+    # -- heavy / stateful / iterative tier --
+    "semdedup_cell_prune", "entity_resolution_clusters",
+    "sessionize_incremental_merge", "shortest_path_layered_dag",
+    "bfs_reachability_levels", "fifo_inventory_matching",
+    # -- spatial --
+    "spatial_point_in_polygon", "spatial_grid_radius_join",
+    "spatial_grid_nearest_neighbor",
+    # -- sketches --
+    "bloom_filter_prejoin", "countmin_frequency_audit",
+    "cms_join_cardinality",
+    # -- governance / data-eng --
+    "masking_surface", "cascade_delete_audit", "target_encoding_loo",
+    "split_temporal_embargo", "token_budget_apportionment",
+    # -- recursive / format surfaces --
+    "hierarchy_rollup_recursive", "xml_roundtrip_extract",
+    # -- finance / stats tier --
+    "revenue_bridge_monthly", "km_conversion_hazard",
+    "weighted_median_by_flag", "chisq_independence_audit",
+    "mutual_information_type_value",
+    # -- timeseries tier --
+    "time_weighted_average_daily", "ohlc_hourly_resample",
+    "seasonal_adjusted_anomaly", "interval_coalesce_users",
+    "rolling_correlation_daily", "seasonal_naive_backtest",
+    # -- behavioral analytics tier --
+    "event_sequence_detection", "user_path_topk",
+    "conversion_latency_quantiles", "attribution_last_touch",
+    "trending_users_decayed",
+    # -- quality / drift tier --
+    "dq_expectation_suite", "fuzzy_join_prefix_filtered",
+    "char_lm_quality_bits", "heavyhitters_misra_gries",
+    "feature_equidepth_bins", "benford_first_digit_audit",
+    "psi_value_drift",
 ]
 
 
