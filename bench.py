@@ -74,16 +74,34 @@ def main() -> int:
             print(f"bench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Full per-query detail FIRST (~8 KB for 267 queries — exceeds the
+    # driver's ~2000-char stdout-tail capture, which is why BENCH_r01..r10
+    # all recorded "parsed": null when this was the only line).
+    print(json.dumps({"metric": "declared_query_detail", "queries": timings}))
+    sys.stdout.flush()
+    # Compact aggregate LAST (< 2000 chars) so the driver's tail capture
+    # contains one complete, parseable JSON line: totals + the 10 slowest
+    # per-query timings (VERDICT r10 item 4).
+    slowest10 = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    n_errors = sum(1 for t in timings.values() if t < 0)
     print(
         json.dumps(
             {
                 "metric": "declared_query_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest10,
                 "sf": sf,
                 "n_queries": len(timings),
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "n_errors": n_errors,
+                "cpus": cpus,
+                "note": "full per-query timings on the preceding stdout line",
             }
         )
     )

@@ -34,6 +34,7 @@ __all__ = [
     "ann_lsh_knn",
     "ann_lsh_bucket_stats",
     "ann_ivf_knn",
+    "semdedup_prune",
     "gram_partials",
     "covariance_matrix",
 ]
@@ -578,4 +579,122 @@ def quantize_error_int8(df: DataFrame, col: str = "embedding", label_col: str = 
 
     return df.select(label_col, col).mapInPandas(
         kernel, schema=f"{label_col} int, scale double, mse double"
+    )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell: int = 512,
+    sample_size: int = 20_000,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public) — the LINEAR-at-scale path
+    that queries/llm.py::semdedup_cell_prune's fixture-certified twin
+    deliberately forgoes: that query pins K=32 centroids (first 32
+    vec_ids) so a DuckDB oracle can mirror the centroid set exactly,
+    which makes its pair stage N²/(2K) — quadratic at fixed K (measured:
+    scripts/scale_probe_r11.py). This operator is the production shape:
+
+    * **K scales with N** (``K = max(32, N // target_cell)``) so the
+      expected cell size — and with it Σ n_c²/2 ≈ N·target_cell/2
+      candidate pairs — stays CONSTANT per row: the pair stage is
+      linear in N, exactly how the paper sizes its k-means.
+    * quantizer = spherical k-means fit driver-side on a seeded uniform
+      sample (same recipe as ann_ivf_knn above, kept separate so that
+      certified query's bytes stay untouched); centroids broadcast
+      (K×d doubles).
+    * assignment = one Arrow-batched numpy matmul per partition
+      (N×K·d flops vectorized — the interpreted fold that makes the
+      certified twin hash-replayable would be the bottleneck here).
+      Past ~1e7 vectors the single-level assign flops (N²·d/target_cell)
+      start to dominate; the standard continuation is a two-level
+      (coarse×fine) quantizer, which changes only this function's
+      assign step, not the pair stage or the API.
+    * per-cell pair compare = one numpy matmul per cell
+      (groupBy(cell).applyInPandas), upper-triangle by id, processed in
+      row blocks so task memory stays O(block·cell) even for skewed
+      cells; prune the HIGHER id of any pair with cosine > threshold
+      (the paper's keep-one-representative rule, deterministic).
+
+    Returns one row per corpus vector: (id, cell, pruned). Missing
+    cross-cell duplicates is the algorithm's documented recall trade —
+    the knob is target_cell. Exactness of the decisions it does make is
+    pinned in tests/test_llm_ops.py (planted-duplicate recall, partition
+    property, threshold agreement with exact cosine).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    n_corpus = corpus_count if corpus_count is not None else corpus.count()
+    n_centroids = max(32, n_corpus // target_cell)
+    frac = min(1.0, 1.2 * max(sample_size, 2 * n_centroids) / max(n_corpus, 1))
+    sample = (
+        corpus.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .limit(max(sample_size, 2 * n_centroids))
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / (np.linalg.norm(c) or 1.0)
+    b_C = spark.sparkContext.broadcast(C)
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        Cm = b_C.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col].to_numpy(),
+                    "__v": list(v),
+                    "cell": np.argmax(v @ Cm.T, axis=1).astype(np.int32),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_batches, schema="__id long, __v array<double>, cell int"
+    )
+
+    def prune_cell(key, pdf):
+        import pandas as pd
+
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids)  # deterministic regardless of arrival order
+        ids = ids[order]
+        M = np.vstack(pdf["__v"].to_numpy()[order])  # already unit-norm
+        pruned = np.zeros(len(ids), dtype=bool)
+        block = 2048
+        for lo in range(0, len(ids), block):
+            hi = min(lo + block, len(ids))
+            sims = M[lo:hi] @ M.T  # (block, n_c) tile — memory bounded
+            ia, ib = np.where(sims > threshold)
+            # a keeps, b pruned: only count pairs where the GLOBAL index
+            # of a (lo+ia) precedes b — ids are sorted, so index order
+            # IS id order and self/duplicate tiles fall out naturally.
+            keep = (lo + ia) < ib
+            pruned[ib[keep]] = True
+        return pd.DataFrame({"__id": ids, "cell": np.full(len(ids), key[0], dtype=np.int32), "pruned": pruned})
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(prune_cell, schema="__id long, cell int, pruned boolean")
+        .select(F.col("__id").alias(id_col), "cell", "pruned")
     )

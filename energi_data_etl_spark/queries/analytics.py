@@ -426,7 +426,7 @@ def rollup_cascade_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                ((t.n_ab * 1000000) // tot.n) / 1000000.0 AS support,
                ((t.n_ab * 1000000) // pa.n_p) / 1000000.0 AS conf_a_to_b,
                ((t.n_ab * 1000000) // pb.n_p) / 1000000.0 AS conf_b_to_a,
-               ((t.n_ab * 1000000 * tot.n) // (pa.n_p * pb.n_p)) / 1000000.0 AS lift
+               (((t.n_ab * 1000000) // pa.n_p) * tot.n // pb.n_p) / 1000000.0 AS lift
         FROM top t
         JOIN parts pa ON t.part_a = pa.l_partkey
         JOIN parts pb ON t.part_b = pb.l_partkey
@@ -488,7 +488,13 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f6("n_ab * 1000000", "n").alias("support"),
             f6("n_ab * 1000000", "n_a").alias("conf_a_to_b"),
             f6("n_ab * 1000000", "n_b").alias("conf_b_to_a"),
-            f6("n_ab * 1000000 * n", "n_a * n_b").alias("lift"),
+            # lift = conf(a→b) * n / n_b, staged so every BIGINT
+            # intermediate stays ≤ ~1e6·n: the naive n_ab*1e6*n
+            # numerator overflows BIGINT once n_ab·n > 9.2e12 (ANSI
+            # mode throws), i.e. long before 100 TB. Truncating conf
+            # to ppm first costs ≤1 ppm, mirrored exactly in the
+            # oracle (VERDICT r08/r10 advice item).
+            f6("(n_ab * 1000000 div n_a) * n", "n_b").alias("lift"),
         )
         .orderBy(F.col("n_ab").desc(), F.col("part_a").asc(), F.col("part_b").asc())
     )

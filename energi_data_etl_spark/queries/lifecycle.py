@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import scratch_dir
 from .catalog import query
 
 #: Deterministic hourly price for (zone, date, hour): exact small
@@ -92,11 +93,10 @@ def pipeline_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
     exactly the expected table: 13 days × 4 zones, one row each.
     """
     import datetime
-    import tempfile
 
     from ..pipeline.energy import run_incremental
 
-    base = tempfile.mkdtemp(prefix="lifecycle_")
+    base = scratch_dir("lifecycle_")
     table = f"{base}/fact_daily"
     ran = run_incremental(spark, table, _fixture_fetcher, f"{base}/land1", datetime.date(2024, 2, 10))
     assert ran, "cold-start backfill appended nothing"
@@ -362,11 +362,10 @@ def schema_evolution_union_by_name(spark: SparkSession, sf_dir: str) -> DataFram
     per-generation null accounting. Oracle re-derives both generations
     from the source table in closed form (the gen split is a pure
     function of the event date)."""
-    import tempfile
 
     from ..sources.tables import load_table
 
-    base = tempfile.mkdtemp(prefix="schema_evo_")
+    base = scratch_dir("schema_evo_")
     ev = load_table(spark, "events", sf_dir)
     cutoff = F.lit("2024-01-16").cast("date")
     gen1 = ev.filter(F.to_date("ts") < cutoff).select(
@@ -415,11 +414,10 @@ def file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     single file and (b) max(row_index)+1 re-derives the file's row
     count — the two invariants a file-lineage audit (bad-file
     quarantine, incremental re-ingest) rests on."""
-    import tempfile
 
     from ..sources.tables import load_table
 
-    base = tempfile.mkdtemp(prefix="lineage_")
+    base = scratch_dir("lineage_")
     ev = load_table(spark, "events", sf_dir).withColumn("date", F.to_date("ts"))
     ev.repartition("date").write.partitionBy("date").parquet(f"{base}/t")
     back = spark.read.parquet(f"{base}/t").select(
@@ -464,7 +462,6 @@ def api_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_api_and_formats.py.
     """
     import json as _json
-    import tempfile
 
     from ..sources.api_datasource import EnergiPricesDataSource
     from ..sources.tables import load_table
@@ -478,7 +475,7 @@ def api_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    uplink = tempfile.mkdtemp(prefix="uplink_")
+    uplink = scratch_dir("uplink_")
     (
         rollup.write.format("energi_prices")
         .option("uplink_dir", uplink)
@@ -526,14 +523,13 @@ def api_sink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     |epochs| entries each |tasks| long, and an idempotent receiver gets
     its dedup key for free from the task-unique document names."""
     import json as _json
-    import tempfile
 
     from ..sources.api_datasource import EnergiPricesDataSource
     from ..sources.tables import load_table
     from ..streaming.ops import _ephemeral_checkpoint_dir, drain_conf
 
     spark.dataSource.register(EnergiPricesDataSource)
-    base = tempfile.mkdtemp(prefix="uplink_stream_")
+    base = scratch_dir("uplink_stream_")
     src = f"{base}/src"
     (
         load_table(spark, "events", sf_dir)

@@ -58,6 +58,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..session import scratch_dir
 from ..sources.tables import load_table
 from .catalog import query
 
@@ -1150,10 +1151,9 @@ def compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. Compaction is the everyday answer to streaming sinks'
     small-file problem (see streaming_rollup_parquet).
     """
-    import tempfile
 
     ev = load_table(spark, "events", sf_dir)
-    base = tempfile.mkdtemp(prefix="compact_")
+    base = scratch_dir("compact_")
     (
         ev.repartition(1)
         .write.mode("overwrite")

@@ -22,6 +22,7 @@ from ..streaming.ops import (
     stream_to_parquet,
     tumbling_window_avg,
 )
+from ..session import scratch_dir
 from .catalog import query
 
 
@@ -201,9 +202,8 @@ def streaming_rollup_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     production topology (stream_to_parquet, durable checkpoint); the
     memory-sink drains elsewhere exist only to make complete-mode
     output hash-comparable."""
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="t7_rollup_")
+    base = scratch_dir("t7_rollup_")
     stream = events_stream(spark, _events_path(sf_dir))
     rolled = tumbling_window_avg(stream, watermark="0 seconds")
     with drain_conf(spark):
@@ -346,11 +346,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     import glob
     import os
     import shutil
-    import tempfile
 
     from ..sources.tables import load_table
 
-    base = tempfile.mkdtemp(prefix="febatch_")
+    base = scratch_dir("febatch_")
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
     src = f"{base}/src"
     os.makedirs(src)
@@ -417,11 +416,10 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     numRowsDroppedByWatermark=0), so the replay must trail the
     watermark-advancing data by two batches to exercise the drop."""
     import os
-    import tempfile
 
     from ..sources.tables import load_table
 
-    base = tempfile.mkdtemp(prefix="late_drop_")
+    base = scratch_dir("late_drop_")
     src = f"{base}/src"
     os.makedirs(src)
     ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
@@ -486,11 +484,10 @@ def streaming_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     from ..sources.tables import load_table
 
-    base = tempfile.mkdtemp(prefix="updmode_")
+    base = scratch_dir("updmode_")
     src = f"{base}/src"
     os.makedirs(src)
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
@@ -541,10 +538,9 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     here are the bug this audit exists to catch — the oracle is the
     eviction contract's complement, streaming_rollup_parquet certifies
     the emitted side)."""
-    import tempfile
     import uuid
 
-    base = tempfile.mkdtemp(prefix="ssaudit_")
+    base = scratch_dir("ssaudit_")
     ck = f"{base}/ck"
     stream = events_stream(spark, _events_path(sf_dir)).withWatermark("ts", "0 seconds")
     agg = stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
@@ -719,8 +715,18 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the fully tie-broken struct key is what makes the
     streaming and rank formulations provably pick the same row.
 
-    Scale: state is |open candles|×|types| rows, evicted past the
-    watermark; each micro-batch does one map-side partial per candle."""
+    Scale: each micro-batch does one map-side partial per candle, and a
+    state row is one (best-pair, extremes, count) tuple — never the
+    window's events. NOTE the certified drain runs COMPLETE mode (every
+    candle re-emitted per batch, watermark declared but nothing
+    evicted), which is the right shape for a bounded drain-and-compare
+    but NOT for an unbounded deploy: state and emit volume grow with
+    total candle count. A production pipeline keeps the same
+    ohlc_candles() plan and switches the sink to append/update mode,
+    where the declared watermark DOES evict closed candles and bounds
+    state at |open candles|×|types| (the append-mode finalization-cut
+    discipline is certified separately by streaming_daily_active_users
+    and streaming_late_data_drop)."""
     from ..streaming.ops import ohlc_candles
 
     stream = events_stream(spark, _events_path(sf_dir))

@@ -13,7 +13,24 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "cpu_count", "apply_engine_conf"]
+__all__ = ["get_spark", "cpu_count", "apply_engine_conf", "scratch_dir"]
+
+
+def scratch_dir(prefix: str, dir: str | None = None) -> str:  # noqa: A002
+    """mkdtemp whose lifetime is the PROCESS, not the function: removal
+    is registered with atexit because queries return LAZY DataFrames
+    that may read files under the dir after the function returns (the
+    driver collects later), so eager cleanup would break the plan.
+    Closes the r08/r10 advice item "uplink mkdtemp dirs never cleaned" —
+    a long-lived session (bench: 267 queries; driver: 50) no longer
+    accumulates orphan scratch dirs past process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix, dir=dir)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def cpu_count() -> int:

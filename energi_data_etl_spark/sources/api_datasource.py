@@ -29,6 +29,7 @@ replay").
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 from dataclasses import dataclass
 from datetime import date as Date
 from datetime import timedelta
@@ -250,6 +251,31 @@ class UplinkCommit(WriterCommitMessage):
     n_rows: int
 
 
+@contextmanager
+def _manifest_lock(uplink_dir: str):
+    """Exclusive advisory lock serializing manifest read-modify-write.
+
+    Spark calls ``commit`` once per job on the driver, so a single
+    query never races itself — but two CONCURRENT jobs appending into
+    the same uplink_dir would interleave their read→merge→rename and
+    one job's documents could vanish from the published manifest.
+    flock on a sidecar lock file closes that window on POSIX local /
+    NFS-with-locking storage; for object stores (no flock) the deploy
+    contract is single-writer-per-uplink_dir, which the streaming path
+    satisfies by construction (one driver owns the query)."""
+    import fcntl
+    import os
+
+    os.makedirs(uplink_dir, exist_ok=True)
+    fd = os.open(os.path.join(uplink_dir, ".manifest.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 class EnergiUplinkWriter(DataSourceWriter):
     """The WRITE half of the connector (Spark 4 Python DataSource
     writer): each task serializes its partition as one JSON-lines
@@ -307,16 +333,18 @@ class EnergiUplinkWriter(DataSourceWriter):
         manifest = os.path.join(self.uplink_dir, "manifest.json")
         # append mode folds this job's documents into the committed set;
         # overwrite mode replaces it — so the manifest is always the
-        # complete exactly-once view across jobs
-        if not self.overwrite and os.path.exists(manifest):
-            with open(manifest, encoding="utf-8") as fh:
-                prev = _json.load(fh)
-            files = sorted(set(prev["files"]) | set(files))
-            total += prev["n_rows"]
-        tmp = manifest + ".inprogress"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            _json.dump({"files": files, "n_rows": total}, fh)
-        os.rename(tmp, manifest)
+        # complete exactly-once view across jobs; the lock serializes
+        # concurrent appending jobs' read-modify-write
+        with _manifest_lock(self.uplink_dir):
+            if not self.overwrite and os.path.exists(manifest):
+                with open(manifest, encoding="utf-8") as fh:
+                    prev = _json.load(fh)
+                files = sorted(set(prev["files"]) | set(files))
+                total += prev["n_rows"]
+            tmp = manifest + ".inprogress"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                _json.dump({"files": files, "n_rows": total}, fh)
+            os.rename(tmp, manifest)
 
     def abort(self, messages) -> None:  # noqa: ANN001
         import contextlib
@@ -382,16 +410,17 @@ class EnergiUplinkStreamWriter(DataSourceStreamWriter):
         files = sorted(m.path for m in messages if m is not None)
         total = sum(m.n_rows for m in messages if m is not None)
         manifest = os.path.join(self.uplink_dir, self.MANIFEST)
-        epochs: dict = {}
-        if os.path.exists(manifest):
-            with open(manifest, encoding="utf-8") as fh:
-                epochs = _json.load(fh)["epochs"]
-        # idempotent per epoch: a retried micro-batch REPLACES its entry
-        epochs[str(batchId)] = {"files": files, "n_rows": total}
-        tmp = manifest + ".inprogress"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            _json.dump({"epochs": epochs}, fh)
-        os.rename(tmp, manifest)
+        with _manifest_lock(self.uplink_dir):
+            epochs: dict = {}
+            if os.path.exists(manifest):
+                with open(manifest, encoding="utf-8") as fh:
+                    epochs = _json.load(fh)["epochs"]
+            # idempotent per epoch: a retried micro-batch REPLACES its entry
+            epochs[str(batchId)] = {"files": files, "n_rows": total}
+            tmp = manifest + ".inprogress"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                _json.dump({"epochs": epochs}, fh)
+            os.rename(tmp, manifest)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: ANN001, N803
         import contextlib

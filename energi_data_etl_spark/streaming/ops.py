@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..session import scratch_dir
 from ..sources.tables import epoch_long_to_micros
 
 __all__ = [
@@ -90,7 +91,7 @@ def _ephemeral_checkpoint_dir() -> str:
     import os
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
+    return scratch_dir("ckpt_", dir=base)
 
 
 #: State-store partition count for certification drains. Streaming state
