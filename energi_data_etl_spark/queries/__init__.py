@@ -25,34 +25,47 @@ from . import sketches  # noqa: F401,E402
 # FIRST 50 queries in registration order, so the window is rotated
 # round-to-round until every query has a driver-certified row.
 #
-# Round 11 window (the rotation the r09 AND r10 verdicts ordered; rounds
-# 9-10 had no builder session so the r08 window ran three times): entry
-# canary + 49 of the 68 never-driver-certified oracled queries (catalog
-# minus hash-green rows in CORRECTNESS_r01..r10 minus the 2 rows-only;
-# ledger recomputed 2026-08-15, staleness 50@r10 / 49@r07 / 37@r06 /
-# 45@r05 / 16@r04). Front-loaded per VERDICT r10 items 1-2: the two
-# never-certified streaming queries, the api_sink pair, and ann_ivf_topk
-# (the ONLY oracled query whose latest driver row is an error — an
-# r01-r04 `no_oracle` row predating the verdict oracle it gained in
-# r08), then the two algorithm twins that justify the rows-only
-# exemptions (pagerank_integer_twin, neardup_simhash_md5), then the
-# heavy/stateful/iterative tier. The 19 deferred (lighter SQL-surface /
-# window-analytics queries, each sim-green) are pinned for r12 in
-# SURVEY.md §7's rotation table alongside the 16 r04-stale and 14
-# oldest-r05 rows.
+# The rotation is SELF-EXECUTING as of r11: rounds 9 and 10 had no
+# builder session, so the frozen r08 window ran three times and burned
+# 100 certification slots re-proving already-green queries. FIRST_50 is
+# now computed at import time from the driver's own committed
+# CORRECTNESS_r*.json artifacts (repo root): entry canary first, then
+# every oracled query with NO hash-green row anywhere in the ledger
+# (ordered by the pinned PRIORITY list below — streaming/state first,
+# then the heavy/stateful tiers; names not in PRIORITY, i.e. queries
+# added in later rounds, follow in registration order), then — if slots
+# remain — certified queries stalest-first (oldest last-green round,
+# registration order within a round). A builder-less round therefore
+# still advances the ledger: the driver commits CORRECTNESS_rN.json at
+# round close, and the next import recomputes the window from it.
+#
+# At r11 (artifacts r01..r10 present) this computes exactly the window
+# the r10 verdict ordered: canary + 49 of the 68 never-certified,
+# front-loading streaming_ohlc_candles / streaming_daily_active_users /
+# the api_sink pair / ann_ivf_topk (the one latest-row-is-an-error
+# query) / the two rows-only algorithm twins. At r12 it self-selects
+# the 19 deferred never-certified + the stalest 30 (the 16 r04 rows,
+# then oldest r05) — SURVEY.md §13's rotation table.
 #
 # ROWS-ONLY QUERIES STAY OUT OF THE WINDOW: the driver records a
 # no-oracle query as an `err: no_oracle` row (CORRECTNESS_r06
 # lsh_bucket_stats), i.e. it consumes a slot without producing a
 # certification. Rows-only queries are carried by exact-method
 # tests in tests/ instead (SURVEY.md §5.2).
-FIRST_50 = [
+
+CANARY = "flagship_daily_avg"
+
+#: The never-certified pool at r11 open (ledger recomputed 2026-08-15
+#: from CORRECTNESS_r01..r10), priority-ordered: positions 0-48 are the
+#: r11 window body, 49-67 the r12 carry-over. Queries that certify
+#: drop out of the computed window automatically; ones that FAIL a
+#: round stay never-certified and are retried next round ahead of any
+#: staleness refresh.
+PRIORITY = [
     # -- streaming / stream-sink family (first: highest value if the
     #    window truncates; the only streaming queries without a row) --
     "streaming_ohlc_candles", "streaming_daily_active_users",
     "api_sink_stream_roundtrip", "api_sink_roundtrip",
-    # -- entry canary (early in case of truncation) --
-    "flagship_daily_avg",
     # -- the one latest-row-is-an-error query (VERDICT r10 item 2) --
     "ann_ivf_topk",
     # -- algorithm twins justifying the 2 rows-only exemptions --
@@ -89,7 +102,76 @@ FIRST_50 = [
     "char_lm_quality_bits", "heavyhitters_misra_gries",
     "feature_equidepth_bins", "benford_first_digit_audit",
     "psi_value_drift",
+    # -- r12 carry-over (position 49+): the lighter SQL-surface /
+    #    window-analytics never-certified queries --
+    "ab_test_two_proportion", "active_users_rolling_7d",
+    "association_rules_lift", "changepoint_binary_segmentation",
+    "column_profile_report", "compaction_small_files",
+    "floored_running_balance", "key_skew_audit",
+    "max_concurrent_sessions", "order_date_streaks",
+    "pareto_frontier_lineitem", "pipe_syntax_surface",
+    "proration_largest_remainder", "run_length_collapse",
+    "set_operations_bag", "slo_burn_rate_alert", "sql_sugar_surface",
+    "sql_udf_surface", "sql_variables_surface",
 ]
+
+
+def certified_rounds() -> dict[str, int]:
+    """name -> latest round with a fully-green driver row (rows+schema+
+    hash), read from the committed CORRECTNESS_r*.json artifacts at the
+    repo root. Empty on any read problem — the window then degrades to
+    pure PRIORITY order, never to an import failure."""
+    import json
+    import re
+    from pathlib import Path
+
+    green: dict[str, int] = {}
+    try:
+        root = Path(__file__).resolve().parents[2]
+        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"r(\d+)", f.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                data = json.loads(f.read_text())
+            except (OSError, ValueError):
+                continue
+            if not isinstance(data, dict):
+                continue
+            for name, row in data.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("hash_match")
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                ):
+                    green[name] = max(green.get(name, 0), rnd)
+    except Exception:
+        return {}
+    return green
+
+
+def compute_first_50(green: dict[str, int]) -> list[str]:
+    """Pure selection rule (unit-tested on synthetic ledgers): canary,
+    then never-certified oracled queries in PRIORITY order (unknown
+    names last, registration order), then certified stalest-first."""
+    reg = {n: i for i, n in enumerate(QUERIES)}
+    pri = {n: i for i, n in enumerate(PRIORITY)}
+    oracled = [n for n, q in QUERIES.items() if q.oracle is not None and n != CANARY]
+    never = [n for n in oracled if n not in green]
+    never.sort(key=lambda n: (pri.get(n, len(PRIORITY)), reg[n]))
+    window = [CANARY] + never[:49]
+    if len(window) < 50:
+        stale = sorted(
+            (n for n in oracled if n in green),
+            key=lambda n: (green[n], reg[n]),
+        )
+        window += stale[: 50 - len(window)]
+    return window
+
+
+FIRST_50 = compute_first_50(certified_rounds())
 
 
 def _rotate(first: list[str]) -> None:

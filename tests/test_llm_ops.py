@@ -279,3 +279,85 @@ def test_quantize_error_int8_matches_numpy_exactly(spark, sf_dir):
         assert row.mse == mse
         assert row.mse <= (scale / 2.0) ** 2 + 1e-18
     assert len(got) == len(x)  # no zero vectors dropped in this corpus
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — the linear-at-scale SemDeDup path (r11). The certified
+# fixed-K twin is queries/llm.py::semdedup_cell_prune; these tests pin the
+# scaled operator's DECISION exactness and recall on planted duplicates.
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(spark, n_base=400, n_dups=40, dim=16, eps=0.001):
+    """n_base deterministic pseudo-random vectors + n_dups near-copies of
+    the first n_dups (one coordinate nudged by eps -> cosine ~ 1)."""
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), j -> "
+            "cast((abs(xxhash64(id, j)) % 2001 - 1000) / 1000.0 as float))"
+        ).alias("embedding"),
+    )
+    dup = spark.range(n_dups).select(
+        (F.col("id") + n_base).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), j -> "
+            f"cast((abs(xxhash64(id, j)) % 2001 - 1000) / 1000.0 "
+            f"+ if(j = 1, {eps}, 0.0) as float))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+def test_semdedup_prune_partition_and_planted_recall(spark):
+    n_base, n_dups = 400, 40
+    corpus = _planted_corpus(spark, n_base, n_dups)
+    out = S.semdedup_prune(corpus, threshold=0.95, target_cell=64).toPandas()
+    # partition property: one row per vector, pruned/kept disjoint cover
+    assert len(out) == n_base + n_dups
+    assert out["vec_id"].is_unique
+    # a duplicate and its original share (by construction) near-identical
+    # vectors; same-cell assignment is the algorithm's recall surface.
+    dup_rows = out[out["vec_id"] >= n_base]
+    pruned_dups = int(dup_rows["pruned"].sum())
+    # the higher id of each planted pair is the duplicate -> it is the
+    # one pruned whenever the pair lands in one cell. Require >= 90%
+    # same-cell recall on near-identical vectors (they quantize to the
+    # same centroid unless they sit exactly on a Voronoi boundary).
+    assert pruned_dups >= 0.9 * n_dups, f"only {pruned_dups}/{n_dups} planted dups pruned"
+    # originals (ids < n_dups) must be KEPT (keep-lowest-id rule) unless
+    # they collide with an unplanted near-dup, which eps-random vectors
+    # in 16 dims essentially never do at 0.95.
+    originals = out[out["vec_id"] < n_dups]
+    assert int(originals["pruned"].sum()) == 0
+
+
+def test_semdedup_prune_decisions_match_exact_cosine(spark):
+    corpus = _planted_corpus(spark, 200, 20)
+    out = S.semdedup_prune(corpus, threshold=0.95, target_cell=64)
+    # every pruned vector must have an exact-cosine > threshold partner
+    # with a LOWER id inside its own cell (decision exactness: the
+    # operator never prunes on a fabricated similarity).
+    a = out.select(F.col("vec_id").alias("a_id"), F.col("cell").alias("a_cell"))
+    b = out.filter("pruned").select(F.col("vec_id").alias("b_id"), F.col("cell").alias("b_cell"))
+    vecs = corpus.select("vec_id", "embedding")
+    pairs = (
+        b.join(a, (F.col("a_cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id")))
+        .join(vecs.withColumnsRenamed({"vec_id": "a_id", "embedding": "va"}), "a_id")
+        .join(vecs.withColumnsRenamed({"vec_id": "b_id", "embedding": "vb"}), "b_id")
+        .select("b_id", S.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .groupBy("b_id")
+        .agg(F.max("cos").alias("best"))
+        .toPandas()
+    )
+    n_pruned = out.filter("pruned").count()
+    assert len(pairs) == n_pruned
+    assert (pairs["best"] > 0.95 - 1e-9).all()
+
+
+def test_semdedup_prune_is_deterministic(spark):
+    corpus = _planted_corpus(spark, 150, 15)
+    r1 = S.semdedup_prune(corpus, threshold=0.9, target_cell=64).toPandas().sort_values("vec_id")
+    r2 = S.semdedup_prune(corpus, threshold=0.9, target_cell=64).toPandas().sort_values("vec_id")
+    assert (r1["pruned"].to_numpy() == r2["pruned"].to_numpy()).all()
+    assert (r1["cell"].to_numpy() == r2["cell"].to_numpy()).all()

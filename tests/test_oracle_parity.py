@@ -40,17 +40,53 @@ def test_rows_only_query_runs(spark, oracle_sf_dir, name):
 
 
 # The driver certifies the FIRST 50 queries in registration order each
-# round; queries/__init__.py pins the round's window explicitly in
-# FIRST_50 and reorders the registry to match. Assert the registry
-# agrees so an accidental import reshuffle or catalog insertion doesn't
+# round; queries/__init__.py computes the round's window (FIRST_50)
+# from the committed CORRECTNESS_r*.json ledger — self-executing as of
+# r11 — and reorders the registry to match. Assert the registry agrees
+# so an accidental import reshuffle or catalog insertion doesn't
 # silently change which queries get certified (ADVICE r03). Changing
-# the rotation ON PURPOSE = edit FIRST_50 in queries/__init__.py.
+# the rotation ON PURPOSE = edit PRIORITY in queries/__init__.py.
 
 
 def test_first_50_registration_order_pinned():
     from energi_data_etl_spark.queries import FIRST_50
 
     assert list(QUERIES)[:50] == FIRST_50
+
+
+def test_first_50_window_invariants():
+    from energi_data_etl_spark.queries import CANARY, FIRST_50
+
+    assert len(FIRST_50) == len(set(FIRST_50)) == 50
+    assert FIRST_50[0] == CANARY
+    # oracled-only: a rows-only query would burn a slot on err:no_oracle
+    assert all(QUERIES[n].oracle is not None for n in FIRST_50)
+
+
+def test_compute_first_50_selection_rules():
+    """The pure selection rule on synthetic ledgers: never-certified in
+    PRIORITY order first, then stalest-first fill; failed (non-green)
+    rows stay in the pool and are retried next round."""
+    from energi_data_etl_spark.queries import CANARY, PRIORITY, compute_first_50
+
+    oracled = [n for n, q in QUERIES.items() if q.oracle is not None]
+    # empty ledger -> canary + first 49 of PRIORITY (all never-certified)
+    w = compute_first_50({})
+    assert w[0] == CANARY and w[1:] == PRIORITY[:49]
+    # everything green at round 5 except two PRIORITY members -> those
+    # two lead the body, then the stalest fill in registration order
+    never = [PRIORITY[3], PRIORITY[7]]
+    green = {n: 5 for n in oracled if n not in never}
+    w = compute_first_50(green)
+    assert w[:3] == [CANARY, PRIORITY[3], PRIORITY[7]]
+    reg = [n for n in QUERIES if n in green and n != CANARY]
+    assert w[3:] == reg[:47]
+    # staleness ordering: one query last-green r2 jumps ahead of r5 rows
+    green2 = dict(green)
+    stale_name = reg[40]
+    green2[stale_name] = 2
+    w2 = compute_first_50(green2)
+    assert w2[3] == stale_name
 
 
 def test_entry_smoke(spark, sf_dir):
