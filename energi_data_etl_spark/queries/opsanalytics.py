@@ -1728,8 +1728,19 @@ def shortest_path_layered_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan); layers beyond int bounds chain the same loop with
     localCheckpoint lineage truncation (pagerank rule)."""
     nation = load_table(spark, "nation", sf_dir).select("n_nationkey")
-    a = nation.select(F.col("n_nationkey").alias("a"), F.expr("n_nationkey div 5").alias("layer"))
-    b = nation.select(F.col("n_nationkey").alias("b"), F.expr("n_nationkey div 5").alias("bl"))
+    # The relaxation loop below walks exactly layers 0..3 from source 0,
+    # so only edges with tail layer < 4 (and head layer 1..4) are ever
+    # consumed — bound the edge BUILD to those layers BEFORE the
+    # localCheckpoint, not after (output-identical; without this the
+    # checkpoint materializes |V|-sized edges of which a constant number
+    # is used — measured 4.9x at 5x nodes in scripts/scale_probe_r11.py,
+    # ~flat with the bound pushed into the scan).
+    a = nation.select(F.col("n_nationkey").alias("a"), F.expr("n_nationkey div 5").alias("layer")).filter(
+        F.col("layer") < 4
+    )
+    b = nation.select(F.col("n_nationkey").alias("b"), F.expr("n_nationkey div 5").alias("bl")).filter(
+        (F.col("bl") >= 1) & (F.col("bl") <= 4)
+    )
     edges = (
         a.join(b, F.col("bl") == F.col("layer") + 1)
         .select(
