@@ -18,9 +18,22 @@ import statistics
 import sys
 
 
+def _load_run(path: str) -> dict:
+    """Accept both bench.py output formats: the legacy single JSON line
+    (full queries dict + value) and the r11 two-line format (detail
+    line with the full per-query dict, then a compact aggregate line
+    whose queries field is only the slowest-10)."""
+    lines = [json.loads(ln) for ln in open(path) if ln.strip()]
+    detail = next((d for d in lines if d.get("metric") == "declared_query_detail"), None)
+    agg = lines[-1]
+    if detail is not None:
+        return {"queries": detail["queries"], "value": agg.get("value"), "sf": agg.get("sf")}
+    return agg
+
+
 def main() -> int:
     out_path, run_paths = sys.argv[1], sys.argv[2:]
-    runs = [json.load(open(p)) for p in run_paths]
+    runs = [_load_run(p) for p in run_paths]
     names = list(runs[0]["queries"])
     medians = {
         k: round(statistics.median([r["queries"][k] for r in runs if k in r["queries"]]), 3)

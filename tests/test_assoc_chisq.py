@@ -67,7 +67,9 @@ def test_association_rules_match_counter_reference(spark, sf_dir):
         assert r.support == (r.n_ab * 1000000 // n_orders) / 1e6
         assert r.conf_a_to_b == (r.n_ab * 1000000 // r.n_a) / 1e6
         assert r.conf_b_to_a == (r.n_ab * 1000000 // r.n_b) / 1e6
-        assert r.lift == (r.n_ab * 1000000 * n_orders // (r.n_a * r.n_b)) / 1e6
+        # staged to keep BIGINT intermediates <= ~1e6*n (r11 overflow
+        # fix): conf ppm first, then * n // n_b — mirrored in the oracle
+        assert r.lift == (r.n_ab * 1000000 // r.n_a) * n_orders // r.n_b / 1e6
         # rule sanity: confidence never exceeds 1, n_ab bounded by margins
         assert r.n_ab <= min(r.n_a, r.n_b)
         assert r.conf_a_to_b <= 1.0 and r.conf_b_to_a <= 1.0
