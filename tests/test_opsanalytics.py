@@ -503,3 +503,37 @@ def test_fifo_matching_replays_queue_simulation(spark, sf_dir):
                          r.unmatched_supply, r.unmatched_demand)) for r in rows] == want_order
     for r in rows:
         assert r.qty_allocated == min(r.supply_total, r.demand_total)
+
+
+def test_shortest_path_bounded_edge_build_on_large_graph(spark, tmp_path):
+    """r11 regression guard for the bounded edge build: the frontier
+    loop walks exactly layers 0-3, so the layer filters pushed in front
+    of the edge localCheckpoint must be output-identical at ANY graph
+    size (the fixture nation is always 25 rows at every SF, so the
+    driver gate never exercises this). 5000 nodes = 1000 layers, of
+    which the plan may touch only the first five; the DuckDB oracle
+    enumerates paths definitionally over the same parquet."""
+    import duckdb
+
+    from energi_data_etl_spark.plans.parity import compare_frames
+    from energi_data_etl_spark.queries import QUERIES
+
+    d = str(tmp_path)
+    (
+        spark.range(5000)
+        .select(F.col("id").alias("n_nationkey"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{d}/nation.parquet")
+    )
+    q = QUERIES["shortest_path_layered_dag"]
+    got = q.fn(spark, d).toPandas()
+    assert len(got) == 20  # layers 1-4 x 5 nodes, regardless of graph size
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{d}/nation.parquet/*.parquet')"
+    )
+    want = con.execute(q.oracle).df()
+    r = compare_frames("shortest_path_large_graph", got, want)
+    assert r.ok, r.detail
