@@ -592,6 +592,7 @@ def semdedup_prune(
     kmeans_iters: int = 5,
     seed: int = 42,
     corpus_count: int | None = None,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public) — the LINEAR-at-scale path
     that queries/llm.py::semdedup_cell_prune's fixture-certified twin
@@ -612,9 +613,13 @@ def semdedup_prune(
       (N×K·d flops vectorized — the interpreted fold that makes the
       certified twin hash-replayable would be the bottleneck here).
       Past ~1e7 vectors the single-level assign flops (N²·d/target_cell)
-      start to dominate; the standard continuation is a two-level
-      (coarse×fine) quantizer, which changes only this function's
-      assign step, not the pair stage or the API.
+      start to dominate, so ``two_level`` (auto-on once K > 4096)
+      switches to the standard coarse×fine quantizer (FAISS's IMI
+      shape): √K coarse centroids, √K fine centroids per coarse cell,
+      assign = argmax over coarse then argmax within the chosen coarse
+      — N·2√K·d flops, and the fit itself drops from sample×K to
+      sample×2√K. Only the assign step changes; the pair stage, the
+      prune rule, and the returned schema are identical.
     * per-cell pair compare = one numpy matmul per cell
       (groupBy(cell).applyInPandas), upper-triangle by id, processed in
       row blocks so task memory stays O(block·cell) even for skewed
@@ -642,20 +647,63 @@ def semdedup_prune(
     X = np.array([r[0] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                C[j] = c / (np.linalg.norm(c) or 1.0)
-    b_C = spark.sparkContext.broadcast(C)
+
+    def _spherical_kmeans(pts, k, iters):
+        k = max(1, min(k, len(pts)))
+        cm = pts[rng.choice(len(pts), size=k, replace=False)].copy()
+        for _ in range(iters):
+            asg = np.argmax(pts @ cm.T, axis=1)
+            for j in range(k):
+                members = pts[asg == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    cm[j] = c / (np.linalg.norm(c) or 1.0)
+        return cm
+
+    if two_level is None:
+        two_level = n_centroids > 4096
+
+    if two_level:
+        import math
+
+        k_coarse = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(K))
+        k_fine = max(1, -(-n_centroids // k_coarse))  # ceil(K / Kc)
+        Cc = _spherical_kmeans(X, k_coarse, kmeans_iters)
+        k_coarse = len(Cc)
+        coarse_of = np.argmax(X @ Cc.T, axis=1)
+        d = X.shape[1]
+        Cf = np.zeros((k_coarse, k_fine, d), dtype=np.float64)
+        for c in range(k_coarse):
+            members = X[coarse_of == c]
+            fine = _spherical_kmeans(members, k_fine, kmeans_iters) if len(members) else Cc[c : c + 1]
+            # pad unfilled fine slots by repeating the first fine
+            # centroid: padded slots ALIAS a valid cell, never win a
+            # strict argmax over distinct vectors, and keep the array
+            # rectangular for one fused matmul per coarse group.
+            Cf[c, : len(fine)] = fine
+            Cf[c, len(fine) :] = fine[0]
+        b_C = spark.sparkContext.broadcast((Cc, Cf, k_fine))
+
+        def _cells(v, payload):
+            Ccm, Cfm, kf = payload
+            coarse = np.argmax(v @ Ccm.T, axis=1)
+            cells = np.empty(len(v), dtype=np.int32)
+            for c in np.unique(coarse):
+                m = coarse == c
+                cells[m] = c * kf + np.argmax(v[m] @ Cfm[c].T, axis=1)
+            return cells
+
+    else:
+        C = _spherical_kmeans(X, n_centroids, kmeans_iters)
+        b_C = spark.sparkContext.broadcast(C)
+
+        def _cells(v, payload):
+            return np.argmax(v @ payload.T, axis=1).astype(np.int32)
 
     def assign_batches(batches):
         import pandas as pd
 
-        Cm = b_C.value
+        payload = b_C.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -665,7 +713,7 @@ def semdedup_prune(
                 {
                     "__id": pdf[id_col].to_numpy(),
                     "__v": list(v),
-                    "cell": np.argmax(v @ Cm.T, axis=1).astype(np.int32),
+                    "cell": _cells(v, payload).astype(np.int32),
                 }
             )
 

@@ -361,3 +361,37 @@ def test_semdedup_prune_is_deterministic(spark):
     r2 = S.semdedup_prune(corpus, threshold=0.9, target_cell=64).toPandas().sort_values("vec_id")
     assert (r1["pruned"].to_numpy() == r2["pruned"].to_numpy()).all()
     assert (r1["cell"].to_numpy() == r2["cell"].to_numpy()).all()
+
+
+def test_semdedup_prune_two_level_quantizer(spark):
+    """The coarse x fine assign path (auto-on at K > 4096, forced here)
+    must satisfy the same partition / recall / exactness contract as
+    single-level: identical-by-construction duplicates follow the same
+    quantization path through both levels, so same-cell recall holds."""
+    n_base, n_dups = 400, 40
+    corpus = _planted_corpus(spark, n_base, n_dups)
+    out = S.semdedup_prune(corpus, threshold=0.95, target_cell=64, two_level=True).toPandas()
+    assert len(out) == n_base + n_dups and out["vec_id"].is_unique
+    dup_rows = out[out["vec_id"] >= n_base]
+    assert int(dup_rows["pruned"].sum()) >= 0.9 * n_dups
+    assert int(out[out["vec_id"] < n_dups]["pruned"].sum()) == 0
+    # decision exactness: a pruned vector has a lower-id same-cell
+    # partner above the threshold under EXACT cosine
+    a = spark.createDataFrame(out).select(
+        F.col("vec_id").alias("a_id"), F.col("cell").alias("a_cell")
+    )
+    b = spark.createDataFrame(out[out["pruned"]]).select(
+        F.col("vec_id").alias("b_id"), F.col("cell").alias("b_cell")
+    )
+    vecs = corpus.select("vec_id", "embedding")
+    pairs = (
+        b.join(a, (F.col("a_cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id")))
+        .join(vecs.withColumnsRenamed({"vec_id": "a_id", "embedding": "va"}), "a_id")
+        .join(vecs.withColumnsRenamed({"vec_id": "b_id", "embedding": "vb"}), "b_id")
+        .select("b_id", S.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .groupBy("b_id")
+        .agg(F.max("cos").alias("best"))
+        .toPandas()
+    )
+    assert len(pairs) == int(out["pruned"].sum())
+    assert (pairs["best"] > 0.95 - 1e-9).all()
