@@ -612,10 +612,11 @@ def semdedup_prune(
     * assignment = one Arrow-batched numpy matmul per partition
       (N×K·d flops vectorized — the interpreted fold that makes the
       certified twin hash-replayable would be the bottleneck here).
-      Past ~1e7 vectors the single-level assign flops (N²·d/target_cell)
-      start to dominate, so ``two_level`` (auto-on once K > 4096)
-      switches to the standard coarse×fine quantizer (FAISS's IMI
-      shape): √K coarse centroids, √K fine centroids per coarse cell,
+      The single-level assign flops (N²·d/target_cell) start to
+      dominate once K reaches the hundreds (measured 3.4× end-to-end
+      at K=1953 — BASELINE.md r11), so ``two_level`` (auto-on once
+      K > 256) switches to the standard coarse×fine quantizer (FAISS's
+      IMI shape): √K coarse centroids, √K fine centroids per coarse cell,
       assign = argmax over coarse then argmax within the chosen coarse
       — N·2√K·d flops, and the fit itself drops from sample×K to
       sample×2√K. Only the assign step changes; the pair stage, the
@@ -661,7 +662,11 @@ def semdedup_prune(
         return cm
 
     if two_level is None:
-        two_level = n_centroids > 4096
+        # measured crossover (BASELINE.md r11): two-level already wins
+        # at K=488 (1.54 vs 2.19 s @ 250k vectors) and 3.4x at K=1953;
+        # below a few hundred cells the single-level matmul is trivial
+        # and skips one quantization stage (marginally better recall).
+        two_level = n_centroids > 256
 
     if two_level:
         import math
