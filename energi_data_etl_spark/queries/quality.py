@@ -386,15 +386,24 @@ def char_lm_quality_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine: counts are exact; LN last-ulp differences between
     libm builds are ~1e-15 relative, far under the ROUND(4) cut."""
-    chars = (
+    # ONE pass over the exploded corpus: the (lang, char) counts are a
+    # refinement of the corpus model, so corpus/total re-aggregate the
+    # tiny bylang frame (≤ |langs|·|alphabet| rows) instead of scanning
+    # the explode twice. The r11 probe caught the previous shape
+    # (localCheckpoint of the EXPLODED corpus — |chars| skinny rows
+    # materialized, 10.9× at 5× rows); checkpointing after the partial
+    # agg keeps the shuffle at partitions×alphabet scalars and the
+    # checkpoint at model size. Counts identical by construction.
+    bylang = (
         load_table(spark, "documents", sf_dir)
         .select("lang", F.explode(F.split("text", "")).alias("c"))
         .filter(F.length("c") > 0)  # guard a possible trailing empty split token
-        .localCheckpoint(eager=False)
+        .groupBy("lang", "c")
+        .agg(F.count(F.lit(1)).alias("n_lc"))
+        .localCheckpoint(eager=False)  # feeds corpus, total AND the join
     )
-    corpus = chars.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    corpus = bylang.groupBy("c").agg(F.sum("n_lc").cast("long").alias("n"))
     total = corpus.agg(F.sum("n").alias("tot"))
-    bylang = chars.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n_lc"))
     return (
         bylang.join(F.broadcast(corpus), "c")
         .crossJoin(F.broadcast(total))

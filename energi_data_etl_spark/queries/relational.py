@@ -518,6 +518,13 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side projection of the previous frame, no shuffle until the
     final rollup; depth is data-bounded (digits of the key), not
     row-bounded."""
+    # Recursion produces N·(digits+1) rows — past ~125k customers that
+    # crosses Spark's 1M-row recursion guard (hit at 1M customers in
+    # scripts/scale_probe_r11b.py). Raise it and LEAVE it set — the
+    # returned plan executes the recursion at collect time (lazy-plan
+    # rule: never unset a conf the returned plan still needs; same
+    # pattern as bfs_reachability_levels).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(50_000_000))
     c = load_table(spark, "customer", sf_dir)
     c.createOrReplaceTempView("__rcte_customer")
     return spark.sql(
