@@ -632,6 +632,14 @@ def semdedup_prune(
     the knob is target_cell. Exactness of the decisions it does make is
     pinned in tests/test_llm_ops.py (planted-duplicate recall, partition
     property, threshold agreement with exact cosine).
+
+    Broadcast lifecycle: each call broadcasts its centroids (K×d
+    doubles — ~2 MB at K=1953/d=128) and must NOT unpersist them
+    eagerly, because the returned plan is lazy and reads the broadcast
+    at collect time. Executors GC-unreference the block once the plan's
+    last consumer is released, but a long-lived session hammering this
+    operator (bench loops) accumulates one live block per outstanding
+    plan — hold the result, not the plan, if you call it in a loop.
     """
     import numpy as np
 

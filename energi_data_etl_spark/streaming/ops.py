@@ -19,7 +19,6 @@ checkpointing gives exactly-once into the parquet sink.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 from contextlib import contextmanager
 

@@ -23,7 +23,16 @@ def _load_run(path: str) -> dict:
     (full queries dict + value) and the r11 two-line format (detail
     line with the full per-query dict, then a compact aggregate line
     whose queries field is only the slowest-10)."""
-    lines = [json.loads(ln) for ln in open(path) if ln.strip()]
+    lines = []
+    for ln in open(path):
+        if not ln.strip():
+            continue
+        try:
+            lines.append(json.loads(ln))
+        except ValueError:
+            continue  # tail-truncated detail line / non-JSON noise
+    if not lines:
+        raise ValueError(f"{path}: no parseable JSON line")
     detail = next((d for d in lines if d.get("metric") == "declared_query_detail"), None)
     agg = lines[-1]
     if detail is not None:

@@ -364,7 +364,7 @@ def test_semdedup_prune_is_deterministic(spark):
 
 
 def test_semdedup_prune_two_level_quantizer(spark):
-    """The coarse x fine assign path (auto-on at K > 4096, forced here)
+    """The coarse x fine assign path (auto-on at K > 256, forced here)
     must satisfy the same partition / recall / exactness contract as
     single-level: identical-by-construction duplicates follow the same
     quantization path through both levels, so same-cell recall holds."""
