@@ -1573,3 +1573,195 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "semdedup_two_level_twin",
+    tier="L2-ext (two-level coarse x fine quantizer assign -> cell-blocked prune, oracle-replayable)",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x)) AS nrm
+            FROM embeddings
+        ), cc AS (
+            SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 6
+        ), fc AS (
+            SELECT (vec_id - 6) // 6 AS fcid, (vec_id - 6) % 6 AS fid,
+                   v AS fv, nrm AS fnrm
+            FROM e WHERE vec_id >= 6 AND vec_id < 42
+        ), cscore AS (
+            SELECT e.vec_id, e.v, e.nrm, cc.cid,
+                   LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                       i -> e.v[i] * cc.cv[i])) / SQRT(cc.cnrm) AS s
+            FROM e CROSS JOIN cc
+        ), cassign AS (
+            SELECT vec_id, v, nrm, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                FROM cscore) WHERE rn = 1
+        ), fscore AS (
+            SELECT a.vec_id, a.v, a.nrm, a.cid, f.fid,
+                   LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                       i -> a.v[i] * f.fv[i])) / SQRT(f.fnrm) AS s
+            FROM cassign a JOIN fc f ON f.fcid = a.cid
+        ), members AS (
+            SELECT vec_id, v, nrm, cid * 6 + fid AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, fid) AS rn
+                FROM fscore) WHERE rn = 1
+        ), dup_pairs AS (
+            SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+            FROM members a JOIN members b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                      i -> a.v[i] * b.v[i]))
+                  / (SQRT(a.nrm) * SQRT(b.nrm)) > 0.4
+        ), cell_pairs AS (
+            SELECT cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+                   CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_pruned
+            FROM dup_pairs GROUP BY cell
+        )
+        SELECT m.cell AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COALESCE(MAX(p.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_pruned,
+               CAST(COUNT(*) - COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_kept
+        FROM members m LEFT JOIN cell_pairs p ON m.cell = p.cell
+        GROUP BY m.cell ORDER BY cell
+    """,
+)
+def semdedup_two_level_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-LEVEL coarse x fine quantizer assign path under the
+    driver's hash gate (VERDICT r11 item 3): semdedup_prune auto-switches
+    to this FAISS-IMI-shaped assignment once K > 256
+    (operators/similarity.py:671-699 — measured 3.4x at K=1953,
+    BASELINE.md r11), but that operator's k-means fit is numpy-RNG and
+    not oracle-replayable; this twin pins the SAME two-stage assign
+    topology with md5-free deterministic seeds (the semdedup_cell_prune
+    recipe): 6 coarse centroids = vec_ids 0-5, a 6x6 fine grid =
+    vec_ids 6-41 keyed fine(c, f) = 6 + c*6 + f.
+
+    Assignment mirrors the operator's SPHERICAL scoring (argmax dot over
+    unit-norm vectors — the cell_prune twin certifies the Euclidean
+    variant): coarse = argmax_c dot(v, cv)/sqrt(|cv|²) (the row's own
+    norm is rank-constant and cancelled), then fine = argmax WITHIN the
+    chosen coarse group only — never over all K cells, which is exactly
+    the N·2·sqrt(K)·d flop shape being certified — and
+    cell = coarse*6 + fine. Pair stage, prune rule (cosine > 0.4, higher
+    vec_id pruned) and the BIGINT-only audit schema are byte-identical
+    to semdedup_cell_prune.
+
+    Cross-engine exactness: every dot/norm is the SEQUENTIAL
+    zip_with+aggregate fold; scores feed ONLY ROW_NUMBER ranking
+    (identical IEEE values rank identically; ties break on centroid id);
+    no float column crosses the driver hash.
+
+    Scale (100 TB): both argmax stages are broadcast map stages (6 + 6
+    scored centroids per row vs 36 single-level — the sqrt(K) saving),
+    and the pair join inherits cell_prune's N²/(2K)-bounded shape. The
+    production operator with fitted centroids and numpy-matmul assign is
+    semdedup_prune (exact-method tests in tests/test_llm_ops.py)."""
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "nrm",
+            F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x),
+        )
+    )
+    cc = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    fc = e.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 42)).select(
+        F.expr("(vec_id - 6) div 6").alias("fcid"),
+        F.expr("(vec_id - 6) % 6").alias("fid"),
+        F.col("v").alias("fv"),
+        F.col("nrm").alias("fnrm"),
+    )
+    dot_cv = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cassign = (
+        e.crossJoin(F.broadcast(cc))
+        .withColumn("s", dot_cv / F.sqrt("cnrm"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("s"), "cid"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    dot_fv = F.aggregate(
+        F.zip_with("v", "fv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    members = (
+        cassign.join(F.broadcast(fc), cassign["cid"] == fc["fcid"])
+        .withColumn("s", dot_fv / F.sqrt("fnrm"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("s"), "fid"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", (F.col("cid") * 6 + F.col("fid")).alias("cell"))
+        # consumed by BOTH sides of the pair join + the per-cell rollup
+        .localCheckpoint(eager=False)
+    )
+    a = members.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = members.select(
+        "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", dot_ab / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cos") > 0.4)
+        .select("cell", "a_id", "b_id")
+    )
+    cell_pairs = dup_pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("b_id").cast("long").alias("n_pruned"),
+    )
+    return (
+        members.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .join(F.broadcast(cell_pairs), "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("n_vecs") - F.coalesce("n_pruned", F.lit(0))).cast("long").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "semdedup_prune_scaled",
+    tier="L2-ext (semdedup_prune operator surface: fitted quantizer + numpy assign, rows-only)",
+    oracle=None,  # k-means fit is numpy-RNG — not SQL-replayable; the
+    # assign TOPOLOGY is hash-certified by semdedup_two_level_twin /
+    # semdedup_cell_prune, the operator's decisions by exact-method
+    # tests (tests/test_llm_ops.py: planted-duplicate recall, partition
+    # property, threshold agreement, two-level contract).
+)
+def semdedup_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production semdedup_prune operator (CLAUDE.md invariant:
+    every operator gets a @query surface) run end-to-end on the fixture
+    corpus: seeded spherical-k-means quantizer (K = N/target_cell),
+    broadcast centroids, Arrow numpy assign, per-cell blocked prune —
+    operators/similarity.py:585. Emits the per-cell audit rollup (pure
+    counts, deterministic given the seeded fit) rather than the per-row
+    frame so the bench row stays small."""
+    corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    out = S.semdedup_prune(corpus, threshold=0.4, target_cell=64, seed=42)
+    return (
+        out.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("pruned").cast("long")).alias("n_pruned"),
+        )
+        .orderBy("cell")
+    )

@@ -564,6 +564,91 @@ def feature_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "feature_equidepth_bins_sketch",
+    tier="EXT data-eng (equi-depth binning, 100 TB path: percentile sketch + broadcast bin assign)",
+    oracle="""
+        WITH b AS (
+            SELECT approx_quantile(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(o_totalprice) AS lo_global,
+                   MAX(o_totalprice) AS hi_global
+            FROM orders
+        ), assigned AS (
+            SELECT 1 + LEN(LIST_FILTER(b.bnd, x -> o.o_totalprice > x)) AS bin
+            FROM orders o CROSS JOIN b
+        ), counted AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb FROM assigned GROUP BY bin
+        )
+        SELECT CAST(d.range AS INT) AS bin,
+               CAST(b.n // 10 AS BIGINT) AS expected_rows,
+               (ABS(COALESCE(c.nb, 0) * 10 - b.n) * 5 <= b.n) AS within_tol,
+               b.lo_global AS lo_global,
+               b.hi_global AS hi_global
+        FROM range(1, 11) d
+        LEFT JOIN counted c ON c.bin = d.range
+        CROSS JOIN b
+        ORDER BY bin
+    """,
+)
+def feature_equidepth_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path feature_equidepth_bins' docstring defers to
+    (VERDICT r11 item 4): equi-depth binning WITHOUT the global sort —
+    decile boundaries from a mergeable percentile sketch
+    (approx_percentile, accuracy 10000; map-side partials, one bounded
+    9-double + count driver collect, the k-means-fit precedent), then a
+    per-row bin assign against the broadcast 9-element boundary array
+    (a pure map stage) and a 10-group partial-agg count.
+
+    Each engine runs its OWN sketch (Spark GK-style approx_percentile,
+    DuckDB t-digest) — boundary values and per-bin counts are therefore
+    engine-local, so the comparable surface is the KLL-audit recipe:
+    exact BIGINT/double columns (bin id, expected_rows = n div 10, exact
+    global min/max) plus a tolerance VERDICT per bin —
+    |n_bin − n/10| ≤ 2% of n, staged as ABS(nb*10 − n)*5 ≤ n in exact
+    BIGINTs on both engines (sketch rank error is ≤ n/10000 per
+    boundary, so both verdicts hold with 200x headroom; a broken sketch
+    or a lost bin flips the boolean).
+
+    Scale: one scan with a mergeable sketch agg, one shuffle-free map
+    stage (9 comparisons/row), a 10-row aggregate, a 10-row broadcast
+    dimension join. No NTILE, no single-reducer total order — this is
+    where the drift monitor actually runs at 100 TB."""
+    orders = load_table(spark, "orders", sf_dir).select("o_totalprice")
+    row = orders.agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]), F.lit(10000)
+        ).alias("bnd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).collect()[0]
+    bnd = F.array(*[F.lit(float(x)) for x in row["bnd"]])
+    n = int(row["n"])
+    counted = (
+        orders.select(
+            (F.size(F.filter(bnd, lambda b: F.col("o_totalprice") > b)) + 1).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    dim = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    return (
+        dim.join(F.broadcast(counted), "bin", "left")
+        .select(
+            "bin",
+            F.lit(n // 10).cast("long").alias("expected_rows"),
+            (F.abs(F.coalesce("nb", F.lit(0)) * 10 - F.lit(n)) * 5 <= F.lit(n)).alias(
+                "within_tol"
+            ),
+            F.lit(float(row["lo"])).alias("lo_global"),
+            F.lit(float(row["hi"])).alias("hi_global"),
+        )
+        .orderBy("bin")
+    )
+
+
 # --------------------------------------------------------------------------
 # Benford first-digit forensic audit
 # --------------------------------------------------------------------------

@@ -734,6 +734,63 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_ohlc_candles_append",
+    tier="T2+T3+EXT (eviction-mode OHLC: append drain, watermark-finalized candles only)",
+    oracle="""
+        WITH wm AS (
+            -- append emits a candle only once the watermark
+            -- (max event time - 25 h) passes its END: for hour-grid
+            -- starts h, h + 1h <= max_ts - 25h  <=>  h <= max_ts - 26h
+            SELECT MAX(ts) - INTERVAL 26 HOUR AS cut FROM events
+        ), ranked AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS h, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                      ORDER BY ts, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rl
+            FROM events
+        )
+        SELECT h, event_type,
+               MAX(CASE WHEN rf = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rl = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS volume
+        FROM ranked CROSS JOIN wm
+        WHERE h <= wm.cut
+        GROUP BY h, event_type
+    """,
+)
+def streaming_ohlc_candles_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOY-shaped OHLC stream: the exact ohlc_candles() plan that
+    streaming_ohlc_candles certifies in complete mode, drained in APPEND
+    mode — the watermark now actually EVICTS: a candle is emitted once
+    (when the 25-hour watermark passes its end) and its state row is
+    dropped, so state is bounded at |open candles| x |types| no matter
+    how long the stream runs. This is the unbounded-deploy shape the
+    complete-mode twin's docstring defers to (VERDICT r11 item 2).
+
+    Finalization cut (the streaming_daily_active_users discipline): with
+    a 25 h delay, windows whose end > max_ts - 25 h never emit in a
+    bounded AvailableNow drain, so the oracle applies the same cut in
+    closed form — hour-grid starts satisfy h + 1h <= max_ts - 25h iff
+    h <= max_ts - 26h. The fixture's max event time sits mid-hour at
+    every SF (23:26/23:57/23:59 + microseconds), so the <= boundary and
+    the engine's ms-floored watermark cannot disagree on any hour-grid
+    point. The single-file source replays in ONE batch (watermark still
+    zero, nothing late-dropped); the trailing no-data batch emits every
+    finalized candle.
+
+    100 TB: same state/emit math as the complete twin per batch, but
+    emit volume is each candle ONCE and state never outlives the
+    watermark horizon — the shape that survives an unbounded stream."""
+    from ..streaming.ops import ohlc_candles
+
+    stream = events_stream(spark, _events_path(sf_dir))
+    return run_to_memory(ohlc_candles(stream, watermark="25 hours"), output_mode="append")
+
+
+@query(
     "streaming_daily_active_users",
     tier="T6+T3 chained (two stateful operators in one stream: within-watermark dedup -> windowed count)",
     oracle="""

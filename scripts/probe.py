@@ -1,0 +1,339 @@
+"""Parameterized scale-probe harness (VERDICT r11 item 8): the common
+machinery of the twelve scale_probe_r0*.py one-offs — full-shape
+synthetic table generation at two sizes, warm-then-min-of-2 timing, and
+a ratio JSON line — folded into ONE module, so a new probe is a CLI
+invocation, not a new file:
+
+    python scripts/probe.py --queries feature_equidepth_bins_sketch,streaming_ohlc_candles_append
+    python scripts/probe.py --queries semdedup_prune_scaled --small 1000000 --big 5000000
+
+The historical scale_probe_r0*.py scripts stay in scripts/ as the
+provenance of BASELINE.md's recorded ratios (docstrings cite them by
+name); new ratios should be produced here.
+
+Generator notes (lessons already paid for):
+* events.ts is written as ns-LONGS — the fixture's on-disk form: the
+  streaming file source reads the raw bigint, the batch loader
+  normalizes per value (SURVEY r11: anything else throws
+  PARQUET_COLUMN_DATA_TYPE_MISMATCH in streaming queries).
+* every table is repartition(64) multi-file parquet — the single
+  row-group fixture shape hides parallelism ceilings (SURVEY r07).
+* embeddings are n/20 rows of 64-dim floats (hash-derived, unit-free);
+  documents are n/20 rows of 30 5-char tokens.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, ".")
+from energi_data_etl_spark.queries import QUERIES  # noqa: E402
+from energi_data_etl_spark.session import get_spark, scratch_dir  # noqa: E402
+
+ER_NAMES = 4000  # fixed distinct-name catalog for part (r08e convention)
+
+PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _lit_array(vals):
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def gen_tables(spark, n: int, d: str, tables: set[str] | None = None) -> None:
+    """Write full-shape synthetic tables sized to n base rows under d.
+    tables=None generates everything; pass a set to generate only what
+    the probed queries read (cheaper gen for targeted probes)."""
+
+    def want(t: str) -> bool:
+        return tables is None or t in tables
+
+    if want("customer"):
+        (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                F.col("id").alias("c_custkey"),
+                F.concat(F.lit("Customer#"), F.col("id").cast("string")).alias("c_name"),
+                ((F.abs(F.xxhash64("id", F.lit(31))) % 1_099_999) / 100.0 - 999.99).alias("c_acctbal"),
+                F.element_at(_lit_array(SEGS), (F.abs(F.xxhash64("id", F.lit(32))) % 5 + 1).cast("int")).alias("c_mktsegment"),
+                (F.abs(F.xxhash64("id", F.lit(33))) % 25).cast("int").alias("c_nationkey"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/customer.parquet")
+        )
+    if want("orders"):
+        (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                F.col("id").alias("o_orderkey"),
+                (F.abs(F.xxhash64("id", F.lit(5))) % n).alias("o_custkey"),
+                F.element_at(
+                    _lit_array(["O", "F", "P"]),
+                    (F.abs(F.xxhash64("id", F.lit(4))) % 3 + 1).cast("int"),
+                ).alias("o_orderstatus"),
+                (F.abs(F.xxhash64("id", F.lit(6))) % 49_999_900 / 100.0 + 1.0).alias("o_totalprice"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + (F.abs(F.xxhash64("id", F.lit(7))) % (30 * 86_400))
+                ).alias("o_orderdate"),
+                F.element_at(_lit_array(PRIOS), (F.abs(F.xxhash64("id", F.lit(14))) % 5 + 1).cast("int")).alias("o_orderpriority"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/orders.parquet")
+        )
+    if want("lineitem"):
+        (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                F.col("id").alias("l_orderkey"),
+                (F.abs(F.xxhash64("id", F.lit(12))) % max(n // 30, 1)).alias("l_partkey"),
+                (F.abs(F.xxhash64("id", F.lit(17))) % max(n // 100, 1)).alias("l_suppkey"),
+                (F.abs(F.xxhash64("id", F.lit(18))) % 7 + 1).cast("int").alias("l_linenumber"),
+                (F.abs(F.xxhash64("id", F.lit(15))) % 50 + 1).cast("double").alias("l_quantity"),
+                (F.abs(F.xxhash64("id", F.lit(19))) % 9_999_900 / 100.0 + 1.0).alias("l_extendedprice"),
+                ((F.abs(F.xxhash64("id", F.lit(16))) % 11) / 100.0).alias("l_discount"),
+                ((F.abs(F.xxhash64("id", F.lit(20))) % 9) / 100.0).alias("l_tax"),
+                F.element_at(_lit_array(["A", "N", "R"]), (F.abs(F.xxhash64("id", F.lit(23))) % 3 + 1).cast("int")).alias("l_returnflag"),
+                F.element_at(_lit_array(["F", "O"]), (F.abs(F.xxhash64("id", F.lit(24))) % 2 + 1).cast("int")).alias("l_linestatus"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + (F.abs(F.xxhash64("id", F.lit(25))) % (30 * 86_400))
+                ).alias("l_shipdate"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/lineitem.parquet")
+        )
+    if want("supplier"):
+        (
+            spark.range(max(n // 100, 1))
+            .repartition(8)
+            .select(
+                F.col("id").alias("s_suppkey"),
+                F.concat(F.lit("Supplier#"), F.col("id").cast("string")).alias("s_name"),
+                (F.abs(F.xxhash64("id", F.lit(41))) % 25).cast("int").alias("s_nationkey"),
+                ((F.abs(F.xxhash64("id", F.lit(42))) % 1_099_999) / 100.0 - 999.99).alias("s_acctbal"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/supplier.parquet")
+        )
+    if want("nation"):
+        (
+            spark.range(25)
+            .select(
+                F.col("id").cast("int").alias("n_nationkey"),
+                F.concat(F.lit("NATION_"), F.col("id").cast("string")).alias("n_name"),
+                (F.col("id") % 5).cast("int").alias("n_regionkey"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/nation.parquet")
+        )
+    if want("region"):
+        (
+            spark.range(5)
+            .select(
+                F.col("id").cast("int").alias("r_regionkey"),
+                F.concat(F.lit("REGION_"), F.col("id").cast("string")).alias("r_name"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/region.parquet")
+        )
+    if want("events"):
+        (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                F.col("id").alias("event_id"),
+                # ns-long ts: the fixture's on-disk form (see module doc)
+                (
+                    F.lit(1704067200_000000000)
+                    + (F.abs(F.xxhash64("id", F.lit(3))) % (30 * 86_400)) * F.lit(1_000_000_000)
+                ).cast("long").alias("ts"),
+                (F.abs(F.xxhash64("id")) % max(n // 500, 1)).alias("user_id"),
+                F.element_at(_lit_array(TYPES), (F.abs(F.xxhash64("id", F.lit(1))) % 5 + 1).cast("int")).alias("event_type"),
+                (F.pow(F.abs(F.xxhash64("id", F.lit(2))) % 1000 / 1000.0, 2) * 490.0).alias("value"),
+                F.lit('{"k": 1}').alias("props"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/events.parquet")
+        )
+    if want("part"):
+        base = F.abs(F.xxhash64("id", F.lit(21))) % (ER_NAMES // 3)
+        (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                F.col("id").alias("p_partkey"),
+                F.concat(
+                    F.substring(F.md5(base.cast("string")), 1, 8),
+                    F.expr("repeat('x', cast(abs(xxhash64(id, 22)) % 3 as int))"),
+                ).alias("p_name"),
+                F.concat(F.lit("Brand#"), (F.abs(F.xxhash64("id", F.lit(26))) % 50).cast("string")).alias("p_brand"),
+                F.concat(F.lit("TYPE "), (F.abs(F.xxhash64("id", F.lit(27))) % 150).cast("string")).alias("p_type"),
+                (F.abs(F.xxhash64("id", F.lit(28))) % 50 + 1).cast("int").alias("p_size"),
+                (F.abs(F.xxhash64("id", F.lit(29))) % 200_000 / 100.0 + 900.0).alias("p_retailprice"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/part.parquet")
+        )
+    if want("documents"):
+        (
+            spark.range(max(n // 20, 1))
+            .repartition(64)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(30)),
+                        lambda i: F.substring(F.md5(F.concat(F.col("id").cast("string"), i.cast("string"))), 1, 5),
+                    ),
+                    " ",
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("src"), (F.abs(F.xxhash64("id", F.lit(30))) % 8).cast("string")).alias("source"),
+                F.lit(180).cast("long").alias("n_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/documents.parquet")
+        )
+    if want("embeddings"):
+        (
+            spark.range(max(n // 20, 64))
+            .repartition(64)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: ((F.xxhash64("id", i) % 2001) / 1000.0).cast("float"),
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/embeddings.parquet")
+        )
+
+
+def time_fn(fn, warm: int = 1, reps: int = 2) -> float:
+    """Warm `warm` times, return the MIN of `reps` timed runs (the
+    shared-host noise protocol: CLAUDE.md / BENCH_MEDIANS)."""
+    for _ in range(warm):
+        fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def probe_queries(spark, names: list[str], n_small: int, n_big: int,
+                  tables: set[str] | None = None) -> dict:
+    out: dict[str, dict[str, float]] = {}
+    tmp = scratch_dir("probe_")
+    for label, n in (("small", n_small), ("big", n_big)):
+        d = f"{tmp}/{label}"
+        t0 = time.time()
+        gen_tables(spark, n, d, tables)
+        print(f"[gen] {label} n={n} in {time.time() - t0:.1f}s", flush=True)
+        for qname in names:
+            fn = QUERIES[qname].fn
+            best = time_fn(lambda: fn(spark, d).collect())
+            out.setdefault(qname, {})[label] = round(best, 2)
+            print(f"[{label}] {qname:36} min {best:.2f}s", flush=True)
+    ratios = {k: round(v["big"] / v["small"], 2) for k, v in out.items()}
+    return {"n_small": n_small, "n_big": n_big, "sec": out, "ratio": ratios}
+
+
+def probe_api_sink(spark, n_rows: int, parts_small: int, parts_big: int) -> dict:
+    """VERDICT r11 item 6: the api_sink pair's cost is claimed to be
+    engine-init + micro-batch machinery, not data volume — measure it.
+    Scales the uplinked PARTITION count (batch writer: tasks per job;
+    stream writer: files per source => epochs per drain) 10x at fixed
+    row volume and reports the ratio."""
+    from energi_data_etl_spark.sources.api_datasource import EnergiPricesDataSource
+    from energi_data_etl_spark.streaming.ops import _ephemeral_checkpoint_dir, drain_conf
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    base = scratch_dir("api_sink_probe_")
+    rows = spark.range(n_rows).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        (F.col("id") % 1000 / 10.0).alias("value"),
+    )
+    out: dict[str, dict[str, float]] = {"batch_write": {}, "stream_write": {}}
+    for label, parts in (("small", parts_small), ("big", parts_big)):
+        df = rows.repartition(parts)
+        df.count()  # materialize the shuffle outside the timed region
+
+        def batch_once(i=[0]):
+            i[0] += 1
+            (df.write.format("energi_prices")
+             .option("uplink_dir", f"{base}/b_{label}_{i[0]}")
+             .mode("append").save())
+
+        out["batch_write"][label] = round(time_fn(batch_once), 2)
+
+        src = f"{base}/src_{label}"
+        df.write.mode("overwrite").parquet(src)
+
+        def stream_once(i=[0]):
+            i[0] += 1
+            stream = (spark.readStream.schema("event_type string, value double")
+                      .option("maxFilesPerTrigger", "1").parquet(src))
+            with drain_conf(spark):
+                q = (stream.writeStream.format("energi_prices")
+                     .option("uplink_dir", f"{base}/s_{label}_{i[0]}")
+                     .option("checkpointLocation", _ephemeral_checkpoint_dir())
+                     .outputMode("append").trigger(availableNow=True).start())
+                q.awaitTermination()
+
+        out["stream_write"][label] = round(time_fn(stream_once), 2)
+        print(f"[{label}] parts={parts} batch {out['batch_write'][label]}s "
+              f"stream {out['stream_write'][label]}s", flush=True)
+    ratios = {k: round(v["big"] / v["small"], 2) for k, v in out.items()}
+    return {"n_rows": n_rows, "parts": [parts_small, parts_big], "sec": out, "ratio": ratios}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--queries", help="comma-separated query names")
+    ap.add_argument("--api-sink", action="store_true",
+                    help="run the api_sink partition-count volume probe instead of --queries")
+    ap.add_argument("--rows", type=int, default=100_000, help="row volume for --api-sink")
+    ap.add_argument("--parts", default="4,40", help="small,big partition counts for --api-sink")
+    ap.add_argument("--small", type=int, default=1_000_000)
+    ap.add_argument("--big", type=int, default=5_000_000)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated table subset to generate (default: all)")
+    args = ap.parse_args()
+    spark = get_spark("probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.api_sink:
+        ps, pb = (int(x) for x in args.parts.split(","))
+        result = probe_api_sink(spark, args.rows, ps, pb)
+    else:
+        if not args.queries:
+            print("--queries or --api-sink required", file=sys.stderr)
+            return 2
+        names = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in names if q not in QUERIES]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+        result = probe_queries(
+            spark, names, args.small, args.big,
+            set(args.tables.split(",")) if args.tables else None,
+        )
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

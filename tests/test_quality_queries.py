@@ -339,3 +339,34 @@ def test_streaming_ohlc_equals_batch_ohlc(spark, sf_dir):
         for r in ohlc_hourly_resample(spark, sf_dir).collect()
     }
     assert s == b
+
+
+def test_streaming_ohlc_append_evicts(spark, sf_dir):
+    """The append-mode drain must emit exactly the watermark-FINALIZED
+    subset of the complete-mode candles: identical values for every
+    candle whose end the 25 h watermark passed, and a NON-EMPTY evicted
+    tail (the last ~26 h of fixture hours never finalize in a bounded
+    drain) — the state-eviction contract the complete twin defers to."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.queries.streaming import (
+        streaming_ohlc_candles,
+        streaming_ohlc_candles_append,
+    )
+    from energi_data_etl_spark.sources.tables import load_table
+
+    complete = {
+        (r.event_type, r.h): (r.open, r.high, r.low, r.close, r.volume)
+        for r in streaming_ohlc_candles(spark, sf_dir).collect()
+    }
+    append = {
+        (r.event_type, r.h): (r.open, r.high, r.low, r.close, r.volume)
+        for r in streaming_ohlc_candles_append(spark, sf_dir).collect()
+    }
+    max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).collect()[0][0]
+    cut = max_ts - dt.timedelta(hours=26)
+    finalized = {k: v for k, v in complete.items() if k[1] <= cut}
+    assert append == finalized
+    assert len(append) < len(complete)  # something was actually evicted
