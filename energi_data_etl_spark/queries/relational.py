@@ -166,11 +166,21 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact distinct count plus a 5%-relative tolerance verdict that
     must be true on both sides (the approx_percentile_sketch recipe,
     robustness.py). A sketch drifting out of band fails the hash compare.
+
+    NEVER put the HLL and the countDistinct in ONE agg: Spark's
+    distinct-rewrite then evaluates the HLL per (group, key) Expand
+    group — one 16 KB rsd=0.01 sketch buffer PER DISTINCT KEY (measured
+    r12: 31.1 s at 5M rows vs 1.46 + 0.73 s run separately). The manual
+    two-phase below — pre-aggregate to distinct (flag, partkey) pairs,
+    then count + HLL over the distinct frame — is 1.55 s at 5M, and the
+    HLL value is IDENTICAL by construction (an insert-only sketch is
+    invariant under duplicate inserts).
     """
     li = load_table(spark, "lineitem", sf_dir)
-    agg = li.groupBy("l_returnflag").agg(
+    pairs = li.groupBy("l_returnflag", "l_partkey").agg(F.count(F.lit(1)).alias("_m"))
+    agg = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("exact_parts"),
     )
     return agg.select(
         "l_returnflag",

@@ -63,14 +63,23 @@ def percentile_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture parquet is single-row-group ⇒ the scan+partial-agg
     stage would be ONE task; the round-robin repartition spreads the
     (value-buffering, memory-heavy) partial aggregation across the
-    cluster before the 3-group final merge."""
+    cluster before the 3-group final merge.
+
+    ONE percentile agg with an ARRAY of percentages, never four scalar
+    percentile aggs: each scalar agg keeps its OWN full value buffer and
+    sorts it separately in the final merge — four buffers of everything
+    (measured r12: 28.0 s at 5M rows as four aggs vs 7.5 s as one
+    array agg; values bit-identical, same interpolation over the same
+    sorted run)."""
     li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
     li = li.repartition(spark.sparkContext.defaultParallelism)
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
-            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
-        ]
+    pcts = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p, _ in pcts])).alias("ps")
+    )
+    return agg.select(
+        "l_returnflag",
+        *[F.round(F.col("ps")[i], 4).alias(name) for i, (_, name) in enumerate(pcts)],
     )
 
 
@@ -90,8 +99,18 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each engine runs its OWN sketch (Spark GK, DuckDB t-digest) —
     raw sketch outputs are engine-specific, so the comparable surface is
     the exact p50 plus a 1%-relative tolerance verdict that must be true
-    on both sides. A sketch drifting out of band fails the hash compare."""
-    li = load_table(spark, "lineitem", sf_dir)
+    on both sides. A sketch drifting out of band fails the hash compare.
+
+    The exact p50 is the CERTIFICATION artifact (the approx_count_distinct
+    pattern): the production path is the mergeable sketch alone — exact
+    percentile buffers each group's full value list on one final task
+    and cannot run at 100 TB. The repartition spreads the value-buffering
+    partials across the cluster (the percentile_surface fix; the fixture
+    parquet is single-row-group, so without it the whole scan+partial is
+    ONE task — r12 probe: 1M→5M ran 5.68× before, the exact-merge wave
+    dominating)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),

@@ -721,12 +721,10 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     candle re-emitted per batch, watermark declared but nothing
     evicted), which is the right shape for a bounded drain-and-compare
     but NOT for an unbounded deploy: state and emit volume grow with
-    total candle count. A production pipeline keeps the same
-    ohlc_candles() plan and switches the sink to append/update mode,
-    where the declared watermark DOES evict closed candles and bounds
-    state at |open candles|×|types| (the append-mode finalization-cut
-    discipline is certified separately by streaming_daily_active_users
-    and streaming_late_data_drop)."""
+    total candle count. The deploy shape — the SAME ohlc_candles() plan
+    drained in append mode, where the watermark DOES evict closed
+    candles and bounds state at |open candles|×|types| — is certified
+    separately as streaming_ohlc_candles_append (r12)."""
     from ..streaming.ops import ohlc_candles
 
     stream = events_stream(spark, _events_path(sf_dir))

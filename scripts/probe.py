@@ -214,6 +214,7 @@ def gen_tables(spark, n: int, d: str, tables: set[str] | None = None) -> None:
                     F.sequence(F.lit(1), F.lit(64)),
                     lambda i: ((F.xxhash64("id", i) % 2001) / 1000.0).cast("float"),
                 ).alias("embedding"),
+                (F.abs(F.xxhash64("id", F.lit(43))) % 10).cast("int").alias("label"),
             )
             .write.mode("overwrite")
             .parquet(f"{d}/embeddings.parquet")
