@@ -245,10 +245,19 @@ def probe_queries(spark, names: list[str], n_small: int, n_big: int,
         print(f"[gen] {label} n={n} in {time.time() - t0:.1f}s", flush=True)
         for qname in names:
             fn = QUERIES[qname].fn
-            best = time_fn(lambda: fn(spark, d).collect())
+            try:
+                best = time_fn(lambda: fn(spark, d).collect())
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                print(f"[{label}] {qname:36} ERR {str(exc)[:160]}", flush=True)
+                out.setdefault(qname, {})[label] = None
+                continue
             out.setdefault(qname, {})[label] = round(best, 2)
             print(f"[{label}] {qname:36} min {best:.2f}s", flush=True)
-    ratios = {k: round(v["big"] / v["small"], 2) for k, v in out.items()}
+    ratios = {
+        k: round(v["big"] / v["small"], 2)
+        for k, v in out.items()
+        if v.get("big") and v.get("small")
+    }
     return {"n_small": n_small, "n_big": n_big, "sec": out, "ratio": ratios}
 
 
