@@ -56,3 +56,32 @@ def test_merge_upsert_conserves_keys(spark, oracle_sf_dir):
         ops[r.op] = ops.get(r.op, 0) + r.n
     assert ops["kept"] + ops["updated"] == n_base, ops
     assert ops["updated"] + ops["inserted"] == n_upd, ops
+
+
+def test_percentile_disc_histogram_matches_native(spark, oracle_sf_dir):
+    """The r12 histogram + cumulative-window + exact-BIGINT-pick plan
+    must equal Spark's own percentile_disc WITHIN GROUP on the fixture
+    — the cross-engine hash gate pins it against DuckDB QUANTILE_DISC;
+    this pins it against the engine-native buffering aggregate too, so
+    a boundary-convention drift (ceil(p*n) vs floor((n-1)p)+1) in any
+    future rewrite is caught locally."""
+    from energi_data_etl_spark.sources.tables import load_table
+
+    ours = {
+        r.l_returnflag: (r.p25, r.p50, r.p99)
+        for r in QUERIES["percentile_disc_surface"].fn(spark, oracle_sf_dir).collect()
+    }
+    load_table(spark, "lineitem", oracle_sf_dir).createOrReplaceTempView("__pd_native")
+    native = {
+        r.l_returnflag: (r.p25, r.p50, r.p99)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+                   percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+            FROM __pd_native GROUP BY l_returnflag
+            """
+        ).collect()
+    }
+    assert ours == native
