@@ -116,6 +116,22 @@ PRIORITY = [
 ]
 
 
+#: Plan-changed re-certification tier (VERDICT r12 item 2): a query
+#: whose PLAN was rewritten AFTER its last driver certification is
+#: value-verified only by driver_sim until the rotation re-selects it —
+#: under pure stalest-first that can take ~3 rounds (percentile_disc's
+#: r12 histogram rewrite, commit 43edc3a, landed post-window while its
+#: green row still certifies the OLD buffering plan). Entries map
+#: query name -> the round whose window the rewrite MISSED; the query
+#: is slotted right after the never-certified tier until it has a green
+#: row from a LATER round, then drops out automatically. Remove entries
+#: once re-certified (they become harmless no-ops, but the list should
+#: reflect the live backlog).
+RECERT: dict[str, int] = {
+    "percentile_disc_surface": 12,
+}
+
+
 def certified_rounds() -> dict[str, int]:
     """name -> latest round with a fully-green driver row (rows+schema+
     hash), read from the committed CORRECTNESS_r*.json artifacts at the
@@ -155,16 +171,25 @@ def certified_rounds() -> dict[str, int]:
 def compute_first_50(green: dict[str, int]) -> list[str]:
     """Pure selection rule (unit-tested on synthetic ledgers): canary,
     then never-certified oracled queries in PRIORITY order (unknown
-    names last, registration order), then certified stalest-first."""
+    names last, registration order), then RECERT entries whose latest
+    green row predates their plan rewrite, then certified
+    stalest-first."""
     reg = {n: i for i, n in enumerate(QUERIES)}
     pri = {n: i for i, n in enumerate(PRIORITY)}
     oracled = [n for n, q in QUERIES.items() if q.oracle is not None and n != CANARY]
     never = [n for n in oracled if n not in green]
     never.sort(key=lambda n: (pri.get(n, len(PRIORITY)), reg[n]))
+    # plan-changed tier: certified, but the green row predates the
+    # rewrite (green round <= the round the rewrite missed)
+    recert = [
+        n for n in RECERT
+        if n in oracled and n in green and green[n] <= RECERT[n]
+    ]
     window = [CANARY] + never[:49]
+    window += [n for n in recert if n not in window][: 50 - len(window)]
     if len(window) < 50:
         stale = sorted(
-            (n for n in oracled if n in green),
+            (n for n in oracled if n in green and n not in window),
             key=lambda n: (green[n], reg[n]),
         )
         window += stale[: 50 - len(window)]

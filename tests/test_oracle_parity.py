@@ -65,28 +65,56 @@ def test_first_50_window_invariants():
 
 def test_compute_first_50_selection_rules():
     """The pure selection rule on synthetic ledgers: never-certified in
-    PRIORITY order first, then stalest-first fill; failed (non-green)
-    rows stay in the pool and are retried next round."""
-    from energi_data_etl_spark.queries import CANARY, PRIORITY, compute_first_50
+    PRIORITY order first, then plan-changed RECERT entries, then
+    stalest-first fill; failed (non-green) rows stay in the pool and
+    are retried next round."""
+    from energi_data_etl_spark.queries import CANARY, PRIORITY, RECERT, compute_first_50
 
     oracled = [n for n, q in QUERIES.items() if q.oracle is not None]
     # empty ledger -> canary + first 49 of PRIORITY (all never-certified)
     w = compute_first_50({})
     assert w[0] == CANARY and w[1:] == PRIORITY[:49]
     # everything green at round 5 except two PRIORITY members -> those
-    # two lead the body, then the stalest fill in registration order
+    # two lead the body; RECERT members green at r5 (<= their rewrite
+    # round) slot next; then the stalest fill in registration order
     never = [PRIORITY[3], PRIORITY[7]]
     green = {n: 5 for n in oracled if n not in never}
     w = compute_first_50(green)
     assert w[:3] == [CANARY, PRIORITY[3], PRIORITY[7]]
-    reg = [n for n in QUERIES if n in green and n != CANARY]
-    assert w[3:] == reg[:47]
+    due_recert = [n for n in RECERT if n in green and green[n] <= RECERT[n]]
+    assert w[3 : 3 + len(due_recert)] == due_recert
+    reg = [n for n in QUERIES if n in green and n != CANARY and n not in due_recert]
+    assert w[3 + len(due_recert) :] == reg[: 47 - len(due_recert)]
     # staleness ordering: one query last-green r2 jumps ahead of r5 rows
+    # (but stays behind the RECERT tier)
     green2 = dict(green)
     stale_name = reg[40]
     green2[stale_name] = 2
     w2 = compute_first_50(green2)
-    assert w2[3] == stale_name
+    assert w2[3 + len(due_recert)] == stale_name
+
+
+def test_recert_tier_drops_out_once_recertified():
+    """A RECERT entry green in a round LATER than its rewrite round is
+    no longer selected ahead of staleness (the tier self-empties)."""
+    from energi_data_etl_spark.queries import CANARY, RECERT, compute_first_50
+
+    assert RECERT, "seeded with percentile_disc_surface in r13"
+    name, changed = next(iter(RECERT.items()))
+    oracled = [n for n, q in QUERIES.items() if q.oracle is not None]
+    # all green at changed+1 -> nothing never-certified, nothing due
+    green = {n: changed + 1 for n in oracled}
+    w = compute_first_50(green)
+    assert w[0] == CANARY
+    # the recert entry appears only at its registration-order stale slot,
+    # not at the head of the body
+    reg = [n for n in QUERIES if n != CANARY and n in green]
+    assert w[1:] == reg[:49]
+    # green exactly AT the rewrite round -> due (plan never met driver)
+    green_due = dict(green)
+    green_due[name] = changed
+    w_due = compute_first_50(green_due)
+    assert w_due[1] == name
 
 
 def test_entry_smoke(spark, sf_dir):
