@@ -118,6 +118,134 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_windows_append",
+    tier="T2+T5 (eviction-mode session windows: append drain, watermark-finalized sessions only)",
+    oracle="""
+        WITH wm AS (
+            -- append emits a session only once the watermark
+            -- (max event time - 25 h) passes its END (last_event + gap)
+            SELECT MAX(ts) - INTERVAL 25 HOUR AS cut FROM events
+        ), marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ), agg AS (
+            SELECT user_id,
+                   MIN(ts) AS s_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS session_value
+            FROM sess
+            GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               STRFTIME(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               STRFTIME(s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               n_events,
+               session_value
+        FROM agg CROSS JOIN wm
+        WHERE s_end <= wm.cut
+    """,
+)
+def streaming_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOY-shaped session stream (VERDICT r12 item 1): the exact
+    session_window_stats() plan that streaming_session_windows certifies
+    in complete mode, drained in APPEND mode — the watermark now actually
+    EVICTS: a session is emitted once (when the 25-hour watermark passes
+    its end = last_event + gap) and its state row is dropped, so state is
+    bounded at |open sessions| no matter how long the stream runs. The
+    complete-mode twin re-materializes EVERY session per batch (the r12
+    probe's 45 s at 5M events was that memory-sink drain, not the
+    operator); this is the shape an unbounded sessionization deploy runs.
+
+    Finalization cut (the streaming_ohlc_candles_append discipline):
+    with delay D, sessions whose end > max_ts - D never emit in a
+    bounded AvailableNow drain, so the oracle applies the same cut in
+    closed form — session_end <= max_ts - 25h. Unlike the hour/day-grid
+    twins, session ends are arbitrary event-time points, so the <=/<
+    boundary is load-bearing only on an EXACT tie between some
+    (event_ts + 30 min) and (max_ts - 25 h) — microsecond-collision
+    territory; tests/test_streaming.py asserts every fixture session
+    end clears the cut by >1 s at all three SFs, so a fixture regen
+    cannot silently land on the boundary. The single-file source
+    replays in ONE batch (watermark still zero, nothing late-dropped);
+    the trailing no-data batch emits every finalized session.
+
+    100 TB: state = open sessions only (evicted at watermark), emit
+    volume = each session ONCE — linear rows-through-state, certified
+    at the same value level as the complete twin."""
+    stream = events_stream(spark, _events_path(sf_dir))
+    drained = run_to_memory(
+        session_window_stats(stream, gap="30 minutes", watermark="25 hours"),
+        output_mode="append",
+    )
+    return drained.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+@query(
+    "streaming_sliding_2d_1d_append",
+    tier="T2+T4 (eviction-mode sliding windows: append drain, watermark-finalized windows only)",
+    oracle="""
+        WITH wm AS (
+            -- a [h, h+2d) window emits once the watermark
+            -- (max event time - 25 h) passes its end:
+            -- h + 2d <= max_ts - 25h  <=>  h <= max_ts - 73h
+            SELECT MAX(ts) - INTERVAL 73 HOUR AS cut FROM events
+        ), buckets AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS win_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT CAST(DATE_TRUNC('day', ts) - INTERVAL 1 DAY AS DATE) AS win_start,
+                   event_type, value
+            FROM events
+        )
+        SELECT win_start, event_type,
+               ROUND(AVG(value), 6) AS avg_value,
+               COUNT(*) AS n
+        FROM buckets
+        WHERE CAST(win_start AS TIMESTAMP) <= (SELECT cut FROM wm)
+        GROUP BY win_start, event_type
+    """,
+)
+def streaming_sliding_2d_1d_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOY-shaped sliding-window stream (VERDICT r12 item 3): the
+    exact sliding_window_avg() plan that streaming_sliding_2d_1d
+    certifies in complete mode, drained in APPEND mode with a 25-hour
+    watermark — each 2-day window is emitted once (when the watermark
+    passes its end) and evicted, so state is bounded at
+    |open windows| x |types| (width/slide = 2 live grid slots per type
+    plus the watermark horizon) for an unbounded stream.
+
+    Finalization cut in closed form (the r12 OHLC/DAU discipline): with
+    delay D = 25 h and width W = 2 d, day-grid starts h satisfy
+    h + W <= max_ts - D  <=>  h <= max_ts - 73 h. The fixture's max
+    event time sits mid-hour at every SF, so the grid-point boundary is
+    unreachable and <=/< cannot disagree. Single-file replay = one
+    batch; the trailing no-data batch emits every finalized window.
+
+    100 TB: same per-batch partial-aggregation as the complete twin,
+    but emit volume is each window once and state never outlives the
+    watermark horizon."""
+    stream = events_stream(spark, _events_path(sf_dir))
+    return run_to_memory(
+        sliding_window_avg(stream, watermark="25 hours"), output_mode="append"
+    )
+
+
+@query(
     "streaming_stateful_totals",
     tier="T-series+U2 (applyInPandasWithState custom stateful operator)",
     oracle="""

@@ -110,7 +110,24 @@ def _ephemeral_checkpoint_dir() -> str:
 #: production sinks don't pay). Deployments and probes size it with
 #: this env knob; the default stays fixture-shaped because the driver
 #: gate is fixture-sized.
-DRAIN_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS", "4"))
+def _drain_partitions_from_env() -> int:
+    """Parse SPARK_GRAFT_DRAIN_PARTITIONS defensively: a malformed or
+    non-positive value must never break `import streaming.ops` (the
+    driver gate path imports it) — fall back to the fixture-shaped
+    default of 4 and clamp to >= 1 (ADVICE r12)."""
+    raw = os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS", "4")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "SPARK_GRAFT_DRAIN_PARTITIONS=%r is not an int; using 4", raw
+        )
+        return 4
+
+
+DRAIN_SHUFFLE_PARTITIONS = _drain_partitions_from_env()
 
 
 @contextmanager
@@ -167,10 +184,15 @@ def tumbling_window_avg(stream: DataFrame, width: str = "1 day", watermark: str 
     )
 
 
-def sliding_window_avg(stream: DataFrame, width: str = "2 days", slide: str = "1 day") -> DataFrame:
-    """T4: overlapping windows — each event lands in width/slide windows."""
+def sliding_window_avg(
+    stream: DataFrame, width: str = "2 days", slide: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """T4: overlapping windows — each event lands in width/slide windows.
+    In append mode the watermark finalizes (emits + evicts) a window once
+    it passes the window END — the unbounded-deploy drain shape certified
+    by queries/streaming.py::streaming_sliding_2d_1d_append."""
     return (
-        stream.withWatermark("ts", "1 day")
+        stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
         .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
         .select(
@@ -182,11 +204,16 @@ def sliding_window_avg(stream: DataFrame, width: str = "2 days", slide: str = "1
     )
 
 
-def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_window_stats(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
     """T5: per-user session windows (gap-merged). State is open sessions
-    only — the watermark closes them."""
+    only — the watermark closes them. In append mode a session emits
+    (and its state row is evicted) once the watermark passes its end
+    (last_event + gap) — certified by
+    queries/streaming.py::streaming_session_windows_append."""
     return (
-        stream.withWatermark("ts", "1 day")
+        stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
         .select(

@@ -69,6 +69,93 @@ def test_session_windows_match_batch_gap_derivation(spark, sf_dir):
     assert got == want
 
 
+def test_session_append_is_finalized_subset_of_complete(spark, sf_dir):
+    """Eviction-mode certification (VERDICT r12 item 1): the append
+    drain must equal the complete drain filtered to watermark-finalized
+    sessions (end <= max_ts - delay), with a NON-EMPTY evicted tail —
+    an append run that emitted everything would prove no eviction."""
+    path = f"{sf_dir}/events.parquet"
+    app = run_to_memory(
+        session_window_stats(events_stream(spark, path), gap="30 minutes", watermark="25 hours"),
+        output_mode="append",
+    )
+    got = {tuple(r) for r in app.collect()}
+    comp = run_to_memory(
+        session_window_stats(events_stream(spark, path), gap="30 minutes"),
+        output_mode="complete",
+    )
+    comp_rows = [tuple(r) for r in comp.collect()]
+    max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).first()[0]
+    cut = max_ts - datetime.timedelta(hours=25)
+    want = {r for r in comp_rows if r[2] <= cut}  # r[2] == session_end
+    assert got == want
+    evicted = set(comp_rows) - got
+    assert evicted, "append drain evicted nothing — watermark not exercised"
+    assert got, "append drain emitted nothing — cut too aggressive"
+
+
+def test_sliding_append_is_finalized_subset_of_complete(spark, sf_dir):
+    """Same eviction contract for the sliding 2d/1d window (VERDICT r12
+    item 3): append == complete filtered to win_start + 2d <= max_ts -
+    25h, evicted tail non-empty."""
+    from energi_data_etl_spark.streaming.ops import sliding_window_avg
+
+    path = f"{sf_dir}/events.parquet"
+    app = run_to_memory(
+        sliding_window_avg(events_stream(spark, path), watermark="25 hours"),
+        output_mode="append",
+    )
+    got = {tuple(r) for r in app.collect()}
+    comp = run_to_memory(sliding_window_avg(events_stream(spark, path)), output_mode="complete")
+    comp_rows = [tuple(r) for r in comp.collect()]
+    max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).first()[0]
+    cut = max_ts - datetime.timedelta(hours=73)
+    want = {
+        r for r in comp_rows
+        if datetime.datetime.combine(r[0], datetime.time()) <= cut  # r[0] == win_start
+    }
+    assert got == want
+    assert set(comp_rows) - got, "append drain evicted nothing"
+    assert got
+
+
+def test_session_append_cut_boundary_margin():
+    """The session-append oracle's <= cut is load-bearing only on an
+    exact microsecond tie between some session end (last_event + 30 min)
+    and the cut (max_ts - 25 h). Assert every session end at EVERY
+    fixture SF clears the cut by > 1 s, so a fixture regen can't
+    silently land on the boundary (the ADVICE r12 ulp-margin
+    discipline). Pure DuckDB — no Spark session needed."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        d = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(d):
+            continue
+        margin = duckdb.sql(
+            f"""
+            WITH e AS (SELECT * FROM read_parquet('{d}/events.parquet')),
+            wm AS (SELECT MAX(ts) - INTERVAL 25 HOUR AS cut FROM e),
+            marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), ends AS (
+                SELECT MAX(ts) + INTERVAL 30 MINUTE AS s_end
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT MIN(ABS(EPOCH(s_end - (SELECT cut FROM wm)))) FROM ends
+            """
+        ).fetchone()[0]
+        assert margin > 1.0, f"sf{sf}: session end within {margin}s of the append cut"
+
+
 def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     """T2: with maxFilesPerTrigger=1 the watermark advances between
     micro-batches; a row arriving in batch 2 that is older than
