@@ -593,6 +593,7 @@ def semdedup_prune(
     seed: int = 42,
     corpus_count: int | None = None,
     two_level: bool | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public) — the LINEAR-at-scale path
     that queries/llm.py::semdedup_cell_prune's fixture-certified twin
@@ -634,12 +635,16 @@ def semdedup_prune(
     property, threshold agreement with exact cosine).
 
     Broadcast lifecycle: each call broadcasts its centroids (K×d
-    doubles — ~2 MB at K=1953/d=128) and must NOT unpersist them
-    eagerly, because the returned plan is lazy and reads the broadcast
-    at collect time. Executors GC-unreference the block once the plan's
-    last consumer is released, but a long-lived session hammering this
-    operator (bench loops) accumulates one live block per outstanding
-    plan — hold the result, not the plan, if you call it in a loop.
+    doubles — ~2 MB at K=1953/d=128). With the default ``eager=False``
+    the returned plan is lazy and reads the broadcast at collect time,
+    so it must NOT be unpersisted early — a long-lived session
+    hammering this operator (bench loops) accumulates one live block
+    per outstanding plan. ``eager=True`` is the bounded mode (VERDICT
+    r12 item 5): the result is materialized via
+    ``localCheckpoint(eager=True)`` and the broadcast destroyed before
+    returning, so NOTHING accumulates across calls — same total
+    compute, paid at call time instead of collect time. Loops and the
+    @query surface (queries/llm.py::semdedup_prune_scaled) use it.
     """
     import numpy as np
 
@@ -754,8 +759,16 @@ def semdedup_prune(
             pruned[ib[keep]] = True
         return pd.DataFrame({"__id": ids, "cell": np.full(len(ids), key[0], dtype=np.int32), "pruned": pruned})
 
-    return (
+    result = (
         assigned.groupBy("cell")
         .applyInPandas(prune_cell, schema="__id long, cell int, pruned boolean")
         .select(F.col("__id").alias(id_col), "cell", "pruned")
     )
+    if eager:
+        # materialize now, then release the centroid broadcast: the
+        # checkpointed RDD no longer references it, so repeated calls
+        # leave zero live broadcast blocks behind (bounded-accumulation
+        # contract; the checkpoint itself is GC-cleaned with the frame)
+        result = result.localCheckpoint(eager=True)
+        b_C.destroy()
+    return result

@@ -1756,7 +1756,10 @@ def semdedup_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, deterministic given the seeded fit) rather than the per-row
     frame so the bench row stays small."""
     corpus = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    out = S.semdedup_prune(corpus, threshold=0.4, target_cell=64, seed=42)
+    # eager: materialize + destroy the centroid broadcast before
+    # returning, so bench/probe loops over this query accumulate zero
+    # live broadcast blocks (operators/similarity.py lifecycle note)
+    out = S.semdedup_prune(corpus, threshold=0.4, target_cell=64, seed=42, eager=True)
     return (
         out.groupBy("cell")
         .agg(

@@ -516,7 +516,16 @@ def percentile_disc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum*100 >= p100*n is that predicate with no float boundary at all
     (values verified tri-SF against both engines' native functions)."""
     li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(F.count(F.lit(1)).alias("c"))
+    # repartition: single-row-group fixture files otherwise run the
+    # partial agg as ONE task (r07 lesson); localCheckpoint: hist feeds
+    # BOTH the cumulative window and the per-flag total n — without it
+    # the scan + groupBy recompute per consumer (r07 rule, ADVICE r12)
+    hist = (
+        li.repartition(8, "l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice")

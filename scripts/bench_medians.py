@@ -22,21 +22,38 @@ def _load_run(path: str) -> dict:
     """Accept both bench.py output formats: the legacy single JSON line
     (full queries dict + value) and the r11 two-line format (detail
     line with the full per-query dict, then a compact aggregate line
-    whose queries field is only the slowest-10)."""
+    whose queries field is only the slowest-10). Lines are selected by
+    MARKER, never position (ADVICE r12: a truncated aggregate line used
+    to silently make the detail line the aggregate; a parseable
+    non-dict line used to raise on .get)."""
     lines = []
     for ln in open(path):
         if not ln.strip():
             continue
         try:
-            lines.append(json.loads(ln))
+            doc = json.loads(ln)
         except ValueError:
             continue  # tail-truncated detail line / non-JSON noise
+        if isinstance(doc, dict):
+            lines.append(doc)
     if not lines:
-        raise ValueError(f"{path}: no parseable JSON line")
+        raise ValueError(f"{path}: no parseable JSON object line")
     detail = next((d for d in lines if d.get("metric") == "declared_query_detail"), None)
-    agg = lines[-1]
+    agg = next(
+        (d for d in reversed(lines) if d.get("metric") != "declared_query_detail" and "value" in d),
+        None,
+    )
     if detail is not None:
-        return {"queries": detail["queries"], "value": agg.get("value"), "sf": agg.get("sf")}
+        if agg is None:
+            print(f"warning: {path}: aggregate line missing/truncated — totals unavailable",
+                  file=sys.stderr)
+        return {
+            "queries": detail["queries"],
+            "value": agg.get("value") if agg else None,
+            "sf": agg.get("sf") if agg else None,
+        }
+    if agg is None:
+        raise ValueError(f"{path}: neither detail nor aggregate line found")
     return agg
 
 

@@ -199,7 +199,10 @@ def gen_tables(spark, n: int, d: str, tables: set[str] | None = None) -> None:
                 ).alias("text"),
                 F.lit("en").alias("lang"),
                 F.concat(F.lit("src"), (F.abs(F.xxhash64("id", F.lit(30))) % 8).cast("string")).alias("source"),
-                F.lit(180).cast("long").alias("n_chars"),
+                # self-consistent with the generated text (30 five-char
+                # tokens + 29 spaces = 179; ADVICE r12 — a literal 180
+                # disagreed with any length-deriving probed query)
+                F.lit(179).cast("long").alias("n_chars"),
             )
             .write.mode("overwrite")
             .parquet(f"{d}/documents.parquet")

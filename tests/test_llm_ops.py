@@ -363,6 +363,94 @@ def test_semdedup_prune_is_deterministic(spark):
     assert (r1["cell"].to_numpy() == r2["cell"].to_numpy()).all()
 
 
+def test_semdedup_prune_eager_mode_matches_lazy(spark):
+    """eager=True (materialize + destroy the centroid broadcast before
+    returning — the bounded-accumulation mode the @query surface uses)
+    must produce byte-identical decisions to the default lazy plan,
+    and the returned frame must remain collectible AFTER the broadcast
+    is destroyed (the destroy would throw at collect if the checkpoint
+    hadn't severed the dependency)."""
+    corpus = _planted_corpus(spark, 150, 15)
+    lazy = S.semdedup_prune(corpus, threshold=0.9, target_cell=64).toPandas().sort_values("vec_id")
+    eager = (
+        S.semdedup_prune(corpus, threshold=0.9, target_cell=64, eager=True)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert (lazy["pruned"].to_numpy() == eager["pruned"].to_numpy()).all()
+    assert (lazy["cell"].to_numpy() == eager["cell"].to_numpy()).all()
+
+
+def test_semdedup_two_level_twin_boundary_margins():
+    """The semdedup_two_level_twin hash gate relies on both engines'
+    sequential dot-product folds producing IEEE-identical values; that
+    is exact, but a fixture whose cosine landed within ulps of the 0.4
+    cutoff — or whose argmax top-2 scores tied within ulps — would make
+    the gate fragile to any fold-order change (ADVICE r12). Assert the
+    fixture clears all three boundaries by >= 1e-8 at both hash-gate
+    SFs (measured: gaps ~1e-4, pair margin ~1e-3), so a fixture regen
+    cannot silently land on a boundary. Pure DuckDB."""
+    import os
+
+    import duckdb
+
+    for sf in ("0.001", "0.01"):
+        d = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(d):
+            continue
+        coarse_gap, fine_gap, pair_margin = duckdb.sql(
+            f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x)) AS nrm
+                FROM read_parquet('{d}/embeddings.parquet')
+            ), cc AS (
+                SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 6
+            ), fc AS (
+                SELECT (vec_id - 6) // 6 AS fcid, (vec_id - 6) % 6 AS fid, v AS fv, nrm AS fnrm
+                FROM e WHERE vec_id >= 6 AND vec_id < 42
+            ), cscore AS (
+                SELECT e.vec_id, e.v, e.nrm, cc.cid,
+                       LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                           i -> e.v[i] * cc.cv[i])) / SQRT(cc.cnrm) AS s
+                FROM e CROSS JOIN cc
+            ), cgap AS (
+                SELECT s - LEAD(s) OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS gap,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                FROM cscore
+            ), cassign AS (
+                SELECT vec_id, v, nrm, cid FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                    FROM cscore) WHERE rn = 1
+            ), fscore AS (
+                SELECT a.vec_id, a.v, a.nrm, a.cid, f.fid,
+                       LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                           i -> a.v[i] * f.fv[i])) / SQRT(f.fnrm) AS s
+                FROM cassign a JOIN fc f ON f.fcid = a.cid
+            ), fgap AS (
+                SELECT s - LEAD(s) OVER (PARTITION BY vec_id ORDER BY s DESC, fid) AS gap,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, fid) AS rn
+                FROM fscore
+            ), members AS (
+                SELECT vec_id, v, nrm, cid * 6 + fid AS cell FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, fid) AS rn
+                    FROM fscore) WHERE rn = 1
+            ), pairmargin AS (
+                SELECT MIN(ABS(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                           i -> a.v[i] * b.v[i]))
+                       / (SQRT(a.nrm) * SQRT(b.nrm)) - 0.4)) AS m
+                FROM members a JOIN members b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            )
+            SELECT (SELECT MIN(gap) FROM cgap WHERE rn = 1),
+                   (SELECT MIN(gap) FROM fgap WHERE rn = 1),
+                   (SELECT m FROM pairmargin)
+            """
+        ).fetchone()
+        assert coarse_gap > 1e-8, f"sf{sf}: coarse argmax gap {coarse_gap}"
+        assert fine_gap > 1e-8, f"sf{sf}: fine argmax gap {fine_gap}"
+        assert pair_margin > 1e-8, f"sf{sf}: pair cosine within {pair_margin} of 0.4 cutoff"
+
+
 def test_semdedup_prune_two_level_quantizer(spark):
     """The coarse x fine assign path (auto-on at K > 256, forced here)
     must satisfy the same partition / recall / exactness contract as
