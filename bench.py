@@ -60,6 +60,18 @@ def main() -> int:
     # spin-up per micro-batch), which the api_source_* trio at window
     # positions 1-7 otherwise pays first.
     _materialize(QUERIES["api_source_daily_rollup"].fn(spark, warm_dir))
+    # Cold-position guard (VERDICT r12 item 6): two rounds running,
+    # queries newly promoted to suite positions 1-3 by the rotation
+    # showed 2x "regressions" that vanished on isolated re-run — pure
+    # suite-head cold-start (scheduler/codegen/page-cache). Warm the
+    # head of the rotation itself, untimed, at sf0.001 so position
+    # moves stop reading as per-query drift in bench_medians.
+    for _name, _q in list(QUERIES.items())[:4]:
+        if _q.bench:
+            try:
+                _materialize(_q.fn(spark, warm_dir))
+            except Exception:  # noqa: BLE001 — warmup must never kill the run
+                pass
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
