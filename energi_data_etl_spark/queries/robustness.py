@@ -516,12 +516,15 @@ def percentile_disc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum*100 >= p100*n is that predicate with no float boundary at all
     (values verified tri-SF against both engines' native functions)."""
     li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
-    # repartition: single-row-group fixture files otherwise run the
-    # partial agg as ONE task (r07 lesson); localCheckpoint: hist feeds
-    # BOTH the cumulative window and the per-flag total n — without it
-    # the scan + groupBy recompute per consumer (r07 rule, ADVICE r12)
+    # keyed repartition at the session's shuffle parallelism: splits the
+    # single-row-group fixture scan (the partial agg otherwise runs as
+    # ONE task, r07 lesson) AND matches the groupBy's hash partitioning,
+    # so Catalyst reuses it — one exchange total, never a fixed-count
+    # parallelism ceiling at volume. localCheckpoint: hist feeds BOTH
+    # the cumulative window and the per-flag total n — without it the
+    # scan + groupBy recompute per consumer (r07 rule, ADVICE r12).
     hist = (
-        li.repartition(8, "l_returnflag", "l_extendedprice")
+        li.repartition("l_returnflag", "l_extendedprice")
         .groupBy("l_returnflag", "l_extendedprice")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
