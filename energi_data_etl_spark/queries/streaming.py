@@ -67,7 +67,13 @@ def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event belongs to width/slide = 2 windows; the oracle derives
-    the same assignment with an explicit two-bucket union."""
+    the same assignment with an explicit two-bucket union.
+
+    NOTE the certified drain runs COMPLETE mode (every window re-emitted
+    per batch, nothing evicted) — right for a bounded drain-and-compare,
+    not for an unbounded deploy. The deploy shape — the SAME plan in
+    append mode where the watermark evicts finalized windows — is
+    certified separately as streaming_sliding_2d_1d_append (r13)."""
     stream = events_stream(spark, _events_path(sf_dir))
     return run_to_memory(sliding_window_avg(stream), output_mode="complete")
 
@@ -105,7 +111,14 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive), derived in SQL with LAG + a running session-id sum.
     Boundaries are emitted as µs-formatted strings — both engines
     truncate the fixture's ns timestamps to µs identically (integer
-    `div`, see sources/tables.py:_normalize_events)."""
+    `div`, see sources/tables.py:_normalize_events).
+
+    NOTE the certified drain runs COMPLETE mode — it re-materializes
+    EVERY session per batch (the r12 probe's 45 s at 5M events was this
+    memory-sink drain, not the operator). The unbounded-deploy shape —
+    append mode, watermark-evicted state bounded at |open sessions| —
+    is certified separately as streaming_session_windows_append (r13;
+    parquet-sink decomposition 1.39x at 5x events, PROBES_r13.json)."""
     stream = events_stream(spark, _events_path(sf_dir))
     drained = run_to_memory(session_window_stats(stream, gap="30 minutes"), output_mode="complete")
     return drained.select(
