@@ -60,7 +60,12 @@ def refresh_rollup(
         if wm is None:
             write_fact_table(rolled, rollup_path, partition_by=("date",), mode="append", audit=True)
         else:
-            # overwrite ONLY the partitions present in `rolled`
+            # overwrite ONLY the partitions present in `rolled`.
+            # repartition(1) is safe ONLY because the payload is the
+            # post-aggregation rollup (|days|x|types| rows per refresh,
+            # never fact-sized) and buys one file per date partition;
+            # if the rollup grain ever grows past one task's comfort,
+            # switch to repartition("date") (r13 fixed-count lesson).
             out = rolled.withColumn("load_timestamp", F.current_timestamp())
             out.repartition(1, F.col("date")).write.mode("overwrite").partitionBy("date").parquet(rollup_path)
     finally:
@@ -91,6 +96,9 @@ def streaming_rollup(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            # single-task write is bounded by the per-batch AGGREGATE
+            # size (|days in batch|x|types|), not the batch row count —
+            # see the incremental_rollup note above
             days.repartition(1, F.col("date")).write.mode("overwrite").partitionBy("date").parquet(rollup_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
