@@ -129,6 +129,9 @@ PRIORITY = [
 #: reflect the live backlog).
 RECERT: dict[str, int] = {
     "percentile_disc_surface": 12,
+    # r13 histogram-interpolation rewrite landed after the r12 window;
+    # the r12 green row certifies the old array-percentile plan
+    "percentile_surface": 12,
 }
 
 

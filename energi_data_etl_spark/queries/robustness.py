@@ -56,31 +56,71 @@ def null_safety_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentile_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles (Spark `percentile` ==
-    DuckDB `quantile_cont`). Exact percentiles need the full group —
-    at 100 TB prefer approx_percentile (sketched, mergeable); the
-    sketch variant is covered rows-only in approx_percentile_sketch.
+    DuckDB `quantile_cont`), computed as the HISTOGRAM + cumulative
+    formulation rather than the buffering percentile aggregate — the
+    percentile_disc_surface plan (r12) extended to interpolation
+    (r13, kills the last 'weak' scale row): distinct (flag, value)
+    counts (map-side combined) → one cumulative window → for each p
+    two exact rank picks lo = value@floor(r), hi = value@ceil(r) with
+    the 0-based position r = p·(n−1), then the convex interpolation
+    lo·(1−fr) + hi·fr. That exact expression form is what Spark's
+    native percentile evaluates (the algebraically-equal
+    lo + (hi−lo)·fr differs by an ulp and fails a bit compare) and
+    what DuckDB's QUANTILE_CONT produces — verified BIT-IDENTICAL to
+    both engines' native aggregates at all three fixture SFs
+    (tests/test_relational_extras.py pins the Spark side per run).
 
-    The fixture parquet is single-row-group ⇒ the scan+partial-agg
-    stage would be ONE task; the round-robin repartition spreads the
-    (value-buffering, memory-heavy) partial aggregation across the
-    cluster before the 3-group final merge.
-
-    ONE percentile agg with an ARRAY of percentages, never four scalar
-    percentile aggs: each scalar agg keeps its OWN full value buffer and
-    sorts it separately in the final merge — four buffers of everything
-    (measured r12: 28.0 s at 5M rows as four aggs vs 7.5 s as one
-    array agg; values bit-identical, same interpolation over the same
-    sorted run)."""
+    Unlike the buffering aggregate — whose final merge holds and sorts
+    every group value on one task (the r12 probe's 7.5 s residual at
+    5M even after the array-agg fix) — every stage here is
+    partial-aggregatable and spillable: the heaviest shuffle carries
+    distinct (flag, value) pairs, the window sorts distinct values
+    (not rows), and the picks are plain conditional MINs. 1M→5M probe:
+    see PROBES_r13.json. At 100 TB the sketch
+    (approx_percentile_sketch) remains the cheap path; this is the
+    exact path that no longer needs a single-task buffer."""
     li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
-    li = li.repartition(spark.sparkContext.defaultParallelism)
+    # keyed repartition at session shuffle parallelism (the r13
+    # percentile_disc lesson: never a fixed count) + localCheckpoint:
+    # hist feeds the cumulative window AND the per-flag total
+    hist = (
+        li.repartition("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    n = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(n), "l_returnflag")
     pcts = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p, _ in pcts])).alias("ps")
-    )
-    return agg.select(
-        "l_returnflag",
-        *[F.round(F.col("ps")[i], 4).alias(name) for i, (_, name) in enumerate(pcts)],
-    )
+
+    def rank(p: float):  # 0-based interpolation position p·(n−1)
+        return F.lit(p) * (F.col("n") - 1).cast("double")
+
+    aggs = [F.first("n").alias("n")]
+    for p, name in pcts:
+        aggs += [
+            F.min(
+                F.when(F.col("cum") >= F.floor(rank(p)).cast("long") + 1, F.col("l_extendedprice"))
+            ).alias(f"__lo_{name}"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(rank(p)).cast("long") + 1, F.col("l_extendedprice"))
+            ).alias(f"__hi_{name}"),
+        ]
+    picked = j.groupBy("l_returnflag").agg(*aggs)
+
+    def interp(p: float, name: str):
+        fr = rank(p) - F.floor(rank(p)).cast("double")
+        return F.round(
+            F.col(f"__lo_{name}") * (F.lit(1.0) - fr) + F.col(f"__hi_{name}") * fr, 4
+        ).alias(name)
+
+    return picked.select("l_returnflag", *[interp(p, name) for p, name in pcts])
 
 
 @query(
