@@ -22,7 +22,16 @@ from energi_data_etl_spark.sources.tables import TABLES  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # positional sf_dir, optional --queries a,b for a targeted re-check
+    # (a full 273-query pass is ~15 min; iterating on one rewrite
+    # shouldn't pay it every loop — the PRE-COMMIT gate stays the full
+    # run, at both SFs for behavior-changing trees)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            only = {q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()}
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -38,6 +47,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        qs = {n: f for n, f in qs.items() if n in only}
     fails = 0
     for name, fn in qs.items():
         try:
