@@ -94,6 +94,18 @@ def test_compute_first_50_selection_rules():
     assert w2[3 + len(due_recert)] == stale_name
 
 
+def test_recert_entries_are_registered_oracled_queries():
+    """compute_first_50 silently skips RECERT names that aren't
+    registered oracled queries — correct for robustness, but it means a
+    TYPO'd entry would never put the rewritten plan in front of the
+    driver. Pin every entry to a real, oracled query."""
+    from energi_data_etl_spark.queries import RECERT
+
+    for name in RECERT:
+        assert name in QUERIES, f"RECERT entry {name!r} is not a registered query"
+        assert QUERIES[name].oracle is not None, f"RECERT entry {name!r} has no oracle"
+
+
 def test_recert_tier_drops_out_once_recertified():
     """A RECERT entry green in a round LATER than its rewrite round is
     no longer selected ahead of staleness (the tier self-empties)."""
