@@ -274,6 +274,9 @@ def test_quantize_error_int8_matches_numpy_exactly(spark, sf_dir):
         scale = np.abs(v).max() / 127.0
         q = np.clip(np.floor(v / scale + 0.5), -127.0, 127.0)
         err = v - q * scale
+        # exact == is safe here: the kernel's (err*err).sum(axis=1) and this
+        # 1D .sum() are the same numpy pairwise reduction over the same-length
+        # float64 row — identical expression tree, unlike a hand-rolled loop
         mse = float((err * err).sum() / v.size)
         assert row.scale == scale
         assert row.mse == mse

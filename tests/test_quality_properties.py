@@ -97,11 +97,18 @@ def test_changepoint_matches_numpy_bruteforce(spark, series):
     with tempfile.TemporaryDirectory() as d:
         _write_events(spark, d, rows)
         r = changepoint_binary_segmentation(spark, d).collect()[0]
-    v = np.round(np.array(series, dtype=np.float64), 2)
+    # Mirror the query's expression tree EXACTLY (queries/quality.py
+    # changepoint stat): both means derive from the same sequential
+    # cumulative sum, and the right mean is (total - cumsum)/(n - cn) —
+    # NOT a direct slice sum, which differs by ulps at exact ties and
+    # flips the argmax (hypothesis found [63.0, 1.03125, 1.640625, 63.0]).
+    v = np.array([round(x, 2) for x in series], dtype=np.float64)
     n = len(v)
+    cs = np.cumsum(v)  # sequential adds, same order as the window
+    s = cs[-1]  # the window-total sum is the same sequential chain
     stats = []
     for cn in range(1, n):
-        ml, mr = v[:cn].sum() / cn, v[cn:].sum() / (n - cn)
+        ml, mr = cs[cn - 1] / cn, (s - cs[cn - 1]) / (n - cn)
         stats.append(abs(ml - mr) * np.sqrt(cn * (n - cn) / n))
     best = int(np.argmax(stats))  # first max = earliest day, matching the d-asc tiebreak
     assert r.left_days == best + 1
