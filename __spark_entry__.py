@@ -9,9 +9,16 @@ DuckDB (row-count + schema + order-insensitive value-hash).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver gate runs sf0.01/sf0.1 fixtures where 4 state tasks per
+# micro-batch drain fastest (VERDICT r05 #2: 32 near-empty state tasks
+# were ~all of a 17 s floor). Outside this gate the library defaults the
+# drain to defaultParallelism (streaming/ops.py:drain_partitions).
+os.environ.setdefault("SPARK_GRAFT_DRAIN_PARTITIONS", "4")
 
 
 def _prepare(spark: SparkSession) -> SparkSession:

@@ -22,6 +22,9 @@ def _materialize(df) -> None:
 
 
 def main() -> int:
+    # Fixture-gate pin: sf0.1 drains are fastest at 4 state tasks; the
+    # library default (no env) is defaultParallelism for real volumes.
+    os.environ.setdefault("SPARK_GRAFT_DRAIN_PARTITIONS", "4")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0

@@ -104,42 +104,48 @@ def _ephemeral_checkpoint_dir() -> str:
 #:
 #: At VOLUME the fixture tuning inverts: 4 state tasks are a
 #: parallelism ceiling (r12 probe, 5M events through session windows on
-#: a parquet sink: 9.9 s at 4 partitions vs 5.8 s at 32 — and the
-#: remaining drain cost there was the COMPLETE-mode memory sink
-#: materializing 3.5M sessions on the driver, a certification artifact
-#: production sinks don't pay). Deployments and probes size it with
-#: this env knob; the default stays fixture-shaped because the driver
-#: gate is fixture-sized.
-def _drain_partitions_from_env() -> int:
-    """Parse SPARK_GRAFT_DRAIN_PARTITIONS defensively: a malformed or
-    non-positive value must never break `import streaming.ops` (the
-    driver gate path imports it) — fall back to the fixture-shaped
-    default of 4 and clamp to >= 1 (ADVICE r12)."""
-    raw = os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS", "4")
+#: a parquet sink: 9.9 s at 4 partitions vs 5.8 s at 32; r13 probe at
+#: 20M: 8.26x at 4 vs 4.36x at 32 for 10x data). Deployments size it
+#: with the env knob; when the knob is UNSET the default is the
+#: session's defaultParallelism — cluster-shaped, not fixture-shaped —
+#: so a deployer who never reads the docs still gets a parallel drain.
+#: The fixture gates (__spark_entry__, bench.py, tests/conftest.py) pin
+#: the env to 4 explicitly to keep sf0.01-sized drain timings.
+def drain_partitions(spark: SparkSession) -> int:
+    """Resolve the drain state-store partition count at call time:
+    SPARK_GRAFT_DRAIN_PARTITIONS when set to a valid int (clamped >= 1,
+    ADVICE r12); otherwise the session's defaultParallelism (total
+    executor cores on a real cluster, local[N] threads here). A
+    malformed value warns and falls through to the cluster default —
+    never raises (the driver gate path calls this)."""
+    raw = os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS")
+    if raw is not None:
+        try:
+            return max(1, int(raw))
+        except ValueError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "SPARK_GRAFT_DRAIN_PARTITIONS=%r is not an int; "
+                "using defaultParallelism",
+                raw,
+            )
     try:
-        return max(1, int(raw))
-    except ValueError:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "SPARK_GRAFT_DRAIN_PARTITIONS=%r is not an int; using 4", raw
-        )
+        return max(1, int(spark.sparkContext.defaultParallelism))
+    except Exception:
         return 4
-
-
-DRAIN_SHUFFLE_PARTITIONS = _drain_partitions_from_env()
 
 
 @contextmanager
 def drain_conf(spark: SparkSession):
-    """Narrow shuffle/state partitions to DRAIN_SHUFFLE_PARTITIONS for
+    """Narrow shuffle/state partitions to drain_partitions(spark) for
     the duration of a synchronous AvailableNow drain. The conf is
     captured when the stream plans its first micro-batch (async after
     start()), so callers must keep the drain — start() through
     awaitTermination() — inside this scope; nothing else compiles plans
     on the session meanwhile, so batch plans are unaffected."""
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions(spark)))
     try:
         yield
     finally:

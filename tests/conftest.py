@@ -4,6 +4,10 @@ import os
 
 import pytest
 
+# Fixture-gate pin (see streaming/ops.py:drain_partitions): tests drain
+# sf0.001-sized streams where 4 state tasks beat defaultParallelism.
+os.environ.setdefault("SPARK_GRAFT_DRAIN_PARTITIONS", "4")
+
 SF_TEST_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 

@@ -483,3 +483,21 @@ def test_chained_stateful_dau_equals_batch_dau(spark, sf_dir):
         assert want[d] == dau, d
     # exactly the last two days are unfinalized
     assert len(want) - len(got) == 2
+
+
+def test_drain_partitions_default_derivation(spark, monkeypatch):
+    """The drain state-task count: env knob when valid (clamped >= 1),
+    otherwise the session's defaultParallelism — cluster-shaped, so a
+    deployer who never sets the knob doesn't inherit the fixture-tuned
+    4-task ceiling (r13 probe: 8.26x vs 4.36x at 20M events)."""
+    from energi_data_etl_spark.streaming.ops import drain_partitions
+
+    monkeypatch.setenv("SPARK_GRAFT_DRAIN_PARTITIONS", "7")
+    assert drain_partitions(spark) == 7
+    monkeypatch.setenv("SPARK_GRAFT_DRAIN_PARTITIONS", "-3")
+    assert drain_partitions(spark) == 1  # clamp, never a 0-partition drain
+    dp = spark.sparkContext.defaultParallelism
+    monkeypatch.setenv("SPARK_GRAFT_DRAIN_PARTITIONS", "bogus")
+    assert drain_partitions(spark) == dp  # malformed falls through, no raise
+    monkeypatch.delenv("SPARK_GRAFT_DRAIN_PARTITIONS")
+    assert drain_partitions(spark) == dp
