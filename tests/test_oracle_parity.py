@@ -143,3 +143,23 @@ def test_contract_shapes():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert "flagship_daily_avg" in qs
+
+
+def test_readme_counts_match_registry():
+    """README's front-door catalog numbers must track the registry —
+    they drifted for three rounds (267/265 while the catalog grew to
+    273/270, VERDICT r13 residual #1). Pins BOTH stated sites: the
+    layout line '(N queries, M DuckDB oracles)' and the Correctness
+    line 'M of N declared queries'."""
+    import re
+
+    from energi_data_etl_spark.queries import QUERIES, oracle_sqls
+
+    n, m = len(QUERIES), len(oracle_sqls())
+    readme = open("README.md", encoding="utf-8").read()
+    layout = re.search(r"\((\d+) queries, (\d+) DuckDB oracles\)", readme)
+    assert layout, "README layout line lost its '(N queries, M DuckDB oracles)' marker"
+    assert (int(layout.group(1)), int(layout.group(2))) == (n, m)
+    correctness = re.search(r"(\d+) of (\d+) declared queries carry", readme)
+    assert correctness, "README Correctness section lost its 'M of N declared queries' line"
+    assert (int(correctness.group(1)), int(correctness.group(2))) == (m, n)
