@@ -73,8 +73,8 @@ def main() -> int:
         if _q.bench:
             try:
                 _materialize(_q.fn(spark, warm_dir))
-            except Exception:  # noqa: BLE001 — warmup must never kill the run
-                pass
+            except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
+                print(f"warmup failed for {_name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():

@@ -768,7 +768,15 @@ def semdedup_prune(
         # materialize now, then release the centroid broadcast: the
         # checkpointed RDD no longer references it, so repeated calls
         # leave zero live broadcast blocks behind (bounded-accumulation
-        # contract; the checkpoint itself is GC-cleaned with the frame)
-        result = result.localCheckpoint(eager=True)
-        b_C.destroy()
+        # contract; the checkpoint itself is GC-cleaned with the frame).
+        # destroy() in a finally so a failure mid-materialization can't
+        # leak the broadcast (ADVICE r13). Cluster note: localCheckpoint
+        # truncates lineage — if an executor holding checkpoint blocks
+        # is later lost, the frame FAILS rather than recomputing; on a
+        # real cluster prefer eager=False (keeps lineage) or a reliable
+        # checkpoint dir when executor churn is expected.
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            b_C.destroy()
     return result

@@ -31,6 +31,14 @@ def main() -> int:
     for a in sys.argv[1:]:
         if a.startswith("--queries="):
             only = {q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()}
+            if not only:
+                print("--queries= given but empty: refusing a vacuous 0-fail run")
+                return 2
+        elif a.startswith("--"):
+            # a typo'd flag must not silently fall back to the full
+            # ~15-min suite (ADVICE r13); note --queries takes '=' form
+            print(f"unrecognized argument: {a} (did you mean --queries=a,b?)")
+            return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")

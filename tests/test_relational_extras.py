@@ -128,3 +128,50 @@ def test_percentile_interp_histogram_bitwise_matches_native(spark, oracle_sf_dir
     bits = lambda t: tuple(struct.pack("<d", v).hex() for v in t)  # noqa: E731
     for flag, vals in native.items():
         assert bits(ours[flag]) == bits(vals), f"{flag}: {ours[flag]} != {vals}"
+
+
+def test_percentile_interp_duckdb_quantile_cont_bitwise(spark, oracle_sf_dir):
+    """ADVICE r13: the bit-identity chain was pinned only on the Spark
+    side (histogram plan == native percentile); the DuckDB
+    QUANTILE_CONT leg rested on fixture-empirical driver runs alone, so
+    a DuckDB version bump changing its interpolation rounding would
+    surface as an opaque driver hash failure. Pin the RAW (unrounded)
+    QUANTILE_CONT doubles bit-equal to Spark's native percentile
+    aggregate here, localizing any future divergence."""
+    import struct
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    duck = {
+        flag: (p25, p50, p75, p99)
+        for flag, p25, p50, p75, p99 in con.execute(
+            f"""
+            SELECT l_returnflag,
+                   QUANTILE_CONT(l_extendedprice, 0.25),
+                   QUANTILE_CONT(l_extendedprice, 0.50),
+                   QUANTILE_CONT(l_extendedprice, 0.75),
+                   QUANTILE_CONT(l_extendedprice, 0.99)
+            FROM read_parquet('{oracle_sf_dir}/lineitem.parquet')
+            GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    native = {
+        r.l_returnflag: tuple(r.ps)
+        for r in load_table(spark, "lineitem", oracle_sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.99)])
+            ).alias("ps")
+        )
+        .collect()
+    }
+    bits = lambda t: tuple(struct.pack("<d", v).hex() for v in t)  # noqa: E731
+    assert set(duck) == set(native)
+    for flag in duck:
+        assert bits(duck[flag]) == bits(native[flag]), f"{flag}: {duck[flag]} != {native[flag]}"
