@@ -177,9 +177,26 @@ def ann_ivf_knn(
     kmeans_iters: int = 10,
     seed: int = 42,
     corpus_count: int | None = None,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse k-means quantizer → inverted lists per
     centroid cell → queries probe their `nprobe` nearest cells only.
+
+    ``two_level`` (auto-on once n_centroids > 256, the semdedup_prune
+    crossover measured in BASELINE.md r11) switches assignment to the
+    coarse×fine quantizer (FAISS IMI shape): √K coarse centroids, √K
+    fine per coarse cell. At 100 TB the inverted index must scale K
+    with N to keep cells bounded, and single-level assignment is the
+    same N·K·d wall SemDeDup hit — two-level is N·2√K·d. Corpus
+    vectors take coarse-argmax then fine-argmax (one cell); queries
+    probe the top ceil(√nprobe) coarse cells and the top
+    ceil(nprobe/√nprobe) fine cells within each, so the probed-cell
+    count stays ≈ nprobe. Cell semantics, join shape, output schema
+    and the recall-verdict surface are unchanged; only the assignment
+    flops and the probe heuristic differ (an IMI probe can pick a
+    slightly different cell set than exact top-nprobe over the flat
+    codebook — the documented trade, recall pinned in
+    tests/test_llm_ops.py for both modes).
 
     Fit is driver-side Lloyd iterations on a seeded UNIFORM sample
     (`df.sample`, not ordered-limit — an id-ordered prefix is biased
@@ -223,31 +240,91 @@ def ann_ivf_knn(
     X = np.array([r[1] for r in sample], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(X @ C.T, axis=1)  # spherical k-means: cosine assignment
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                C[j] = c / (np.linalg.norm(c) or 1.0)
-    b_C = spark.sparkContext.broadcast(C)
+
+    def _fit(pts, k, iters):  # spherical k-means: cosine assignment
+        k = max(1, min(k, len(pts)))
+        cm = pts[rng.choice(len(pts), size=k, replace=False)].copy()
+        for _ in range(iters):
+            assign = np.argmax(pts @ cm.T, axis=1)
+            for j in range(len(cm)):
+                members = pts[assign == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    cm[j] = c / (np.linalg.norm(c) or 1.0)
+        return cm
+
+    if two_level is None:
+        two_level = n_centroids > 256  # measured crossover, BASELINE.md r11
+
+    if two_level:
+        import math
+
+        k_coarse = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(K))
+        k_fine = max(1, -(-n_centroids // k_coarse))  # ceil(K / Kc)
+        Cc = _fit(X, k_coarse, kmeans_iters)
+        k_coarse = len(Cc)
+        coarse_of = np.argmax(X @ Cc.T, axis=1)
+        Cf = np.zeros((k_coarse, k_fine, X.shape[1]), dtype=np.float64)
+        n_valid = np.ones(k_coarse, dtype=np.int64)
+        for ci in range(k_coarse):
+            members = X[coarse_of == ci]
+            fine = _fit(members, k_fine, kmeans_iters) if len(members) else Cc[ci : ci + 1]
+            # pad unfilled fine slots by aliasing the first fine
+            # centroid: padded slots never win a strict argmax (corpus
+            # side) and are masked -inf on the probe side, keeping the
+            # array rectangular for one fused matmul per coarse group.
+            Cf[ci, : len(fine)] = fine
+            Cf[ci, len(fine) :] = fine[0]
+            n_valid[ci] = len(fine)
+        b_C = spark.sparkContext.broadcast((Cc, Cf, k_fine, n_valid))
+
+        def _probe(v, nearest):  # -> (n, width>=nearest) distinct cell ids
+            Ccm, Cfm, kf, nv = b_C.value
+            if nearest <= 1:
+                coarse = np.argmax(v @ Ccm.T, axis=1)
+                out = np.empty((len(v), 1), dtype=np.int64)
+                for ci in np.unique(coarse):
+                    m = coarse == ci
+                    out[m, 0] = ci * kf + np.argmax(v[m] @ Cfm[ci].T, axis=1)
+                return out
+            import math
+
+            nc = min(len(Ccm), max(1, math.isqrt(nearest - 1) + 1))
+            nf = min(kf, -(-nearest // nc))
+            coarse_top = np.argsort(-(v @ Ccm.T), axis=1)[:, :nc]
+            out = np.empty((len(v), nc * nf), dtype=np.int64)
+            for s in range(nc):
+                cc = coarse_top[:, s]
+                for ci in np.unique(cc):
+                    m = cc == ci
+                    sims = v[m] @ Cfm[ci].T
+                    sims[:, nv[ci] :] = -np.inf  # padded alias slots
+                    top = np.argsort(-sims, axis=1)[:, :nf]
+                    out[m, s * nf : (s + 1) * nf] = ci * kf + top
+            return out
+
+    else:
+        C = _fit(X, n_centroids, kmeans_iters)
+        b_C = spark.sparkContext.broadcast(C)
+
+        def _probe(v, nearest):
+            sims = v @ b_C.value.T
+            return np.argsort(-sims, axis=1)[:, :nearest]  # (n, nearest)
 
     def cells(nearest: int):
         def assign_batches(batches):
             import pandas as pd
 
-            Cm = b_C.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 v = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
                 v = v / np.linalg.norm(v, axis=1, keepdims=True)
-                sims = v @ Cm.T
-                top = np.argsort(-sims, axis=1)[:, :nearest]  # (n, nearest)
+                top = _probe(v, nearest)
+                width = top.shape[1]
                 out = {
-                    pdf.columns[0]: np.repeat(pdf.iloc[:, 0].to_numpy(), nearest),
-                    pdf.columns[1]: [row for row in pdf.iloc[:, 1] for _ in range(nearest)],
+                    pdf.columns[0]: np.repeat(pdf.iloc[:, 0].to_numpy(), width),
+                    pdf.columns[1]: [row for row in pdf.iloc[:, 1] for _ in range(width)],
                     "cell": top.ravel().astype(np.int32),
                 }
                 yield pd.DataFrame(out)

