@@ -128,10 +128,14 @@ PRIORITY = [
 #: once re-certified (they become harmless no-ops, but the list should
 #: reflect the live backlog).
 RECERT: dict[str, int] = {
-    "percentile_disc_surface": 12,
-    # r13 histogram-interpolation rewrite landed after the r12 window;
-    # the r12 green row certifies the old array-percentile plan
-    "percentile_surface": 12,
+    # r14 two-level-quantizer refactor of ann_ivf_knn landed after the
+    # r13 window (single-level path is rng-identical by construction,
+    # but the kernel bytes changed — let the driver re-meet the plan)
+    "ann_ivf_topk": 13,
+    # r14 days_per_epoch option on EnergiPricesStreamReader: the stream
+    # reader's offset machinery changed after these queries' last rows
+    "api_source_stream_rollup": 13,
+    "api_source_dedup_stream": 13,
 }
 
 

@@ -380,6 +380,54 @@ def probe_api_epochs(spark, n_days: int) -> dict:
     }
 
 
+def probe_session_drain(spark, n_small: int, n_big: int) -> dict:
+    """VERDICT r13 item 4 evidence: the production parquet-sink drain of
+    the append session stream, with the drain-partition knob resolved by
+    the CURRENT environment (run with SPARK_GRAFT_DRAIN_PARTITIONS unset
+    to measure the new defaultParallelism default; the r13 rows pinned
+    env=32 vs env=4 at the same volumes)."""
+    import os
+
+    from energi_data_etl_spark.streaming.ops import (
+        _ephemeral_checkpoint_dir,
+        drain_conf,
+        drain_partitions,
+        events_stream,
+        session_window_stats,
+    )
+
+    tmp = scratch_dir("sess_drain_")
+    out: dict[str, dict] = {}
+    for label, n in (("small", n_small), ("big", n_big)):
+        d = f"{tmp}/{label}"
+        gen_tables(spark, n, d, {"events"})
+
+        def run(i=[0], d=d):
+            i[0] += 1
+            stream = events_stream(spark, f"{d}/events.parquet")
+            sw = session_window_stats(stream, gap="30 minutes", watermark="25 hours")
+            with drain_conf(spark):
+                q = (
+                    sw.writeStream.format("parquet")
+                    .option("path", f"{d}/out_{i[0]}")
+                    .option("checkpointLocation", _ephemeral_checkpoint_dir())
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        best = time_fn(run, warm=1, reps=3)
+        out[label] = {"rows": n, "sec": round(best, 2)}
+        print(f"[{label}] n={n} min {best:.2f}s", flush=True)
+    return {
+        "env": os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS"),
+        "resolved_drain_partitions": drain_partitions(spark),
+        "sec": out,
+        "ratio": round(out["big"]["sec"] / out["small"]["sec"], 2),
+    }
+
+
 def probe_ann_ivf(spark, n_vec: int, target_cell: int, nprobe: int, n_queries: int) -> dict:
     """VERDICT r13 item 7: at 100 TB the IVF codebook scales K ∝ N, and
     single-level assignment is N·K·d flops — the same wall semdedup hit
@@ -440,6 +488,8 @@ def main() -> int:
     ap.add_argument("--api-epochs", action="store_true",
                     help="probe the API stream source's per-epoch fixed cost vs days_per_epoch")
     ap.add_argument("--days", type=int, default=60, help="day range for --api-epochs")
+    ap.add_argument("--session-drain", action="store_true",
+                    help="probe the parquet-sink session append drain under the current drain env")
     ap.add_argument("--vecs", type=int, default=1_000_000, help="corpus size for --ann-ivf")
     ap.add_argument("--target-cell", type=int, default=512, help="K = vecs/target_cell for --ann-ivf")
     ap.add_argument("--nprobe", type=int, default=32, help="probed cells for --ann-ivf")
@@ -462,6 +512,8 @@ def main() -> int:
         result = probe_ann_ivf(spark, args.vecs, args.target_cell, args.nprobe, args.nq)
     elif args.api_epochs:
         result = probe_api_epochs(spark, args.days)
+    elif args.session_drain:
+        result = probe_session_drain(spark, args.small, args.big)
     else:
         if not args.queries:
             print("--queries or --api-sink required", file=sys.stderr)
