@@ -328,6 +328,75 @@ def api_source_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "api_source_epoch_bounded",
+    tier="S1+T7 (bounded-epoch API stream: days_per_epoch offset advance, exactly-once across poll runs)",
+    oracle="""
+        WITH zones AS (
+            SELECT * FROM (VALUES (1, 'SE1'), (2, 'SE2'), (3, 'SE3'), (4, 'SE4')) AS t(zi, zone)
+        ), days AS (
+            SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-03-10', DATE '2024-03-13', INTERVAL 1 DAY)) AS DATE) AS date
+        )
+        SELECT z.zone, d.date,
+               CAST(24 AS BIGINT) AS n_obs,
+               CAST(z.zi * 1000 + DATEDIFF('day', DATE '2024-01-01', d.date) * 10 + 11.5 AS DOUBLE) AS avg_price
+        FROM zones z CROSS JOIN days d
+    """,
+)
+def api_source_epoch_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 epoch-sizing knob (VERDICT r13 item 8) certified at the
+    driver surface: days_per_epoch=2 bounds how far the stream reader's
+    latestOffset advances per trigger, so this 4-day range drains as TWO
+    poll-shaped AvailableNow runs on ONE durable checkpoint (the Python
+    stream source runs AvailableNow as a single batch — each run is one
+    epoch, the offset log resumes the next) plus a third caught-up run
+    that must add nothing. The rollup of the parquet sink then matches
+    the closed-form oracle ONLY if every zone-day landed exactly once
+    across the three runs — n_obs=24 discriminates both a lost epoch
+    (missing rows) and a replayed one (n_obs=48).
+
+    100 TB: the knob is the backfill's retry granularity — unbounded
+    (default) amortizes the per-epoch machinery into one catch-up
+    batch (probe: 60 days 15.8 s at daily epochs vs 2.8 s in one);
+    bounded caps per-batch work and makes progress checkpoint-durable
+    day-by-day, the poll topology of a scheduled collector."""
+    import datetime
+
+    from ..sources.api_datasource import EnergiPricesDataSource
+    from ..streaming.ops import drain_conf
+
+    start, end = datetime.date(2024, 3, 10), datetime.date(2024, 3, 13)
+    base = _write_api_fixtures(start, end)
+    spark.dataSource.register(EnergiPricesDataSource)
+    root = scratch_dir("api_epoch_")
+    out, ck = f"{root}/out", f"{root}/ckpt"
+    for _ in range(3):  # epoch 1, epoch 2, caught-up no-op
+        stream = (
+            spark.readStream.format("energi_prices")
+            .option("start", start.isoformat())
+            .option("end", end.isoformat())
+            .option("zones", ",".join(_API_ZONES))
+            .option("fixture_dir", base)
+            .option("days_per_epoch", "2")
+            .load()
+        )
+        with drain_conf(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("zone", "date").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("SEK_per_kWh").alias("avg_price"),
+    )
+
+
+@query(
     "schema_evolution_union_by_name",
     tier="S4+S5 (parquet schema drift: mergeSchema read over two write generations)",
     oracle="""
