@@ -531,6 +531,78 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_two_level_topk",
+    tier="L3 (two-level IMI quantizer IVF ANN — the corpus-scaled-K path; verdict-oracled vs exact twin)",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   LIST_COSINE_SIMILARITY(q.v, c.v) AS cos_raw
+            FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 5
+        )
+        SELECT query_id,
+               CAST(MAX(CASE WHEN rnk = 1 THEN neighbor_id END) AS BIGINT) AS exact_top1_id,
+               ROUND(MAX(CASE WHEN rnk = 1 THEN cos_raw END), 4) AS exact_top1_cos,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(5 AS BIGINT) AS n_ann,
+               TRUE AS corpus_recall_ok
+        FROM topk
+        GROUP BY query_id
+    """,
+)
+def ann_ivf_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 two-level (IMI-shaped) IVF quantizer certified at the
+    driver surface, same verdict shape as ann_ivf_topk: coarse×fine
+    spherical k-means (√K coarse, √K fine per coarse), corpus vectors
+    assigned coarse-argmax→fine-argmax, queries probing the top
+    ceil(√nprobe) coarse cells × ceil(nprobe/nc) fine cells within each
+    (nprobe=8 ⇒ 9 of 16 cells). At 100 TB this is the assignment shape
+    that survives K ∝ N: probe at 1M vectors / K=1953 measured 3.44 s
+    two-level vs 10.60 s single-level at EQUAL corpus recall
+    (PROBES_r14.json). Fixture recall (worst-case i.i.d. vectors,
+    measured 0.76/0.82/0.80 at sf0.001/0.01/0.1) gates at the 0.5
+    corpus floor; the exact top-1 columns stay hash-certified against
+    DuckDB, and the oracle pins n_ann=5 / corpus_recall_ok TRUE —
+    DuckDB has no IVF, so a quantizer or probe regression fails the
+    gate through the recall verdict."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    ex = S.exact_knn(q, e, k=5).localCheckpoint(eager=False)
+    ann = S.ann_ivf_knn(q, e, k=5, nprobe=8, two_level=True).localCheckpoint(eager=False)
+    hits = ex.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    corpus = hits.agg(F.count(F.lit(1)).alias("__hits")).crossJoin(
+        ex.agg(F.count(F.lit(1)).alias("__n_exact_all"))
+    )
+    ann_n = ann.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_ann"))
+    ex_agg = ex.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).cast("long").alias("exact_top1_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("exact_top1_cos"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )
+    return (
+        ex_agg.join(ann_n, "query_id", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "exact_top1_id",
+            "exact_top1_cos",
+            "n_exact",
+            F.coalesce(F.col("n_ann"), F.lit(0)).cast("long").alias("n_ann"),
+            (F.col("__hits") >= 0.5 * F.col("__n_exact_all")).alias("corpus_recall_ok"),
+        )
+    )
+
+
+@query(
     "ann_lsh_topk",
     tier="L3 (LSH-bucketed ANN — the 100 TB path; verdict-oracled vs exact twin)",
     oracle="""
