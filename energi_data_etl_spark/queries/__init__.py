@@ -136,6 +136,9 @@ RECERT: dict[str, int] = {
     # reader's offset machinery changed after these queries' last rows
     "api_source_stream_rollup": 13,
     "api_source_dedup_stream": 13,
+    # r14 alias-before-window rewrite (removed the duplicate
+    # Exchange+Sort the r12 probe surfaced) landed after its last row
+    "scd2_customer_status": 13,
 }
 
 

@@ -140,3 +140,14 @@ def test_recursive_hierarchy_plans_union_loop(spark, sf_dir):
     recursive relation), not a static unrolled union."""
     plan = explain_str(QUERIES["hierarchy_rollup_recursive"].fn(spark, sf_dir), mode="simple")
     assert "UnionLoop" in plan or "Recursive" in plan.replace("recursive", "Recursive"), plan
+
+
+def test_scd2_single_hash_exchange(spark, sf_dir):
+    """r14: both window specs and both aggregations share the cust
+    partitioning — aliasing AFTER the first window had Catalyst
+    planning a second Exchange+Sort pair (the r12 full-catalog probe's
+    5.06x row decomposed: the plan is 1.2s warm at 5M through a noop
+    sink, the probe ratio was driver-collect of the per-customer
+    result). One exchange, ever."""
+    plan = explain_str(QUERIES["scd2_customer_status"].fn(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
