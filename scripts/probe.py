@@ -238,7 +238,14 @@ def time_fn(fn, warm: int = 1, reps: int = 2) -> float:
 
 
 def probe_queries(spark, names: list[str], n_small: int, n_big: int,
-                  tables: set[str] | None = None) -> dict:
+                  tables: set[str] | None = None, noop: bool = False) -> dict:
+    """noop=True times through the noop sink instead of collect():
+    r14 lesson — queries whose OUTPUT cardinality scales with data
+    (scd2's per-customer rows, join_asof's per-event rows) read as
+    super-linear under collect when the PLAN is flat; the noop basis
+    isolates the distributed compute. Keep collect (default) when
+    comparing against historical PROBES_r*.json rows — all pre-r14
+    ratios are collect-based."""
     out: dict[str, dict[str, float]] = {}
     tmp = scratch_dir("probe_")
     for label, n in (("small", n_small), ("big", n_big)):
@@ -248,8 +255,12 @@ def probe_queries(spark, names: list[str], n_small: int, n_big: int,
         print(f"[gen] {label} n={n} in {time.time() - t0:.1f}s", flush=True)
         for qname in names:
             fn = QUERIES[qname].fn
+            run = (
+                (lambda: fn(spark, d).write.mode("overwrite").format("noop").save())
+                if noop else (lambda: fn(spark, d).collect())
+            )
             try:
-                best = time_fn(lambda: fn(spark, d).collect())
+                best = time_fn(run)
             except Exception as exc:  # noqa: BLE001 — record and continue
                 print(f"[{label}] {qname:36} ERR {str(exc)[:160]}", flush=True)
                 out.setdefault(qname, {})[label] = None
@@ -261,7 +272,8 @@ def probe_queries(spark, names: list[str], n_small: int, n_big: int,
         for k, v in out.items()
         if v.get("big") and v.get("small")
     }
-    return {"n_small": n_small, "n_big": n_big, "sec": out, "ratio": ratios}
+    return {"n_small": n_small, "n_big": n_big, "basis": "noop" if noop else "collect",
+            "sec": out, "ratio": ratios}
 
 
 def probe_api_sink(spark, n_rows: int, parts_small: int, parts_big: int) -> dict:
@@ -488,6 +500,8 @@ def main() -> int:
     ap.add_argument("--api-epochs", action="store_true",
                     help="probe the API stream source's per-epoch fixed cost vs days_per_epoch")
     ap.add_argument("--days", type=int, default=60, help="day range for --api-epochs")
+    ap.add_argument("--noop", action="store_true",
+                    help="time --queries through the noop sink instead of collect (isolates plan from driver materialization)")
     ap.add_argument("--session-drain", action="store_true",
                     help="probe the parquet-sink session append drain under the current drain env")
     ap.add_argument("--vecs", type=int, default=1_000_000, help="corpus size for --ann-ivf")
@@ -526,6 +540,7 @@ def main() -> int:
         result = probe_queries(
             spark, names, args.small, args.big,
             set(args.tables.split(",")) if args.tables else None,
+            noop=args.noop,
         )
     print(json.dumps(result))
     spark.stop()
