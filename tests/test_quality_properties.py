@@ -19,7 +19,7 @@ import tempfile
 
 import numpy as np
 import pyspark.sql.functions as F
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 SETTINGS = dict(
@@ -86,6 +86,11 @@ def test_key_skew_gini_matches_numpy(spark, counts, data):
         max_size=12,
     )
 )
+# the r13-verdict counterexample, pinned explicitly so it replays on
+# ANY checkout (the local .hypothesis DB is not committed): after
+# ROUND(2) the two split stats tie mathematically, and a reference that
+# direct-sums the right slice lands 2 ulps away and flips the argmax
+@example(series=[63.0, 1.03125, 1.640625, 63.0])
 @settings(**SETTINGS)
 def test_changepoint_matches_numpy_bruteforce(spark, series):
     """The windowed-cumsum argmax == numpy brute force over every split
