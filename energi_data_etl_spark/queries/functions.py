@@ -441,6 +441,67 @@ def pipe_syntax_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xml_file_roundtrip",
+    tier="S-tier (Spark 4 NATIVE XML file source: write -> read_any('xml') -> re-aggregate, value-lossless)",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS date,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def xml_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML FILE format (Spark 4 ships a native `format("xml")`
+    source — distinct from the to_xml/from_xml expression surface
+    certified by xml_roundtrip_extract): the daily rollup is written as
+    XML documents and read back through `read_any(..., "xml")` with an
+    explicit schema (the pipeline never infers), completing the
+    multi-format IO matrix (parquet/orc/csv/json/xml). The payload is
+    deliberately all-integer — counts and FLOOR(value*100) cents (exact
+    IEEE multiply + floor on both engines, the r08 rule) — so the
+    text round-trip is lossless by construction and the oracle can
+    recompute straight from events: a value match proves the writer,
+    the reader, the schema mapping AND the date/ISO-string round-trip.
+    Scale: XML is an exchange format here, not a table format — full
+    scan, no pushdown (read_any docstring); durable tables stay
+    parquet."""
+    from ..session import scratch_dir
+    from ..sources.tables import read_any
+
+    rolled = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            F.to_date("ts").alias("date"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        )
+    )
+    d = scratch_dir("xmlio_")
+    (
+        rolled.repartition(4)
+        .write.format("xml")
+        .option("rootTag", "days")
+        .option("rowTag", "day")
+        .mode("overwrite")
+        .save(f"{d}/rollup_xml")
+    )
+    back = read_any(
+        spark,
+        f"{d}/rollup_xml",
+        "xml",
+        schema="date date, event_type string, n bigint, cents bigint",
+        rowTag="day",
+    )
+    return back.orderBy("date", "event_type")
+
+
+@query(
     "xml_roundtrip_extract",
     tier="F5-ext (XML functions: to_xml -> from_xml round-trip, value-certified)",
     oracle="""

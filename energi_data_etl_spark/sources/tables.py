@@ -107,14 +107,15 @@ def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFr
 
 def read_any(spark: SparkSession, path: str, fmt: str, schema=None, **options) -> DataFrame:
     """Format-agnostic scan (S-tier completeness): parquet / orc / csv /
-    json behind one call, schema always explicit for text formats (never
-    infer in the pipeline — SURVEY §1.3). Pushdown applies to
-    parquet/orc; csv/json degrade to full scans, which is why the
-    engine's durable tables are parquet."""
+    json / xml (Spark 4 native XML source; pass rowTag) behind one
+    call, schema always explicit for text formats (never infer in the
+    pipeline — SURVEY §1.3). Pushdown applies to parquet/orc; csv/json/
+    xml degrade to full scans, which is why the engine's durable tables
+    are parquet."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt in ("csv", "json"):
+    elif fmt in ("csv", "json", "xml"):
         raise ValueError(f"{fmt} reads require an explicit schema (no inference in the pipeline)")
     for k, v in options.items():
         reader = reader.option(k, v)
