@@ -41,22 +41,25 @@ def test_engine_run_query_and_catalog(spark, sf_dir):
         eng.table("nope")
 
 
-@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json", "xml"])
 def test_format_round_trip_matches_parquet(spark, sf_dir, tmp_path, fmt):
     """S-tier: the same table written/read via other formats yields the
-    same rows (schema explicit for text formats)."""
+    same rows (schema explicit for text formats; xml is the Spark 4
+    native file source, r14)."""
     src = load_table(spark, "nation", sf_dir)
     path = str(tmp_path / f"nation_{fmt}")
     writer = src.write.format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)
+    if fmt == "xml":
+        writer = writer.option("rowTag", "nation")
     writer.save(path)
     back = read_any(
         spark,
         path,
         fmt,
         schema="n_nationkey int, n_name string, n_regionkey int",
-        **({"header": True} if fmt == "csv" else {}),
+        **({"header": True} if fmt == "csv" else {"rowTag": "nation"} if fmt == "xml" else {}),
     )
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
 
