@@ -36,6 +36,7 @@ __all__ = [
     "exact_jaccard",
     "near_dup_minhash",
     "simhash_signature",
+    "simhash_signature_row",
     "simhash_candidate_pairs",
     "hamming64",
 ]
@@ -293,6 +294,58 @@ def simhash_signature(
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
     return tallies.select(id_col, sig.alias("simhash"))
+
+
+def simhash_signature_row(
+    text_col: str | Column = "text",
+    hash_fn: str = "md5",
+    bits: int = 60,
+) -> Column:
+    """Row-local SimHash signature: the STREAMING-path twin of
+    `simhash_signature`. The batch kernel is explode + one groupBy(id)
+    — a shuffle a stateless stream stage can't afford (a streaming
+    groupBy(doc_id) would be an unbounded stateful agg for what is
+    logically a per-row computation). Here the whole signature is
+    computed inside the row: tokenize → per-token hash via
+    ``F.transform`` (the md5/15-hex kernel stays JVM-side, engine-
+    consistent lowercasing) → an Arrow-batched pandas UDF folds the
+    ±1 bit tallies in numpy. Tie rule is ``tally > 0`` (strict),
+    bit-for-bit the batch kernel's — pinned by
+    tests/test_streaming.py::test_row_signature_matches_batch_kernel.
+
+    Empty token lists fold to signature 0; callers that must mirror a
+    groupBy-based oracle (which DROPS token-less docs) filter
+    ``size(tokens(text)) > 0`` first.
+
+    Scale: a map-only stage — no shuffle, no state; the Python cost is
+    one vectorized (n_tokens × bits) fold per doc per Arrow batch. The
+    batch explode+groupBy kernel remains the bulk-backfill path."""
+    import pandas as pd  # noqa: F401 — pandas_udf import-time dependency
+
+    toks = tokens(text_col)
+    if hash_fn == "md5":
+        hasher = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    else:
+        hasher = lambda t: F.xxhash64(t)  # noqa: E731
+    hashes = F.transform(toks, hasher)
+
+    @F.pandas_udf("long")
+    def fold(hs):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, row in enumerate(hs):
+            if row is None or len(row) == 0:
+                continue
+            a = np.asarray(row, dtype=np.int64)
+            ones = ((a[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+            tally = 2 * ones - np.int64(len(a))
+            out[i] = int(((tally > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return fold(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:

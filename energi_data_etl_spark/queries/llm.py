@@ -169,12 +169,15 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_candidate_pairs(sigs, max_hamming=3).orderBy("a", "b")
 
 
-def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 3) -> str:
-    """DuckDB replica of the md5-kernel SimHash: same 60-bit signature
-    per document (top 15 md5 hex chars → base-16 long, ±1 bit tallies,
-    sign bits), then BRUTE-FORCE all-pairs Hamming — so the oracle
-    certifies the Spark pigeonhole banding finds EXACTLY the
-    Hamming-≤k pair set, completeness included."""
+def simhash_md5_sig_cte(bits: int = 60) -> str:
+    """The shared DuckDB CTE chain rebuilding the md5-kernel SimHash
+    signature per document (top 15 md5 hex chars → base-16 long, ±1 bit
+    tallies, sign bits — the cross-engine kernel, CLAUDE.md). Used by
+    `neardup_simhash_md5`'s brute-force-pairs oracle and by
+    queries/streaming.py::streaming_neardup_suppress's first-seen-wins
+    replay oracle. Yields CTEs ``toks``, ``hashed``, ``sig`` — callers
+    append their own SELECT; token-less docs are DROPPED by the
+    GROUP BY (mirror that on the Spark side)."""
     sig_terms = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
@@ -194,7 +197,15 @@ def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 3) -> str:
         sig AS (
             SELECT doc_id, {sig_terms} AS simhash
             FROM hashed GROUP BY doc_id
-        )
+        )"""
+
+
+def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB replica of the md5-kernel SimHash: same 60-bit signature
+    per document (`simhash_md5_sig_cte`), then BRUTE-FORCE all-pairs
+    Hamming — so the oracle certifies the Spark pigeonhole banding finds
+    EXACTLY the Hamming-≤k pair set, completeness included."""
+    return f"""{simhash_md5_sig_cte(bits)}
         SELECT s1.doc_id AS a, s2.doc_id AS b,
                CAST(BIT_COUNT(XOR(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
         FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id

@@ -518,6 +518,124 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _neardup_suppress_oracle() -> str:
+    from .llm import simhash_md5_sig_cte
+
+    return (
+        simhash_md5_sig_cte(bits=60)
+        + """
+        SELECT d.doc_id AS doc_id, d.simhash AS simhash
+        FROM sig d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sig e
+            WHERE e.doc_id < d.doc_id
+              AND BIT_COUNT(XOR(e.simhash, d.simhash)) <= 3
+        )
+        ORDER BY doc_id
+    """
+    )
+
+
+@query(
+    "streaming_neardup_suppress",
+    tier="T6×L2×U2 (streaming near-dup suppression: SimHash-banded state store, first-seen-wins)",
+    oracle=_neardup_suppress_oracle(),
+)
+def streaming_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-duplicate suppression — the streaming twin of
+    the batch L2 family: documents arrive id-ordered in three
+    micro-batches, each computes its 60-bit md5-kernel SimHash
+    ROW-LOCALLY (`simhash_signature_row` — no shuffle, no streaming
+    groupBy), is banded into 4 pigeonhole chunks, and
+    `neardup_suppress_stream` admits it iff NO earlier document within
+    any shared band bucket is within Hamming ≤ 3 — state (per-bucket
+    id+sig lists) persists ACROSS micro-batches in the state store, so
+    batch-3 docs are verified against batch-1 state; the in-query
+    assert proves ≥3 batches actually ran. Per-batch, the chunk
+    verdicts are reduced per doc (suppressed iff ANY chunk hit) and the
+    admitted set appended to the durable sink via idempotent
+    per-batch-id overwrite.
+
+    The oracle replays the SAME semantics set-theoretically: rebuild
+    the identical signatures in DuckDB (`simhash_md5_sig_cte`, the
+    CLAUDE.md cross-engine kernel) and keep doc d iff NOT EXISTS an
+    earlier doc within Hamming ≤ 3 — WITHOUT any banding clause: the
+    hash gate therefore certifies the banded state-store plan against
+    brute-force first-seen-wins, completeness included (a band bucket
+    that failed to catch a Hamming-≤3 pair would admit a doc the
+    oracle suppresses). Value-level: the full admitted (doc_id,
+    simhash) set crosses the gate, not a count. Non-vacuous at all
+    three SFs (22 / 13 / 380 suppressed).
+
+    Scale: signature+banding are map-only; state is sharded over
+    4×2^15 bucket keys and grows with seen docs (TTL/cap levers in the
+    operator docstring); the sink append is per-batch bounded. The
+    id-chunked file replay is the certification harness — production
+    precedence is arrival order, which the doc_id sequence encodes."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.dedup import simhash_signature_row
+    from ..operators.text import tokens
+    from ..sources.tables import load_table
+    from ..streaming.ops import neardup_suppress_stream
+
+    base = scratch_dir("nds_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = int(docs.agg(F.max("doc_id")).collect()[0][0])  # bounded driver scalar
+    step = (mx + 3) // 3  # ceil((mx+1)/3): three id-ordered chunks
+    src = f"{base}/src"
+    os.makedirs(src)
+    for i in range(3):
+        tmp_i = f"{base}/tmp{i}"
+        docs.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        ).coalesce(1).write.parquet(tmp_i)
+        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    # one file per micro-batch = ONE scan task: repartition before the
+    # md5+fold signature stage (the r07 single-row-group lesson, in
+    # stream form) so the per-batch kernel runs at drain parallelism.
+    sigs = (
+        stream.repartition("doc_id")
+        .filter(F.size(tokens("text")) > 0)
+        .select("doc_id", simhash_signature_row("text", hash_fn="md5", bits=60).alias("simhash"))
+    )
+    verdicts = neardup_suppress_stream(sigs, bits=60, max_hamming=3)
+
+    sink = f"{base}/kept"
+    progress = {"last": -1}
+
+    def drain(bdf: DataFrame, bid: int) -> None:
+        kept = (
+            bdf.groupBy("doc_id")
+            .agg(F.first("simhash").alias("simhash"), F.max("hit").alias("anyhit"))
+            .filter(~F.col("anyhit"))
+            .drop("anyhit")
+        )
+        kept.write.mode("overwrite").parquet(f"{sink}/{bid:05d}")
+        progress["last"] = bid
+
+    with drain_conf(spark):
+        q = (
+            verdicts.writeStream.outputMode("update")
+            .foreachBatch(drain)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    assert progress["last"] >= 2, "expected >=3 micro-batches (cross-batch state unexercised)"
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sink)
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "streaming_late_data_drop",
     tier="T2 (event-time watermark: late arrivals dropped past finalized windows)",

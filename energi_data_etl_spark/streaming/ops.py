@@ -271,6 +271,101 @@ def stateful_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataF
     )
 
 
+def neardup_suppress_stream(
+    sig_stream: DataFrame, bits: int = 60, max_hamming: int = 3
+) -> DataFrame:
+    """Streaming near-duplicate SUPPRESSION (T6×L2×U2): first-seen-wins
+    dedup of a document firehose by SimHash, with LSH-banded state in
+    the state store. Every batch near-dup operator in operators/dedup.py
+    is a backfill; this is the ingest-time shape — a new document is
+    admitted or suppressed AT ARRIVAL, against everything seen so far.
+
+    Input: a streaming frame ``(doc_id long, simhash long)``. The
+    signature is banded into ``max_hamming+1`` pigeonhole chunks
+    (any Hamming-≤k pair agrees exactly on ≥1 chunk — the same
+    completeness argument as `simhash_candidate_pairs`), and the
+    stateful op is keyed by ``(chunk, key)``: state per bucket is the
+    (ids, sigs) of every doc that landed there; a newcomer Hamming-
+    verifies against its bucket-mates ONLY — never the corpus. Output
+    is one row per (doc, chunk): ``(doc_id, simhash, hit)`` where hit
+    means an EARLIER doc (smaller doc_id) within this bucket is within
+    Hamming ≤ max_hamming; the caller reduces per doc (suppressed iff
+    ANY chunk hit — done per micro-batch, since a doc's chunk rows all
+    travel in its own batch).
+
+    Precedence is doc_id order: the guard ``earlier_id < doc_id`` makes
+    each VERDICT independent of arrival order *within state*, but a
+    doc's verdict is final at emission — sources must deliver ids
+    non-decreasing across batches for replay-equality with the batch
+    semantics (true for the id-chunked backfill that certifies this;
+    in production "arrival defines precedence" and doc_id is the
+    arrival sequence number).
+
+    Scale: state grows with ALL seen docs (admitted and suppressed —
+    suppressed docs still suppress their own later near-dups), sharded
+    across ``4 × 2^15`` bucket keys; per-newcomer work is
+    |bucket-mates| XOR+popcounts (numpy-vectorized). The unbounded-
+    horizon levers are the standard ones — state TTL via
+    GroupStateTimeout for drifting corpora, or a capped-bucket policy —
+    both orthogonal to the verdict logic; the certification drain runs
+    NoTimeout over a bounded replay."""
+    import numpy as np
+    import pandas as pd
+
+    chunks = max_hamming + 1
+    width = bits // chunks
+    banded = sig_stream.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select("doc_id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.key").alias("key"))
+
+    out_schema = "doc_id long, simhash long, hit boolean"
+    state_schema = "ids array<long>, sigs array<long>"
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        ids, sigs = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        out_id, out_sig, out_hit = [], [], []
+        for doc_id, sig in zip(pdf["doc_id"].tolist(), pdf["simhash"].tolist()):
+            if ids:
+                prior = np.asarray(ids, dtype=np.int64) < doc_id
+                if prior.any():
+                    x = np.bitwise_xor(np.asarray(sigs, dtype=np.int64)[prior], np.int64(sig))
+                    # vectorized popcount (numpy<2 has no bitwise_count):
+                    # 60-bit values, 4 shifts of a 16-bit lookup would do,
+                    # but unpackbits on the raw bytes is simpler and exact.
+                    bitsum = np.unpackbits(x.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                    hit = bool((bitsum <= max_hamming).any())
+                else:
+                    hit = False
+            else:
+                hit = False
+            out_id.append(doc_id)
+            out_sig.append(sig)
+            out_hit.append(hit)
+            ids.append(doc_id)
+            sigs.append(sig)
+        state.update((ids, sigs))
+        yield pd.DataFrame({"doc_id": out_id, "simhash": out_sig, "hit": out_hit})
+
+    return banded.groupBy("chunk", "key").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def interval_self_join(
     left: DataFrame,
     right: DataFrame,

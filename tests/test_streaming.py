@@ -542,3 +542,46 @@ def test_append_eviction_twins_value_equal_under_rocksdb(spark, sf_dir):
                     spark.conf.set(k, v)
         assert len(default_rows) > 0, fn.__name__
         assert default_rows == rocksdb_rows, fn.__name__
+
+
+def test_row_signature_matches_batch_kernel(spark, sf_dir):
+    """simhash_signature_row (the streaming, row-local md5 kernel) must
+    be bit-identical to the batch explode+groupBy kernel — including
+    the strict tally>0 tie rule — on every fixture document. This is
+    the pin that lets streaming_neardup_suppress share the batch
+    family's DuckDB oracle."""
+    from energi_data_etl_spark.operators.dedup import simhash_signature, simhash_signature_row
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    row_sigs = docs.select("doc_id", simhash_signature_row("text", hash_fn="md5", bits=60).alias("s"))
+    batch_sigs = simhash_signature(docs, hash_fn="md5", bits=60).withColumnRenamed("simhash", "s")
+    a = {r["doc_id"]: r["s"] for r in row_sigs.collect()}
+    b = {r["doc_id"]: r["s"] for r in batch_sigs.collect()}
+    assert a == b
+    assert len(a) == docs.count()
+
+
+def test_neardup_suppress_matches_batch_twin(spark, sf_dir):
+    """The streaming first-seen-wins kept set must equal the batch
+    derivation: admit doc d iff d is never the LATER member of a
+    Hamming-<=3 candidate pair (banding completeness makes the pair set
+    the full Hamming ball). Also asserts the suppression is non-vacuous
+    and that admitted signatures round-trip."""
+    from energi_data_etl_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_signature,
+    )
+    from energi_data_etl_spark.queries.streaming import streaming_neardup_suppress
+
+    got = streaming_neardup_suppress(spark, sf_dir).collect()
+    kept_stream = {(r["doc_id"], r["simhash"]) for r in got}
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sigs = simhash_signature(docs, hash_fn="md5", bits=60)
+    pairs = simhash_candidate_pairs(sigs, max_hamming=3, bits=60)
+    suppressed = {r["b"] for r in pairs.select("b").distinct().collect()}
+    kept_batch = {
+        (r["doc_id"], r["simhash"]) for r in sigs.collect() if r["doc_id"] not in suppressed
+    }
+    assert kept_stream == kept_batch
+    assert 0 < len(suppressed) < docs.count()
