@@ -30,6 +30,31 @@ def _events_path(sf_dir: str) -> str:
     return f"{sf_dir}/events.parquet"
 
 
+def _id_chunked_stream(spark: SparkSession, df: DataFrame, base: str, n_chunks: int = 3):
+    """Replay a bounded frame as an id-ordered file stream: split on
+    doc_id ranges into ``n_chunks`` single files (written in order, so
+    the file source's mtime ordering delivers ids non-decreasing across
+    micro-batches) and open it with maxFilesPerTrigger=1 — one chunk
+    per micro-batch. The certification harness for arrival-ordered
+    streaming semantics (neardup suppression, blocklist guards)."""
+    import glob
+    import os
+    import shutil
+
+    bounds = df.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]  # bounded driver scalars
+    mn, mx = int(bounds[0]), int(bounds[1])
+    step = (mx - mn + n_chunks) // n_chunks  # ceil of the id span
+    src = f"{base}/src"
+    os.makedirs(src)
+    for i in range(n_chunks):
+        tmp_i = f"{base}/tmp{i}"
+        df.filter(
+            (F.col("doc_id") >= mn + i * step) & (F.col("doc_id") < mn + (i + 1) * step)
+        ).coalesce(1).write.parquet(tmp_i)
+        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+    return spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+
 @query(
     "streaming_tumbling_daily",
     tier="T3 (tumbling 1-day window agg — the reference transform as a stream)",
@@ -572,10 +597,6 @@ def streaming_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator docstring); the sink append is per-batch bounded. The
     id-chunked file replay is the certification harness — production
     precedence is arrival order, which the doc_id sequence encodes."""
-    import glob
-    import os
-    import shutil
-
     from ..operators.dedup import simhash_signature_row
     from ..operators.text import tokens
     from ..sources.tables import load_table
@@ -583,18 +604,7 @@ def streaming_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("nds_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    mx = int(docs.agg(F.max("doc_id")).collect()[0][0])  # bounded driver scalar
-    step = (mx + 3) // 3  # ceil((mx+1)/3): three id-ordered chunks
-    src = f"{base}/src"
-    os.makedirs(src)
-    for i in range(3):
-        tmp_i = f"{base}/tmp{i}"
-        docs.filter(
-            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
-        ).coalesce(1).write.parquet(tmp_i)
-        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
-
-    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    stream = _id_chunked_stream(spark, docs, base, n_chunks=3)
     # one file per micro-batch = ONE scan task: repartition before the
     # md5+fold signature stage (the r07 single-row-group lesson, in
     # stream form) so the per-batch kernel runs at drain parallelism.
@@ -634,6 +644,65 @@ def streaming_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "simhash")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "streaming_blocklist_guard",
+    tier="T-series×J3×L6 (stream-static LEFT ANTI join: ingest blocklist guard)",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                       LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LENGTH(x) > 0))), ' ')) AS fp
+            FROM documents
+        )
+        SELECT d.doc_id AS doc_id, d.fp AS fp
+        FROM fp d
+        WHERE d.doc_id >= 25
+          AND NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id < 25 AND e.fp = d.fp)
+        ORDER BY doc_id
+    """,
+)
+def streaming_blocklist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join — the join mode the other
+    stream-static query (`streaming_static_enrich`) doesn't cover, in
+    its canonical production role: an ingest guard that admits a
+    streamed document only if its fingerprint is NOT in a static
+    blocklist. Blocklist = the bag fingerprints (md5 over sorted
+    distinct tokens — the same cross-engine kernel `dedup_bag_exact`
+    certifies) of the benchmark docs (doc_id < 25, the
+    `contamination_ngram_overlap` convention); the stream replays the
+    training docs (doc_id ≥ 25) in three micro-batches, fingerprints
+    each row-locally (pure expression, no shuffle), and anti-joins the
+    broadcast blocklist — stateless, so unlike the stateful guards the
+    filter needs NO state store and NO watermark: every micro-batch is
+    independently guarded, the unbounded-deploy shape for exact
+    blocklists. Admitted (doc_id, fp) rows cross the gate value-level;
+    non-vacuous at all three SFs (28 / 2 / 311 blocked).
+
+    Scale: the static side is |blocklist| fingerprints — broadcast by
+    hint (the degradation path past the broadcast cap is the same as
+    contamination_ngram_overlap's: drop the hint, shuffled hash join
+    on the 32-char key). The stream side is map-only + the join."""
+    from ..operators.text import bag_fingerprint
+    from ..sources.tables import load_table
+
+    base = scratch_dir("blg_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    blocklist = (
+        docs.filter(F.col("doc_id") < 25)
+        .select(bag_fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    stream = _id_chunked_stream(
+        spark, docs.filter(F.col("doc_id") >= 25), base, n_chunks=3
+    )
+    admitted = (
+        stream.select("doc_id", bag_fingerprint("text").alias("fp"))
+        .join(F.broadcast(blocklist), "fp", "left_anti")
+        .select("doc_id", "fp")
+    )
+    return run_to_memory(admitted, output_mode="append").orderBy("doc_id")
 
 
 @query(

@@ -585,3 +585,23 @@ def test_neardup_suppress_matches_batch_twin(spark, sf_dir):
     }
     assert kept_stream == kept_batch
     assert 0 < len(suppressed) < docs.count()
+
+
+def test_blocklist_guard_matches_batch_anti_join(spark, sf_dir):
+    """The stream-static LEFT ANTI guard must admit exactly the docs a
+    batch anti-join admits, and must actually block something (the
+    fixture's cross-boundary bag-dups)."""
+    from energi_data_etl_spark.operators.text import bag_fingerprint
+    from energi_data_etl_spark.queries.streaming import streaming_blocklist_guard
+
+    got = {(r["doc_id"], r["fp"]) for r in streaming_blocklist_guard(spark, sf_dir).collect()}
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", bag_fingerprint("text").alias("fp")
+    )
+    block = docs.filter(F.col("doc_id") < 25).select("fp").distinct()
+    train = docs.filter(F.col("doc_id") >= 25)
+    want = {(r["doc_id"], r["fp"]) for r in train.join(block, "fp", "left_anti").collect()}
+    assert got == want
+    n_train = train.count()
+    assert 0 < len(got) < n_train, (len(got), n_train)
