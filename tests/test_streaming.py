@@ -605,3 +605,38 @@ def test_blocklist_guard_matches_batch_anti_join(spark, sf_dir):
     assert got == want
     n_train = train.count()
     assert 0 < len(got) < n_train, (len(got), n_train)
+
+
+def test_neardup_suppress_value_equal_under_rocksdb(spark, sf_dir):
+    """The new custom-stateful guard must be backend-invariant too: the
+    per-bucket (ids, sigs) array state of neardup_suppress_stream round-
+    trips through the RocksDB provider (+ changelog checkpointing) with
+    verdicts identical to the default HDFS-heap provider — array-typed
+    applyInPandasWithState state is exactly the shape a backend swap
+    could mangle."""
+    from energi_data_etl_spark.queries.streaming import streaming_neardup_suppress
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    default_rows = rows(streaming_neardup_suppress(spark, sf_dir))
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rocksdb_rows = rows(streaming_neardup_suppress(spark, sf_dir))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert len(default_rows) > 0
+    assert default_rows == rocksdb_rows
