@@ -706,6 +706,80 @@ def streaming_blocklist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_timeout_finalize",
+    tier="T-series×U2 (GroupState EVENT-TIME TIMEOUT: idle keys finalize + evict, open keys withheld)",
+    oracle="""
+        -- closed-form replay of the timeout rule: a (type, week) key
+        -- finalizes iff its ms-floored last event + the 5-day gap is
+        -- strictly inside the final watermark (global max − 1 day);
+        -- weeks still inside the horizon stay OPEN and never emit.
+        WITH e AS (
+            SELECT event_type,
+                   (DAYOFMONTH(ts) - 1) // 7 AS week,
+                   epoch_us(ts) AS us,
+                   value
+            FROM events
+        )
+        SELECT event_type,
+               CAST(week AS BIGINT)                 AS week,
+               CAST(COUNT(*) AS BIGINT)             AS n,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total
+        FROM e
+        GROUP BY event_type, week
+        HAVING MAX(us) // 1000 + 432000000
+               < (SELECT MAX(us) // 1000 FROM e) - 86400000
+        ORDER BY event_type, week
+    """,
+)
+def streaming_timeout_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GroupStateTimeout surface, driver-certified: per (event_type,
+    week-of-January) key, `timeout_finalized_totals` keeps running
+    (n, total) state and emits ONLY via the `state.hasTimedOut` callback
+    — when the event-time watermark passes the key's last event + a
+    5-day inactivity gap — then REMOVES the state row. The events table
+    replays as three ~10-day chunk files (week-1 keys span two chunks,
+    so cross-batch accumulation is exercised too); weeks 0-2 go idle
+    inside the replay and finalize, weeks 3-4 are still within the
+    horizon when the drain ends and are withheld — the timeout-eviction
+    form of the append twins' finalization cut, enforced by the
+    callback instead of window eviction. Trigger.AvailableNow runs a
+    terminal no-data batch (probed; timeouts eligible under the final
+    watermark fire in-run), so the cut is the closed form the oracle
+    replays: ms-floored last event + gap strictly < global max − delay.
+    The boundary has multi-DAY margins at every SF (events span Jan
+    1-30 with week-end last events; asserted in tests).
+
+    Scale: state is one tuple per OPEN key, bounded by the timeout
+    eviction — the unbounded-corpus shape for per-entity inactivity
+    finalization (abandoned carts, ticket closure, ledger day-close)
+    that session_window's intra-window gap rule can't express."""
+    import glob
+    import os
+    import shutil
+
+    from ..sources.tables import load_table
+    from ..streaming.ops import timeout_finalized_totals
+
+    base = scratch_dir("tof_")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .withColumn("week", ((F.dayofmonth("ts") - 1) / 7).cast("long"))
+    )
+    src = f"{base}/src"
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
+        tmp_i = f"{base}/tmp{i}"
+        ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi)).coalesce(1).write.parquet(tmp_i)
+        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    finalized = timeout_finalized_totals(
+        stream, keys=["event_type", "week"], gap_ms=5 * 86400 * 1000, watermark="1 day"
+    )
+    return run_to_memory(finalized, output_mode="update").orderBy("event_type", "week")
+
+
+@query(
     "streaming_late_data_drop",
     tier="T2 (event-time watermark: late arrivals dropped past finalized windows)",
     oracle="""

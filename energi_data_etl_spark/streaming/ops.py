@@ -366,6 +366,69 @@ def neardup_suppress_stream(
     )
 
 
+def timeout_finalized_totals(
+    stream: DataFrame,
+    keys: list[str],
+    gap_ms: int,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time TIMEOUT eviction (the GroupStateTimeout surface no
+    other operator here exercises): per-key running (n, total) state
+    that emits ONLY when the key goes idle — the watermark passes its
+    last event + ``gap_ms`` — at which point `state.hasTimedOut` fires,
+    the finalized record is emitted, and the state row is REMOVED. Keys
+    still inside the horizon never emit (open state — the same
+    finalization-cut idiom as the append eviction twins, here enforced
+    by the timeout callback instead of window eviction).
+
+    This is the inactivity-finalization shape session_window can't
+    express when "done" isn't a gap between events of one window but a
+    per-KEY idle rule (abandoned carts, closed tickets, day-complete
+    ledgers). Replay-deterministic closed form: a key finalizes iff
+    ``floor(last_us/1000) + gap_ms < floor(global_max_us/1000) −
+    delay_ms`` (timeout base is the ms-floored last event; Trigger.
+    AvailableNow runs a terminal no-data batch, verified empirically,
+    so every timeout eligible under the FINAL watermark fires in-run).
+
+    Determinism note: the float total is accumulated per batch over
+    VALUE-SORTED numpy arrays — replay-stable regardless of shuffle
+    arrival order; oracles bridge the remaining engine-order delta with
+    the 2dp wide-aggregate ROUND doctrine.
+
+    Scale: state is one tuple per OPEN key (timeout eviction is the
+    bound), partitioned by the groupBy keys; emission volume is one row
+    per closed key."""
+    import numpy as np
+    import pandas as pd
+
+    dtypes = dict(stream.dtypes)
+    out_schema = ", ".join(f"{k} {dtypes[k]}" for k in keys) + ", n long, total double"
+    state_schema = "n long, total double, last_us long"
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        if state.hasTimedOut:
+            n, total, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {**{k: [key[i]] for i, k in enumerate(keys)}, "n": [n], "total": [round(total, 2)]}
+            )
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(np.sort(pdf["value"].to_numpy(dtype="float64")).sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, total, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        return iter(())
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", "EventTimeTimeout")
+    )
+
+
 def interval_self_join(
     left: DataFrame,
     right: DataFrame,

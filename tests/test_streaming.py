@@ -640,3 +640,50 @@ def test_neardup_suppress_value_equal_under_rocksdb(spark, sf_dir):
                 spark.conf.set(k, v)
     assert len(default_rows) > 0
     assert default_rows == rocksdb_rows
+
+
+def test_timeout_finalize_cut_margins_all_sfs():
+    """The timeout finalization cut (last_ms + 5d gap vs global max_ms
+    − 1d delay) is an arbitrary event-time boundary — per the r13
+    append-twin rule it needs a fixture margin assert: no (type, week)
+    key may sit within 1 hour of the cut at ANY SF, and the finalized
+    set must be exactly weeks {0,1,2} (weeks {3,4} open) so the query
+    is non-vacuous AND actually withholds something everywhere."""
+    import duckdb
+
+    GAP_MS = 5 * 86400 * 1000
+    DELAY_MS = 86400 * 1000
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH e AS (
+                SELECT event_type, (DAYOFMONTH(ts)-1)//7 AS week, epoch_us(ts) AS us
+                FROM '/root/testdata/sf{sf}/events.parquet'
+            )
+            SELECT event_type, week, MAX(us)//1000 AS last_ms,
+                   (SELECT MAX(us)//1000 FROM e) AS max_ms
+            FROM e GROUP BY 1, 2
+            """
+        ).fetchall()
+        finalized, open_ = set(), set()
+        for event_type, week, last_ms, max_ms in rows:
+            cut = max_ms - DELAY_MS
+            margin = abs((last_ms + GAP_MS) - cut)
+            assert margin > 3_600_000, (sf, event_type, week, margin)
+            (finalized if last_ms + GAP_MS < cut else open_).add(week)
+        assert finalized == {0, 1, 2}, (sf, finalized)
+        assert open_ == {3, 4}, (sf, open_)
+
+
+def test_timeout_finalize_emits_only_idle_keys(spark, sf_dir):
+    """End-to-end: the timeout query emits exactly the idle weeks (0-2,
+    every event type), and withholds the open tail — state eviction via
+    the hasTimedOut callback, not window finalization."""
+    from energi_data_etl_spark.queries.streaming import streaming_timeout_finalize
+
+    got = streaming_timeout_finalize(spark, sf_dir).collect()
+    weeks = {r["week"] for r in got}
+    types = {r["event_type"] for r in got}
+    assert weeks == {0, 1, 2}
+    assert len(got) == 3 * len(types)
+    assert all(r["n"] > 0 for r in got)
