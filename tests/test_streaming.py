@@ -607,14 +607,17 @@ def test_blocklist_guard_matches_batch_anti_join(spark, sf_dir):
     assert 0 < len(got) < n_train, (len(got), n_train)
 
 
-def test_neardup_suppress_value_equal_under_rocksdb(spark, sf_dir):
-    """The new custom-stateful guard must be backend-invariant too: the
-    per-bucket (ids, sigs) array state of neardup_suppress_stream round-
-    trips through the RocksDB provider (+ changelog checkpointing) with
-    verdicts identical to the default HDFS-heap provider — array-typed
-    applyInPandasWithState state is exactly the shape a backend swap
-    could mangle."""
-    from energi_data_etl_spark.queries.streaming import streaming_neardup_suppress
+def test_new_stateful_guards_value_equal_under_rocksdb(spark, sf_dir):
+    """The new custom-stateful queries must be backend-invariant too:
+    the per-bucket (ids, sigs) ARRAY state of neardup_suppress_stream
+    and the TIMEOUT metadata of timeout_finalized_totals are exactly
+    the shapes a state-backend swap could mangle — run each drain on
+    the default HDFS-heap provider and again on RocksDB with changelog
+    checkpointing and assert row-identical output."""
+    from energi_data_etl_spark.queries.streaming import (
+        streaming_neardup_suppress,
+        streaming_timeout_finalize,
+    )
 
     confs = {
         "spark.sql.streaming.stateStore.providerClass": (
@@ -626,20 +629,21 @@ def test_neardup_suppress_value_equal_under_rocksdb(spark, sf_dir):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    default_rows = rows(streaming_neardup_suppress(spark, sf_dir))
-    prev = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        rocksdb_rows = rows(streaming_neardup_suppress(spark, sf_dir))
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
+    for fn in (streaming_neardup_suppress, streaming_timeout_finalize):
+        default_rows = rows(fn(spark, sf_dir))
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
                 spark.conf.set(k, v)
-    assert len(default_rows) > 0
-    assert default_rows == rocksdb_rows
+            rocksdb_rows = rows(fn(spark, sf_dir))
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        assert len(default_rows) > 0, fn.__name__
+        assert default_rows == rocksdb_rows, fn.__name__
 
 
 def test_timeout_finalize_cut_margins_all_sfs():
