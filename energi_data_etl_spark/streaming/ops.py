@@ -429,6 +429,67 @@ def timeout_finalized_totals(
     )
 
 
+def heavy_hitters_stream(
+    stream: DataFrame, key: str, item_col: str, k: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters: a bounded-memory SpaceSaving summary in
+    the state store — the sketch-in-state shape a plain streaming
+    ``groupBy(item).count()`` can't give you at 100 TB (its state is one
+    row per DISTINCT item, unbounded; SpaceSaving is k counters per key,
+    period). Emits the per-key summary (items, estimates) after each
+    micro-batch; the last emission is the end-of-replay summary.
+
+    Determinism (driver-certifiable): each micro-batch's items are
+    PRE-AGGREGATED to (item, weight) and applied in ascending item
+    order, eviction picks the minimum count with ties broken on the
+    smallest item — so the summary is a pure function of the batch
+    sequence, never of shuffle arrival order.
+
+    The two SpaceSaving theorems downstream verdicts certify:
+    sum(counts) == N exactly (every arrival increments exactly one
+    counter), hence min(counts) ≤ N/k, hence (a) any item with true
+    frequency > N/k is IN the summary and (b) every estimate
+    overcounts by at most min(counts) ≤ N/k."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{key} string, items array<long>, counts array<long>, n long"
+    state_schema = "items array<long>, counts array<long>, n long"
+
+    def update(kv, pdfs, state):  # noqa: ANN001
+        items, counts, n = (
+            (list(state.get[0]), list(state.get[1]), state.get[2])
+            if state.exists
+            else ([], [], 0)
+        )
+        pdf = pd.concat(list(pdfs))
+        batch = pdf.groupby(item_col).size().sort_index()
+        for item, w in zip(batch.index.tolist(), batch.tolist()):
+            item, w = int(item), int(w)
+            n += w
+            if item in items:
+                counts[items.index(item)] += w
+            elif len(items) < k:
+                items.append(item)
+                counts.append(w)
+            else:
+                a = np.asarray(counts)
+                mins = np.flatnonzero(a == a.min())
+                j = mins[np.argmin(np.asarray(items)[mins])]  # tie → smallest item
+                items[j] = item
+                counts[j] = int(a[j]) + w
+        state.update((items, counts, n))
+        yield pd.DataFrame(
+            {key: [kv[0]], "items": [list(items)], "counts": [list(counts)], "n": [n]}
+        )
+
+    return (
+        stream.select(key, item_col)
+        .groupBy(key)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", "NoTimeout")
+    )
+
+
 def interval_self_join(
     left: DataFrame,
     right: DataFrame,

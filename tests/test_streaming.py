@@ -691,3 +691,43 @@ def test_timeout_finalize_emits_only_idle_keys(spark, sf_dir):
     assert weeks == {0, 1, 2}
     assert len(got) == 3 * len(types)
     assert all(r["n"] > 0 for r in got)
+
+
+def test_heavy_hitters_top_share_margin_all_sfs():
+    """streaming_heavy_hitters' exact top1 columns rely on theorem (a)
+    — the true top bucket is IN the SpaceSaving summary because its
+    share exceeds N/k — so the fixture must keep that share safely
+    above 1/8 at every SF and every event type (measured ≥16.5%;
+    assert ≥ a 1.25/8 = 15.6% floor), and must have more than k
+    distinct buckets so the summary is genuinely lossy."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH b AS (
+                SELECT event_type, CAST(FLOOR(value/10) AS BIGINT) AS bkt, COUNT(*) c
+                FROM '/root/testdata/sf{sf}/events.parquet' GROUP BY 1, 2
+            )
+            SELECT event_type, SUM(c) AS n, MAX(c) AS topc, COUNT(*) AS nbkt
+            FROM b GROUP BY 1
+            """
+        ).fetchall()
+        assert len(rows) == 5, sf
+        for event_type, n, topc, nbkt in rows:
+            assert 8 * topc > 1.25 * n, (sf, event_type, topc, n)
+            assert nbkt > 8, (sf, event_type, nbkt)
+
+
+def test_heavy_hitters_verdicts_and_exactness(spark, sf_dir):
+    """End-to-end: both SpaceSaving theorems hold through the real
+    drain, the summary is full (n_candidates == k), and the reported
+    top1 equals the batch ground truth."""
+    from energi_data_etl_spark.queries.streaming import streaming_heavy_hitters
+
+    got = streaming_heavy_hitters(spark, sf_dir).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["guarantee_ok"] and r["overcount_ok"], r
+        assert r["n_candidates"] == 8, r
+        assert r["top1_n"] > r["n_events"] / 8, r
