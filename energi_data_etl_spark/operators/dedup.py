@@ -37,6 +37,7 @@ __all__ = [
     "near_dup_minhash",
     "simhash_signature",
     "simhash_signature_row",
+    "band_key_structs",
     "simhash_candidate_pairs",
     "hamming64",
 ]
@@ -352,6 +353,28 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def band_key_structs(sig_col: Column, bits: int, chunks: int) -> Column:
+    """Array of struct(chunk, key): a signature's pigeonhole band keys
+    (chunk c = bits [c·width, (c+1)·width)). This expression IS the
+    completeness argument — any Hamming-≤(chunks−1) pair agrees exactly
+    on ≥1 chunk — shared by the batch pair search
+    (`simhash_candidate_pairs`) and the streaming suppressor
+    (streaming/ops.py::neardup_suppress_stream) so the two can't
+    drift apart."""
+    width = bits // chunks
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(sig_col, c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for c in range(chunks)
+        ]
+    )
+
+
 def simhash_candidate_pairs(
     sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
@@ -364,24 +387,11 @@ def simhash_candidate_pairs(
     the full |bits|-conditional-sum signature pipeline (measured as a
     doubled corpus scan in the plan audit)."""
     chunks = max_hamming + 1
-    width = bits // chunks
     sig_df = sig_df.localCheckpoint(eager=False)
     banded = sig_df.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cb"),
+        F.explode(band_key_structs(F.col("simhash"), bits, chunks)).alias("cb"),
     ).select(id_col, "simhash", "cb.chunk", "cb.key")
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -30,46 +30,50 @@ def _events_path(sf_dir: str) -> str:
     return f"{sf_dir}/events.parquet"
 
 
-def _id_chunked_stream(spark: SparkSession, df: DataFrame, base: str, n_chunks: int = 3):
-    """Replay a bounded frame as an id-ordered file stream: split on
-    doc_id ranges into ``n_chunks`` single files (written in order, so
-    the file source's mtime ordering delivers ids non-decreasing across
-    micro-batches) and open it with maxFilesPerTrigger=1 — one chunk
-    per micro-batch. The certification harness for arrival-ordered
-    streaming semantics (neardup suppression, blocklist guards)."""
+def _chunked_file_stream(spark: SparkSession, parts: list[DataFrame], base: str):
+    """Replay a partitioned bounded frame as a file stream: each part
+    becomes one single-file chunk, written IN ORDER (sequential mtimes
+    + sortable 00/01/.. names, so the file source delivers chunks in
+    list order), opened with maxFilesPerTrigger=1 — one part per
+    micro-batch. The ordering contract every replay harness below
+    relies on lives here and nowhere else."""
     import glob
     import os
     import shutil
 
+    src = f"{base}/src"
+    os.makedirs(src)
+    for i, part in enumerate(parts):
+        tmp_i = f"{base}/tmp{i}"
+        part.coalesce(1).write.parquet(tmp_i)
+        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+    return spark.readStream.schema(parts[0].schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+
+def _id_chunked_stream(spark: SparkSession, df: DataFrame, base: str, n_chunks: int = 3):
+    """Id-ordered replay: split on doc_id ranges so ids arrive
+    non-decreasing across micro-batches — the certification harness for
+    arrival-ordered streaming semantics (neardup suppression,
+    blocklist guards)."""
     bounds = df.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]  # bounded driver scalars
     mn, mx = int(bounds[0]), int(bounds[1])
     step = (mx - mn + n_chunks) // n_chunks  # ceil of the id span
-    src = f"{base}/src"
-    os.makedirs(src)
-    for i in range(n_chunks):
-        tmp_i = f"{base}/tmp{i}"
-        df.filter(
-            (F.col("doc_id") >= mn + i * step) & (F.col("doc_id") < mn + (i + 1) * step)
-        ).coalesce(1).write.parquet(tmp_i)
-        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
-    return spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    parts = [
+        df.filter((F.col("doc_id") >= mn + i * step) & (F.col("doc_id") < mn + (i + 1) * step))
+        for i in range(n_chunks)
+    ]
+    return _chunked_file_stream(spark, parts, base)
 
 
 def _day_chunked_stream(spark: SparkSession, ev: DataFrame, base: str):
-    """Replay an events-shaped frame (has a ``ts`` timestamp) as a
-    time-ordered file stream: three ~10-day January chunk files, one
-    micro-batch each (the fixture spans Jan 1-30 at every SF)."""
-    import glob
-    import os
-    import shutil
-
-    src = f"{base}/src"
-    os.makedirs(src)
-    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
-        tmp_i = f"{base}/tmp{i}"
-        ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi)).coalesce(1).write.parquet(tmp_i)
-        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
-    return spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    """Time-ordered replay of an events-shaped frame (has a ``ts``
+    timestamp): three ~10-day January chunks, one micro-batch each
+    (the fixture spans Jan 1-30 at every SF)."""
+    parts = [
+        ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi))
+        for lo, hi in [(1, 10), (11, 20), (21, 31)]
+    ]
+    return _chunked_file_stream(spark, parts, base)
 
 
 @query(
@@ -867,7 +871,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def drain(bdf: DataFrame, bid: int) -> None:
         if bdf.isEmpty():
             return
-        bdf.write.mode("overwrite").parquet(f"{sink}/{bid:05d}")
+        bdf.withColumn("bid", F.lit(bid)).write.mode("overwrite").parquet(f"{sink}/{bid:05d}")
         progress["last"] = bid
 
     with drain_conf(spark):
@@ -881,7 +885,17 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     assert progress["last"] >= 2, "expected >=3 data micro-batches (sketch merge unexercised)"
 
-    summ = spark.read.parquet(f"{sink}/{progress['last']:05d}")
+    # per-KEY latest emission, not the last batch's file: a key with no
+    # events in the final chunk emits its (still-cumulative) summary in
+    # an earlier batch and must not be dropped (code-review r14b).
+    all_summ = spark.read.option("recursiveFileLookup", "true").parquet(sink)
+    summ = (
+        all_summ.withColumn(
+            "rn_b", F.row_number().over(Window.partitionBy("event_type").orderBy(F.col("bid").desc()))
+        )
+        .filter(F.col("rn_b") == 1)
+        .drop("rn_b", "bid")
+    )
     cand = summ.select(
         "event_type",
         F.col("n").alias("n_events"),

@@ -312,24 +312,13 @@ def neardup_suppress_stream(
     import numpy as np
     import pandas as pd
 
+    from ..operators.dedup import band_key_structs
+
     chunks = max_hamming + 1
-    width = bits // chunks
     banded = sig_stream.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cb"),
+        F.explode(band_key_structs(F.col("simhash"), bits, chunks)).alias("cb"),
     ).select("doc_id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.key").alias("key"))
 
     out_schema = "doc_id long, simhash long, hit boolean"
@@ -409,8 +398,13 @@ def timeout_finalized_totals(
         if state.hasTimedOut:
             n, total, last_us = state.get
             state.remove()
+            # half-AWAY 2dp (floor(x·100 + 0.5), values non-negative) —
+            # NOT Python round(): its half-even tie rule diverges from
+            # the oracle's SQL ROUND at exact .005 boundaries (the r07
+            # np.round doctrine applied to stateful kernels).
+            total_2dp = np.floor(total * 100.0 + 0.5) / 100.0
             yield pd.DataFrame(
-                {**{k: [key[i]] for i, k in enumerate(keys)}, "n": [n], "total": [round(total, 2)]}
+                {**{k: [key[i]] for i, k in enumerate(keys)}, "n": [n], "total": [total_2dp]}
             )
             return
         n, total, last_us = state.get if state.exists else (0, 0.0, 0)
@@ -453,7 +447,7 @@ def heavy_hitters_stream(
     import numpy as np
     import pandas as pd
 
-    out_schema = f"{key} string, items array<long>, counts array<long>, n long"
+    out_schema = f"{key} {dict(stream.dtypes)[key]}, items array<long>, counts array<long>, n long"
     state_schema = "items array<long>, counts array<long>, n long"
 
     def update(kv, pdfs, state):  # noqa: ANN001

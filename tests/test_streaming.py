@@ -503,20 +503,14 @@ def test_drain_partitions_default_derivation(spark, monkeypatch):
     assert drain_partitions(spark) == dp
 
 
-def test_append_eviction_twins_value_equal_under_rocksdb(spark, sf_dir):
-    """VERDICT r13 #5: the production deploy shape is the APPEND
-    eviction drain, and the production state backend is RocksDB with
-    changelog checkpointing — pin both eviction twins value-equal under
-    that backend vs the default HDFS-heap provider. Both knobs are
+def _assert_rocksdb_backend_invariant(spark, sf_dir, query_fns):
+    """Shared backend-swap harness: run each query's full drain on the
+    default HDFS-heap state provider and again on RocksDB + changelog
+    checkpointing, asserting row-identical output. Both knobs are
     picked up at query start (each drain starts a fresh query on an
     ephemeral checkpoint), so the SAME plan runs on both backends;
     swapping the state store must change only the resource envelope,
     never a row."""
-    from energi_data_etl_spark.queries.streaming import (
-        streaming_session_windows_append,
-        streaming_sliding_2d_1d_append,
-    )
-
     confs = {
         "spark.sql.streaming.stateStore.providerClass": (
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -527,7 +521,7 @@ def test_append_eviction_twins_value_equal_under_rocksdb(spark, sf_dir):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    for fn in (streaming_session_windows_append, streaming_sliding_2d_1d_append):
+    for fn in query_fns:
         default_rows = rows(fn(spark, sf_dir))
         prev = {k: spark.conf.get(k, None) for k in confs}
         try:
@@ -542,6 +536,21 @@ def test_append_eviction_twins_value_equal_under_rocksdb(spark, sf_dir):
                     spark.conf.set(k, v)
         assert len(default_rows) > 0, fn.__name__
         assert default_rows == rocksdb_rows, fn.__name__
+
+
+def test_append_eviction_twins_value_equal_under_rocksdb(spark, sf_dir):
+    """VERDICT r13 #5: the production deploy shape is the APPEND
+    eviction drain, and the production state backend is RocksDB with
+    changelog checkpointing — pin both eviction twins value-equal under
+    that backend vs the default HDFS-heap provider."""
+    from energi_data_etl_spark.queries.streaming import (
+        streaming_session_windows_append,
+        streaming_sliding_2d_1d_append,
+    )
+
+    _assert_rocksdb_backend_invariant(
+        spark, sf_dir, (streaming_session_windows_append, streaming_sliding_2d_1d_append)
+    )
 
 
 def test_row_signature_matches_batch_kernel(spark, sf_dir):
@@ -619,31 +628,9 @@ def test_new_stateful_guards_value_equal_under_rocksdb(spark, sf_dir):
         streaming_timeout_finalize,
     )
 
-    confs = {
-        "spark.sql.streaming.stateStore.providerClass": (
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-        ),
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
-    }
-
-    def rows(df):
-        return sorted(tuple(r) for r in df.collect())
-
-    for fn in (streaming_neardup_suppress, streaming_timeout_finalize):
-        default_rows = rows(fn(spark, sf_dir))
-        prev = {k: spark.conf.get(k, None) for k in confs}
-        try:
-            for k, v in confs.items():
-                spark.conf.set(k, v)
-            rocksdb_rows = rows(fn(spark, sf_dir))
-        finally:
-            for k, v in prev.items():
-                if v is None:
-                    spark.conf.unset(k)
-                else:
-                    spark.conf.set(k, v)
-        assert len(default_rows) > 0, fn.__name__
-        assert default_rows == rocksdb_rows, fn.__name__
+    _assert_rocksdb_backend_invariant(
+        spark, sf_dir, (streaming_neardup_suppress, streaming_timeout_finalize)
+    )
 
 
 def test_timeout_finalize_cut_margins_all_sfs():
