@@ -163,3 +163,32 @@ def test_readme_counts_match_registry():
     correctness = re.search(r"(\d+) of (\d+) declared queries carry", readme)
     assert correctness, "README Correctness section lost its 'M of N declared queries' line"
     assert (int(correctness.group(1)), int(correctness.group(2))) == (m, n)
+
+
+def test_never_certified_queries_head_the_live_window():
+    """Live-ledger invariant (not a synthetic one): every oracled query
+    with NO green row in any committed CORRECTNESS_r*.json must sit
+    inside the actual FIRST_50 — a new query that misses the window
+    stays uncertified for a full round with no error anywhere. Holds
+    trivially while the never-certified set is < 50; if a session ever
+    lands 50+ new queries at once this fails loudly instead of
+    silently deferring certification."""
+    import glob
+    import json
+
+    from energi_data_etl_spark.queries import FIRST_50
+
+    green = set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        rows = data.get("queries", data) if isinstance(data, dict) else {}
+        for name, row in (rows or {}).items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match", True):
+                green.add(name)
+    never = [n for n, q in QUERIES.items() if q.oracle is not None and n not in green]
+    if len(never) <= 49:
+        missing = [n for n in never if n not in FIRST_50]
+        assert not missing, f"never-certified queries outside the window: {missing}"
