@@ -90,6 +90,37 @@ def main() -> int:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Contention self-description (VERDICT r14 #4): this shared host
+    # inflates single runs 5-30x NON-uniformly, so a lone BENCH_rN.json
+    # can read as a regression (r14: source_overlap_matrix 48.8 s vs a
+    # 3.75 s same-tree median). Carry the evidence in-band: per-query
+    # ratio vs the newest committed BENCH_MEDIANS_r*.json — any >=3x
+    # inflation is flagged so no consumer has to know to cross-check.
+    contended = None
+    try:
+        import glob
+
+        refs = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIANS_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+        if refs:
+            ref_medians = json.load(open(refs[-1])).get("medians", {})
+            flagged = sorted(
+                (
+                    (round(t / ref_medians[k], 1), k)
+                    for k, t in timings.items()
+                    if t >= 1.0 and ref_medians.get(k, 0) > 0 and t / ref_medians[k] >= 3.0
+                ),
+                reverse=True,
+            )
+            contended = {
+                "ref": os.path.basename(refs[-1]),
+                "n": len(flagged),
+                "worst": {k: r for r, k in flagged[:5]},
+            }
+    except Exception as exc:  # noqa: BLE001 — the hint must never kill the bench
+        print(f"contention hint unavailable: {exc}", file=sys.stderr)
     # Full per-query detail FIRST (~8 KB for 267 queries — exceeds the
     # driver's ~2000-char stdout-tail capture, which is why BENCH_r01..r10
     # all recorded "parsed": null when this was the only line).
@@ -116,6 +147,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "n_errors": n_errors,
                 "cpus": cpus,
+                "contended": contended,
                 "note": "full per-query timings on the preceding stdout line",
             }
         )

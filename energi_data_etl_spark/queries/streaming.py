@@ -620,8 +620,12 @@ def streaming_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     three SFs (22 / 13 / 380 suppressed).
 
     Scale: signature+banding are map-only; state is sharded over
-    4×2^15 bucket keys and grows with seen docs (TTL/cap levers in the
-    operator docstring); the sink append is per-batch bounded. The
+    4×2^15 bucket keys and grows with seen docs — the unbounded-
+    horizon deploy sets ``state_cap`` (arrival-recency LRU per bucket,
+    constant state, superset-admission guarantee; see the operator
+    docstring — this certified drain stays uncapped because the oracle
+    replays the full-history semantics); the sink append is per-batch
+    bounded. The
     id-chunked file replay is the certification harness — production
     precedence is arrival order, which the doc_id sequence encodes."""
     from ..operators.dedup import simhash_signature_row

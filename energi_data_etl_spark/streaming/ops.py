@@ -272,7 +272,7 @@ def stateful_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataF
 
 
 def neardup_suppress_stream(
-    sig_stream: DataFrame, bits: int = 60, max_hamming: int = 3
+    sig_stream: DataFrame, bits: int = 60, max_hamming: int = 3, state_cap: int | None = None
 ) -> DataFrame:
     """Streaming near-duplicate SUPPRESSION (T6×L2×U2): first-seen-wins
     dedup of a document firehose by SimHash, with LSH-banded state in
@@ -301,14 +301,29 @@ def neardup_suppress_stream(
     in production "arrival defines precedence" and doc_id is the
     arrival sequence number).
 
-    Scale: state grows with ALL seen docs (admitted and suppressed —
-    suppressed docs still suppress their own later near-dups), sharded
-    across ``4 × 2^15`` bucket keys; per-newcomer work is
-    |bucket-mates| XOR+popcounts (numpy-vectorized). The unbounded-
-    horizon levers are the standard ones — state TTL via
-    GroupStateTimeout for drifting corpora, or a capped-bucket policy —
-    both orthogonal to the verdict logic; the certification drain runs
-    NoTimeout over a bounded replay."""
+    Scale: with ``state_cap=None`` state grows with ALL seen docs
+    (admitted and suppressed — suppressed docs still suppress their own
+    later near-dups), sharded across ``4 × 2^15`` bucket keys;
+    per-newcomer work is |bucket-mates| XOR+popcounts
+    (numpy-vectorized). That is the certified bounded-backfill mode
+    (the oracle-replayable artifact — leave its drain untouched).
+
+    ``state_cap=N`` is the unbounded-horizon lever (VERDICT r14 #1):
+    each bucket retains only the N MOST-RECENT entries (largest
+    doc_id = newest arrival — an arrival-recency LRU), so total state
+    is ≤ ``chunks × 2^15 × N`` tuples and per-newcomer work ≤ N
+    popcounts, both CONSTANT in corpus size. Completeness tradeoff,
+    one-sided by construction: a retained set is a subset of the full
+    bucket, so the capped mode can only MISS a hit — it admits a
+    SUPERSET of the unbounded mode's admitted docs and NEVER
+    suppresses a doc the unbounded mode admits (pinned in
+    tests/test_streaming.py). A near-dup is missed only when ≥ N
+    distinct docs landed in ALL of the pair's shared buckets between
+    the two arrivals — for dedup of a firehose, where near-dups
+    cluster in time, recency is exactly the right retention axis
+    (same policy class as a GroupStateTimeout TTL, but deterministic
+    under replay: eviction depends on the doc sequence alone, never on
+    wall-clock or watermark timing)."""
     import numpy as np
     import pandas as pd
 
@@ -347,6 +362,15 @@ def neardup_suppress_stream(
             out_hit.append(hit)
             ids.append(doc_id)
             sigs.append(sig)
+        if state_cap is not None and len(ids) > state_cap:
+            # retain the state_cap newest entries (largest doc_id =
+            # most recent arrival). Entries are appended in id order
+            # within a batch and ids are non-decreasing across batches
+            # for the certified replay, but sort defensively — the cap
+            # must bound state under ANY arrival order.
+            keep = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")[-state_cap:]
+            ids = [ids[i] for i in keep]
+            sigs = [sigs[i] for i in keep]
         state.update((ids, sigs))
         yield pd.DataFrame({"doc_id": out_id, "simhash": out_sig, "hit": out_hit})
 

@@ -440,6 +440,140 @@ def probe_session_drain(spark, n_small: int, n_big: int) -> dict:
     }
 
 
+_ROCKSDB_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def _with_provider(spark, provider: str):
+    """Context manager: apply (and restore) the state-store provider
+    confs. provider='heap' is the default HDFSBackedStateStoreProvider."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        confs = _ROCKSDB_CONFS if provider == "rocksdb" else {}
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            yield
+        finally:
+            for k, v in prev.items():
+                spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+    return cm()
+
+
+def _drain_with_state_metrics(stream_df, output_mode: str = "update") -> dict:
+    """AvailableNow drain through the noop sink; returns wall sec plus
+    the FINAL progress's stateOperators decomposition (numRowsTotal =
+    state rows at end-of-drain, memoryUsedBytes = provider-reported
+    state memory; RocksDB adds its own customMetrics memory split)."""
+    from energi_data_etl_spark.streaming.ops import _ephemeral_checkpoint_dir, drain_conf
+
+    spark = stream_df.sparkSession
+    t0 = time.time()
+    with drain_conf(spark):
+        q = (
+            stream_df.writeStream.format("noop")
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _ephemeral_checkpoint_dir())
+            .start()
+        )
+        q.awaitTermination()
+    sec = time.time() - t0
+    ops = (q.lastProgress or {}).get("stateOperators") or []
+    agg = {"sec": round(sec, 2), "state_rows": 0, "state_mem_mb": 0.0, "rocksdb_sst_mb": 0.0}
+    for op in ops:
+        agg["state_rows"] += op.get("numRowsTotal", 0)
+        # heap provider: memoryUsedBytes grows with state entries (the
+        # loaded version maps). RocksDB: memoryUsedBytes is block-cache
+        # + memtable sizing (~constant); the entry payload lives in the
+        # native SST files — rocksdbSstFileSize is the volume signal.
+        agg["state_mem_mb"] += op.get("memoryUsedBytes", 0) / 1e6
+        cm = op.get("customMetrics") or {}
+        agg["rocksdb_sst_mb"] += cm.get("rocksdbSstFileSize", 0) / 1e6
+    agg["state_mem_mb"] = round(agg["state_mem_mb"], 2)
+    agg["rocksdb_sst_mb"] = round(agg["rocksdb_sst_mb"], 2)
+    return agg
+
+
+def probe_state_decomp(spark, docs_small: int, docs_big: int,
+                       ev_small: int, ev_big: int, cap: int) -> dict:
+    """VERDICT r14 #1 + #5: pin the state-store decomposition (rows +
+    memory, heap vs RocksDB) of the two array-state drains at volume,
+    and show the suppressor's state_cap lever actually BOUNDS state on
+    a big-doc drain. Suppressor input is synthetic (doc_id, simhash)
+    pairs streamed in 5 id-ordered chunks — isolates the state store
+    from the md5 signature kernel (which r14 already probed); timeout
+    input is the full events shape in 3 day chunks, mirroring the
+    certified query."""
+    from energi_data_etl_spark.queries.streaming import _chunked_file_stream
+    from energi_data_etl_spark.sources.tables import load_table
+    from energi_data_etl_spark.streaming.ops import (
+        neardup_suppress_stream,
+        timeout_finalized_totals,
+    )
+
+    tmp = scratch_dir("sdecomp_")
+    out: dict = {"suppress": {}, "timeout": {}, "cap": cap}
+
+    for label, n_docs in (("small", docs_small), ("big", docs_big)):
+        sigs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            (F.abs(F.xxhash64("id", F.lit(77))) % (1 << 60)).alias("simhash"),
+        )
+        step = (n_docs + 4) // 5
+        parts = [
+            sigs.filter((F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step))
+            for i in range(5)
+        ]
+        row: dict = {"n_docs": n_docs}
+        for provider in ("heap", "rocksdb"):
+            for mode, sc in (("unbounded", None), (f"cap{cap}", cap)):
+                key = f"{provider}_{mode}"
+                base = f"{tmp}/sup_{label}_{key}"
+                with _with_provider(spark, provider):
+                    stream = _chunked_file_stream(spark, parts, base)
+                    row[key] = _drain_with_state_metrics(
+                        neardup_suppress_stream(stream, bits=60, max_hamming=3, state_cap=sc)
+                    )
+                print(f"[suppress {label}] {key}: {row[key]}", flush=True)
+        out["suppress"][label] = row
+
+    for label, n_ev in (("small", ev_small), ("big", ev_big)):
+        d = f"{tmp}/ev_{label}"
+        gen_tables(spark, n_ev, d, {"events"})
+        row = {"n_events": n_ev}
+        for provider in ("heap", "rocksdb"):
+            base = f"{tmp}/tof_{label}_{provider}"
+            ev = (
+                load_table(spark, "events", d)
+                .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+                .withColumn("week", ((F.dayofmonth("ts") - 1) / 7).cast("long"))
+            )
+            parts = [
+                ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi))
+                for lo, hi in [(1, 10), (11, 20), (21, 31)]
+            ]
+            with _with_provider(spark, provider):
+                stream = _chunked_file_stream(spark, parts, base)
+                row[provider] = _drain_with_state_metrics(
+                    timeout_finalized_totals(
+                        stream, keys=["event_type", "week"],
+                        gap_ms=5 * 86400 * 1000, watermark="1 day",
+                    )
+                )
+            print(f"[timeout {label}] {provider}: {row[provider]}", flush=True)
+        out["timeout"][label] = row
+    return out
+
+
 def probe_ann_ivf(spark, n_vec: int, target_cell: int, nprobe: int, n_queries: int) -> dict:
     """VERDICT r13 item 7: at 100 TB the IVF codebook scales K ∝ N, and
     single-level assignment is N·K·d flops — the same wall semdedup hit
@@ -492,11 +626,63 @@ def probe_ann_ivf(spark, n_vec: int, target_cell: int, nprobe: int, n_queries: i
             "n_queries": n_queries, "modes": out}
 
 
+def probe_ann_sweep(spark, n_vec: int, target_cell: int, nprobes: list[int], n_queries: int) -> dict:
+    """VERDICT r14 #6: the IMI operating curve — corpus recall@k vs
+    nprobe at corpus-scaled K, so a deployer can pick an operating
+    point (the r05 IVF envelope, redone for the two-level quantizer).
+    Vectors are worst-case i.i.d. (no cluster structure), so these
+    recalls are FLOORS — real embedding corpora cluster and recall
+    improves. One fit+assign per nprobe (the operator refits; sweep
+    cost is dominated by assignment, which is the thing being dialed)."""
+    from energi_data_etl_spark.operators import similarity as S
+
+    d = scratch_dir("ann_sweep_")
+    (
+        spark.range(n_vec)
+        .repartition(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: ((F.xxhash64("id", i) % 2001) / 1000.0).cast("float"),
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{d}/embeddings.parquet")
+    )
+    e = spark.read.parquet(f"{d}/embeddings.parquet").persist()
+    e.count()
+    q = e.filter(F.col("vec_id") < n_queries)
+    k_centroids = max(32, n_vec // target_cell)
+    exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
+    curve: dict[str, dict] = {}
+    for nprobe in nprobes:
+        t0 = time.time()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ann_ivf_knn(
+                q, e, k=5, n_centroids=k_centroids, nprobe=nprobe,
+                corpus_count=n_vec, two_level=True,
+            ).collect()
+        }
+        sec = round(time.time() - t0, 2)
+        recall = round(len(got & exact) / max(len(exact), 1), 3)
+        curve[str(nprobe)] = {"sec": sec, "recall": recall}
+        print(f"[sweep] K={k_centroids} nprobe={nprobe} {sec}s recall {recall}", flush=True)
+    e.unpersist()
+    return {"n_vec": n_vec, "k_centroids": k_centroids, "n_queries": n_queries,
+            "mode": "two_level", "curve": curve}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--queries", help="comma-separated query names")
     ap.add_argument("--ann-ivf", action="store_true",
                     help="probe ann_ivf_knn single- vs two-level quantizer at corpus-scaled K")
+    ap.add_argument("--ann-sweep", action="store_true",
+                    help="IMI recall-vs-nprobe operating curve at corpus-scaled K")
+    ap.add_argument("--nprobes", default="8,16,32,64",
+                    help="comma-separated nprobe values for --ann-sweep")
     ap.add_argument("--api-epochs", action="store_true",
                     help="probe the API stream source's per-epoch fixed cost vs days_per_epoch")
     ap.add_argument("--days", type=int, default=60, help="day range for --api-epochs")
@@ -504,6 +690,12 @@ def main() -> int:
                     help="time --queries through the noop sink instead of collect (isolates plan from driver materialization)")
     ap.add_argument("--session-drain", action="store_true",
                     help="probe the parquet-sink session append drain under the current drain env")
+    ap.add_argument("--state-decomp", action="store_true",
+                    help="probe suppressor/timeout state-store decomposition (heap vs RocksDB, "
+                         "suppressor state_cap bound) at volume")
+    ap.add_argument("--docs", default="250000,1000000",
+                    help="small,big doc counts for --state-decomp suppressor drains")
+    ap.add_argument("--cap", type=int, default=16, help="state_cap for --state-decomp")
     ap.add_argument("--vecs", type=int, default=1_000_000, help="corpus size for --ann-ivf")
     ap.add_argument("--target-cell", type=int, default=512, help="K = vecs/target_cell for --ann-ivf")
     ap.add_argument("--nprobe", type=int, default=32, help="probed cells for --ann-ivf")
@@ -524,10 +716,16 @@ def main() -> int:
         result = probe_api_sink(spark, args.rows, ps, pb)
     elif args.ann_ivf:
         result = probe_ann_ivf(spark, args.vecs, args.target_cell, args.nprobe, args.nq)
+    elif args.ann_sweep:
+        nprobes = [int(x) for x in args.nprobes.split(",")]
+        result = probe_ann_sweep(spark, args.vecs, args.target_cell, nprobes, args.nq)
     elif args.api_epochs:
         result = probe_api_epochs(spark, args.days)
     elif args.session_drain:
         result = probe_session_drain(spark, args.small, args.big)
+    elif args.state_decomp:
+        ds, db = (int(x) for x in args.docs.split(","))
+        result = probe_state_decomp(spark, ds, db, args.small, args.big, args.cap)
     else:
         if not args.queries:
             print("--queries or --api-sink required", file=sys.stderr)

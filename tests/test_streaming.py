@@ -596,6 +596,92 @@ def test_neardup_suppress_matches_batch_twin(spark, sf_dir):
     assert 0 < len(suppressed) < docs.count()
 
 
+def _drain_suppress_verdicts(spark, parts, base, state_cap=None):
+    """Drain (doc_id, simhash) frames through neardup_suppress_stream
+    (one part per micro-batch) and reduce the per-chunk verdicts to the
+    admitted doc set. Update-mode memory sink: each doc is processed in
+    exactly one batch, so its 4 chunk rows appear exactly once."""
+    from energi_data_etl_spark.queries.streaming import _chunked_file_stream
+    from energi_data_etl_spark.streaming.ops import neardup_suppress_stream
+
+    stream = _chunked_file_stream(spark, parts, base)
+    verdicts = neardup_suppress_stream(stream, bits=60, max_hamming=3, state_cap=state_cap)
+    rows = run_to_memory(verdicts, output_mode="update")
+    kept = (
+        rows.groupBy("doc_id")
+        .agg(F.max(F.col("hit").cast("int")).alias("anyhit"))
+        .filter(F.col("anyhit") == 0)
+    )
+    return {r["doc_id"] for r in kept.collect()}
+
+
+def test_neardup_state_cap_admits_superset_on_fixture(spark, sf_dir, tmp_path):
+    """VERDICT r14 #1: the capped-bucket mode must only ever ADMIT a
+    superset of the unbounded mode's admitted docs (a retained set is a
+    subset of the full bucket, so a cap can only MISS hits), and with a
+    cap no fixture bucket ever reaches, the two modes must be
+    IDENTICAL (the cap path is a pure retention policy, not a verdict
+    change)."""
+    from energi_data_etl_spark.operators.dedup import simhash_signature_row
+    from energi_data_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sigs = (
+        docs.filter(F.size(tokens("text")) > 0)
+        .select("doc_id", simhash_signature_row("text", hash_fn="md5", bits=60).alias("simhash"))
+        .orderBy("doc_id")
+    )
+    mx = sigs.agg(F.max("doc_id")).collect()[0][0]
+    parts = [
+        sigs.filter((F.col("doc_id") % 3) == i).orderBy("doc_id") for i in range(3)
+    ]
+    # NB: mod-3 chunking violates the id-ordered-replay contract on
+    # purpose — the superset relation must hold under ANY arrival order
+    # (both drains see the SAME order, so verdicts stay comparable).
+    kept_unbounded = _drain_suppress_verdicts(spark, parts, str(tmp_path / "u"))
+    kept_capped = _drain_suppress_verdicts(spark, parts, str(tmp_path / "c"), state_cap=2)
+    kept_roomy = _drain_suppress_verdicts(spark, parts, str(tmp_path / "r"), state_cap=mx + 1)
+    assert kept_unbounded <= kept_capped
+    assert kept_roomy == kept_unbounded
+    assert len(kept_unbounded) < sigs.count()  # suppression non-vacuous
+
+
+def test_neardup_state_cap_eviction_is_one_sided(spark, tmp_path):
+    """Constructed eviction: doc A and near-dup B (Hamming 1) share
+    band buckets for chunks 0-2; twenty fillers equal to A except ≥5
+    flipped bits inside chunk 3 flood exactly those three buckets
+    (Hamming ≥ 5 from A, ≥ 4 from B — never near-dups themselves to A
+    or B). With cap=4 the fillers evict A from every shared bucket
+    before B arrives, so the capped mode ADMITS B where the unbounded
+    mode suppresses it — the documented one-sided completeness
+    tradeoff, demonstrated strictly. A and the fillers are admitted in
+    both modes (capping never suppresses what unbounded admits).
+
+    Filler masks are a replicated-block code: bit b of j (j=1..7)
+    sets the whole 5-bit block [5b, 5b+5) of the 15-bit chunk-3 mask,
+    so pairwise filler distance = 5·popcount(i^j) ≥ 5 and distance to
+    A (resp. B) is 5·popcount(j) ≥ 5 (resp. ±1) — fillers are never
+    near-dups of anything."""
+    A = (1 << 59) | 0x0123456789AB  # arbitrary 60-bit signature
+    B = A ^ (1 << 59)  # Hamming(A, B) = 1, agrees on chunks 0-2
+
+    def mask(j: int) -> int:
+        return sum(0b11111 << (5 * b) for b in range(3) if j & (1 << b))
+
+    rows = [(1, A)] + [(1 + j, A ^ (mask(j) << 45)) for j in range(1, 8)] + [(9, B)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    parts = [
+        df.filter(F.col("doc_id") <= 5),
+        df.filter((F.col("doc_id") > 5) & (F.col("doc_id") <= 8)),
+        df.filter(F.col("doc_id") == 9),
+    ]
+    kept_unbounded = _drain_suppress_verdicts(spark, parts, str(tmp_path / "u"))
+    kept_capped = _drain_suppress_verdicts(spark, parts, str(tmp_path / "c"), state_cap=4)
+    assert kept_unbounded == set(range(1, 9))  # B suppressed by A
+    assert kept_capped == set(range(1, 10))  # A evicted -> B admitted
+    assert kept_unbounded <= kept_capped
+
+
 def test_blocklist_guard_matches_batch_anti_join(spark, sf_dir):
     """The stream-static LEFT ANTI guard must admit exactly the docs a
     batch anti-join admits, and must actually block something (the
