@@ -517,3 +517,41 @@ def test_ann_ivf_two_level_recall_and_probe_width(spark, sf_dir):
         for r in S.ann_ivf_knn(q, e, k=5, two_level=True).collect()
     }
     assert tl == tl2, "two-level IVF must be deterministic under a fixed seed"
+
+
+@pytest.mark.slow
+def test_ann_imi_operating_point_floor(spark):
+    """VERDICT r14 #6: pin a point on the IMI operating curve published
+    in BASELINE.md (r15 nprobe sweep) at a scale the slow tier can
+    afford — the 250k-vector / K=488 / nprobe=64 twin of the 1M sweep.
+    Worst-case i.i.d. vectors (the same xxhash generator as
+    scripts/probe.py --ann-sweep, so the corpus IS the probe's);
+    measured corpus recall@5 = 0.57 — gate at 0.45 so a quantizer or
+    probe-selection regression trips it while sampling jitter in the
+    k-means fit cannot."""
+    n_vec, n_q = 250_000, 20
+    e = (
+        spark.range(n_vec)
+        .repartition(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: ((F.xxhash64("id", i) % 2001) / 1000.0).cast("float"),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    e.count()
+    q = e.filter(F.col("vec_id") < n_q)
+    exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_knn(
+            q, e, k=5, n_centroids=n_vec // 512, nprobe=64,
+            corpus_count=n_vec, two_level=True,
+        ).collect()
+    }
+    e.unpersist()
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.45, f"IMI recall at 250k/K=488/nprobe=64: {recall}"
