@@ -105,7 +105,11 @@ def main() -> int:
             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
         )
         if refs:
-            ref_medians = json.load(open(refs[-1])).get("medians", {})
+            ref_doc = json.load(open(refs[-1]))
+            # the ratios are only meaningful at the reference's scale
+            # factor — at any other SF every query is legitimately
+            # slower and the hint would cry wolf on the whole suite
+            ref_medians = ref_doc.get("medians", {}) if ref_doc.get("sf") == sf else {}
             flagged = sorted(
                 (
                     (round(t / ref_medians[k], 1), k)

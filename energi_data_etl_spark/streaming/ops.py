@@ -308,11 +308,14 @@ def neardup_suppress_stream(
     (numpy-vectorized). That is the certified bounded-backfill mode
     (the oracle-replayable artifact — leave its drain untouched).
 
-    ``state_cap=N`` is the unbounded-horizon lever (VERDICT r14 #1):
-    each bucket retains only the N MOST-RECENT entries (largest
-    doc_id = newest arrival — an arrival-recency LRU), so total state
-    is ≤ ``chunks × 2^15 × N`` tuples and per-newcomer work ≤ N
-    popcounts, both CONSTANT in corpus size. Completeness tradeoff,
+    ``state_cap=N`` (N ≥ 1) is the unbounded-horizon lever (VERDICT
+    r14 #1): each bucket retains only the N MOST-RECENT entries
+    (largest doc_id = newest arrival — an arrival-recency LRU), so
+    END-OF-BATCH state is ≤ ``chunks × 2^15 × N`` tuples and
+    per-newcomer work is ≤ N + same-batch bucket arrivals popcounts —
+    both constant in CORPUS size (the trim runs at end of batch, so
+    the within-batch transient adds the batch's own bucket arrivals;
+    size executors for cap + max micro-batch, not cap alone). Completeness tradeoff,
     one-sided by construction: a retained set is a subset of the full
     bucket, so the capped mode can only MISS a hit — it admits a
     SUPERSET of the unbounded mode's admitted docs and NEVER
@@ -329,6 +332,11 @@ def neardup_suppress_stream(
 
     from ..operators.dedup import band_key_structs
 
+    if state_cap is not None and state_cap < 1:
+        # fail at plan-build, not in the executor kernel: cap=0 would
+        # slice [-0:] (keeps EVERYTHING — unbounded growth on the exact
+        # deploy the lever exists for) and negative caps are nonsense
+        raise ValueError(f"state_cap must be >= 1 or None, got {state_cap}")
     chunks = max_hamming + 1
     banded = sig_stream.select(
         "doc_id",

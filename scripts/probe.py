@@ -448,14 +448,23 @@ _ROCKSDB_CONFS = {
 }
 
 
+_HEAP_CONFS = {
+    # set explicitly — relying on the ambient default would mislabel
+    # the rows if the session (or a leaked conf) already pins RocksDB
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+}
+
+
 def _with_provider(spark, provider: str):
     """Context manager: apply (and restore) the state-store provider
-    confs. provider='heap' is the default HDFSBackedStateStoreProvider."""
+    confs; both providers are pinned explicitly, never ambient."""
     from contextlib import contextmanager
 
     @contextmanager
     def cm():
-        confs = _ROCKSDB_CONFS if provider == "rocksdb" else {}
+        confs = _ROCKSDB_CONFS if provider == "rocksdb" else _HEAP_CONFS
         prev = {k: spark.conf.get(k, None) for k in confs}
         try:
             for k, v in confs.items():
@@ -534,12 +543,14 @@ def probe_state_decomp(spark, docs_small: int, docs_big: int,
             for i in range(5)
         ]
         row: dict = {"n_docs": n_docs}
+        # write the chunk files ONCE per label; a streaming DataFrame
+        # is reusable — each drain starts its own query on an
+        # ephemeral checkpoint and re-reads from the shared src dir
+        stream = _chunked_file_stream(spark, parts, f"{tmp}/sup_{label}")
         for provider in ("heap", "rocksdb"):
             for mode, sc in (("unbounded", None), (f"cap{cap}", cap)):
                 key = f"{provider}_{mode}"
-                base = f"{tmp}/sup_{label}_{key}"
                 with _with_provider(spark, provider):
-                    stream = _chunked_file_stream(spark, parts, base)
                     row[key] = _drain_with_state_metrics(
                         neardup_suppress_stream(stream, bits=60, max_hamming=3, state_cap=sc)
                     )
@@ -550,19 +561,18 @@ def probe_state_decomp(spark, docs_small: int, docs_big: int,
         d = f"{tmp}/ev_{label}"
         gen_tables(spark, n_ev, d, {"events"})
         row = {"n_events": n_ev}
+        ev = (
+            load_table(spark, "events", d)
+            .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+            .withColumn("week", ((F.dayofmonth("ts") - 1) / 7).cast("long"))
+        )
+        parts = [
+            ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi))
+            for lo, hi in [(1, 10), (11, 20), (21, 31)]
+        ]
+        stream = _chunked_file_stream(spark, parts, f"{tmp}/tof_{label}")
         for provider in ("heap", "rocksdb"):
-            base = f"{tmp}/tof_{label}_{provider}"
-            ev = (
-                load_table(spark, "events", d)
-                .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
-                .withColumn("week", ((F.dayofmonth("ts") - 1) / 7).cast("long"))
-            )
-            parts = [
-                ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi))
-                for lo, hi in [(1, 10), (11, 20), (21, 31)]
-            ]
             with _with_provider(spark, provider):
-                stream = _chunked_file_stream(spark, parts, base)
                 row[provider] = _drain_with_state_metrics(
                     timeout_finalized_totals(
                         stream, keys=["event_type", "week"],

@@ -648,7 +648,7 @@ def test_neardup_state_cap_admits_superset_on_fixture(spark, sf_dir, tmp_path):
 
 def test_neardup_state_cap_eviction_is_one_sided(spark, tmp_path):
     """Constructed eviction: doc A and near-dup B (Hamming 1) share
-    band buckets for chunks 0-2; twenty fillers equal to A except ≥5
+    band buckets for chunks 0-2; seven fillers equal to A except ≥5
     flipped bits inside chunk 3 flood exactly those three buckets
     (Hamming ≥ 5 from A, ≥ 4 from B — never near-dups themselves to A
     or B). With cap=4 the fillers evict A from every shared bucket
@@ -680,6 +680,20 @@ def test_neardup_state_cap_eviction_is_one_sided(spark, tmp_path):
     assert kept_unbounded == set(range(1, 9))  # B suppressed by A
     assert kept_capped == set(range(1, 10))  # A evicted -> B admitted
     assert kept_unbounded <= kept_capped
+
+
+def test_neardup_state_cap_rejects_non_positive(spark):
+    """cap=0 would slice [-0:] and keep EVERYTHING (silent unbounded
+    growth on the exact deploy the lever exists for); the operator must
+    fail at plan-build instead."""
+    import pytest
+
+    from energi_data_etl_spark.streaming.ops import neardup_suppress_stream
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, simhash long")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="state_cap"):
+            neardup_suppress_stream(df, state_cap=bad)
 
 
 def test_blocklist_guard_matches_batch_anti_join(spark, sf_dir):
