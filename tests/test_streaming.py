@@ -682,6 +682,71 @@ def test_neardup_state_cap_eviction_is_one_sided(spark, tmp_path):
     assert kept_unbounded <= kept_capped
 
 
+def test_neardup_state_cap_bounds_store_contents(spark, tmp_path):
+    """DIRECT pin of the cap bound (not memory inference): drain a
+    crafted corpus whose low-45-bit signatures take only 4 values (so
+    chunk-0/1/2 buckets hold ~25 entries each), read the checkpointed
+    state back through the `statestore` data source, and assert (a)
+    every capped bucket holds ≤ cap entries with at least one AT cap,
+    (b) the uncapped twin genuinely exceeds cap, and (c) per shared
+    bucket the capped (ids, sigs) are EXACTLY the cap newest (largest
+    doc_id) entries of the uncapped store — the retention policy
+    itself, verified against the store's actual contents."""
+    from energi_data_etl_spark.queries.streaming import _chunked_file_stream
+    from energi_data_etl_spark.streaming.ops import drain_conf, neardup_suppress_stream
+
+    cap = 5
+    sigs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (
+            (F.abs(F.xxhash64("id")) % (1 << 15)) * F.lit(1 << 45)
+            + (F.col("id") % 4) * F.lit(12345678901)
+        ).alias("simhash"),
+    )
+
+    def drain(sub: str, state_cap):
+        base = str(tmp_path / sub)
+        parts = [sigs.filter(F.col("doc_id") < 50), sigs.filter(F.col("doc_id") >= 50)]
+        stream = _chunked_file_stream(spark, parts, base)
+        ck = f"{base}/ck"
+        with drain_conf(spark):
+            q = (
+                neardup_suppress_stream(stream, state_cap=state_cap)
+                .writeStream.format("noop")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination()
+        rows = (
+            spark.read.format("statestore")
+            .option("path", ck)
+            .load()
+            .select(
+                "key.chunk",
+                F.col("key.key").alias("k"),
+                F.col("value.groupState.ids").alias("ids"),
+                F.col("value.groupState.sigs").alias("sigs"),
+            )
+            .collect()
+        )
+        return {(r["chunk"], r["k"]): (list(r["ids"]), list(r["sigs"])) for r in rows}
+
+    capped = drain("c", cap)
+    uncapped = drain("u", None)
+    cap_sizes = [len(ids) for ids, _ in capped.values()]
+    assert max(cap_sizes) == cap  # bound holds AND binds
+    assert max(len(ids) for ids, _ in uncapped.values()) > cap  # non-vacuous
+    assert set(capped) == set(uncapped)  # same buckets touched
+    for bkt, (ids, sig_list) in capped.items():
+        u_ids, u_sigs = uncapped[bkt]
+        pairs = sorted(zip(u_ids, u_sigs))[-cap:] if len(u_ids) > cap else sorted(
+            zip(u_ids, u_sigs)
+        )
+        assert sorted(zip(ids, sig_list)) == pairs, bkt
+
+
 def test_neardup_state_cap_rejects_non_positive(spark):
     """cap=0 would slice [-0:] and keep EVERYTHING (silent unbounded
     growth on the exact deploy the lever exists for); the operator must
