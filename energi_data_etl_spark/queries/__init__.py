@@ -128,17 +128,16 @@ PRIORITY = [
 #: once re-certified (they become harmless no-ops, but the list should
 #: reflect the live backlog).
 RECERT: dict[str, int] = {
-    # r14 two-level-quantizer refactor of ann_ivf_knn landed after the
-    # r13 window (single-level path is rng-identical by construction,
-    # but the kernel bytes changed — let the driver re-meet the plan)
-    "ann_ivf_topk": 13,
-    # r14 days_per_epoch option on EnergiPricesStreamReader: the stream
-    # reader's offset machinery changed after these queries' last rows
-    "api_source_stream_rollup": 13,
-    "api_source_dedup_stream": 13,
-    # r14 alias-before-window rewrite (removed the duplicate
-    # Exchange+Sort the r12 probe surfaced) landed after its last row
-    "scd2_customer_status": 13,
+    # r13-vintage entries re-certified in CORRECTNESS_r14 and removed.
+    # r15 stale-tier probe rewrites (each landed after the query's last
+    # green row, r10): ann_lsh_knn now pre-normalizes and scores with a
+    # single dot fold (35.5 -> 13.7 s at 250k vectors);
+    # kmeans_lloyd_assign's argmin is min(struct(d, cid)) instead of a
+    # sort window (36x at 5x fixed); kll_quantile_sketch_audit's exact
+    # p50 + rank audit run on the histogram plan (23.8x at 5x fixed).
+    "ann_lsh_topk": 15,
+    "kmeans_lloyd_assign": 15,
+    "kll_quantile_sketch_audit": 15,
 }
 
 

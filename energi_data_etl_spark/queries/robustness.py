@@ -650,27 +650,62 @@ def kll_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     median estimate must sit within ±5 rank-percentage-points of the
     true median (KLL k=200 guarantees ~1.65% rank error at 99%
     confidence, so a healthy sketch passes with wide margin and a
-    drifting one fails the hash compare on both engines)."""
+    drifting one fails the hash compare on both engines).
+
+    Plan (rewritten r15 — the stale-tier probe measured the original
+    percentile_disc formulation 23.8× at 5× data, 42.6 s at 5M rows):
+    the exact p50 comes from the HISTOGRAM + cumulative pick of
+    percentile_disc_surface (min{v : cum·100 ≥ 50·n} — bit-identical
+    to percentile_disc(0.5), exact-BIGINT predicate, every stage
+    partial-aggregatable) instead of a WITHIN-GROUP agg that buffers
+    and sorts each full group in one reducer; the rank-error audit
+    reuses the SAME histogram (Σc over values ≤ a50 == the row count
+    the oracle computes) instead of a second full-table pass. Only the
+    mergeable KLL agg still reads raw rows — by definition."""
     li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
-    li = li.repartition(spark.sparkContext.defaultParallelism)
-    li.createOrReplaceTempView("__kll_lineitem")
-    med = spark.sql(
+    li.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
+        "__kll_lineitem"
+    )
+    sketch = spark.sql(
         """
         SELECT l_returnflag,
-               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS exact_p50,
                kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice), 0.5) AS a50
         FROM __kll_lineitem GROUP BY l_returnflag
         """
     )
+    hist = (
+        li.repartition("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds cum window, n, and the audit
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    n = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    exact = (
+        cum.join(F.broadcast(n), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(50) * F.col("n"), F.col("l_extendedprice"))
+            ).alias("exact_p50"),
+            F.first("n").alias("__n"),
+        )
+    )
+    med = exact.join(F.broadcast(sketch), "l_returnflag")
     ranked = (
-        li.join(med, "l_returnflag")
+        hist.join(F.broadcast(med), "l_returnflag")
         .groupBy("l_returnflag", "exact_p50")
         .agg(
             (
                 F.floor(
-                    F.sum(F.when(F.col("l_extendedprice") <= F.col("a50"), 1).otherwise(0))
+                    F.sum(F.when(F.col("l_extendedprice") <= F.col("a50"), F.col("c")).otherwise(0))
                     * F.lit(1000000.0)
-                    / F.count(F.lit(1))
+                    / F.first("__n")
                 )
                 / F.lit(1000000.0)
             ).alias("rank_frac")
