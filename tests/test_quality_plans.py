@@ -151,3 +151,49 @@ def test_scd2_single_hash_exchange(spark, sf_dir):
     result). One exchange, ever."""
     plan = explain_str(QUERIES["scd2_customer_status"].fn(spark, sf_dir), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_kmeans_assign_has_no_sort_window(spark, sf_dir):
+    """r15 stale-tier fix: the argmin is min(struct(d, cid)) — a hash
+    aggregate with map-side partials — never a row_number sort window
+    over N·K rows (the shape the 1M→5M probe measured at 36×). No
+    Window node anywhere; min(struct) plans as a SortAggregate (struct
+    mins don't hash-aggregate) whose partial_min runs BEFORE the
+    exchange — the map-side combine is the scaling property, so pin
+    it too."""
+    plan = explain_str(QUERIES["kmeans_lloyd_assign"].fn(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_kll_audit_has_no_buffering_percentile(spark, sf_dir):
+    """r15 stale-tier fix: the exact p50 comes from the histogram +
+    cumulative pick, never a WITHIN-GROUP percentile_disc that buffers
+    whole groups in single reducers (23.8× at 5× in the probe). The
+    only remaining raw-row aggregate is the mergeable KLL sketch."""
+    plan = explain_str(QUERIES["kll_quantile_sketch_audit"].fn(spark, sf_dir), mode="simple")
+    assert "percentile_disc" not in plan, plan
+    assert "kll_sketch_agg_double" in plan, plan
+
+
+def test_ann_lsh_scores_prenormalized_dot(spark, sf_dir):
+    """r15 stale-tier fix: candidate pairs are scored with a single
+    dot fold over pre-normalized vectors — the per-pair norm
+    recomputation (dot + 2 norms, 8.32× at 5×) must not come back.
+    The plan's pair-scoring projection contains exactly one aggregate
+    lambda fold per pair (the dot), not three."""
+    import pyspark.sql.functions as F
+
+    from energi_data_etl_spark.operators import similarity as S
+    from energi_data_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    plan = explain_str(S.ann_lsh_knn(q, e, k=3), mode="simple")
+    # the dot fold is the only zip_with in the plan; cosine() would put
+    # SQRT norm denominators in the SAME projection expression as the
+    # zip_with (per-pair recompute), while unit_vector's SQRT lives in
+    # the per-vector input projections — so no plan line may mix them
+    mixed = [ln for ln in plan.splitlines() if "zip_with" in ln and "SQRT" in ln.upper()]
+    assert "zip_with" in plan, plan  # the dot fold is present
+    assert not mixed, mixed
