@@ -157,16 +157,15 @@ def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "neardup_simhash",
-    tier="L2 (SimHash Hamming-≤3 near-dup; rows-only)",
-    oracle=None,
-    doc="64-bit simhash, pigeonhole chunk buckets, Hamming verify",
-)
-def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    sigs = D.simhash_signature(d)
-    return D.simhash_candidate_pairs(sigs, max_hamming=3).orderBy("a", "b")
+# `neardup_simhash` (xxhash64 production SimHash, rows-only) was
+# retired from the catalog in r16 (VERDICT r15 #7): its only driver row
+# was an r04 `err: no_oracle` slot-burn, and its ALGORITHM is certified
+# bit-for-bit by `neardup_simhash_md5` below (same pipeline, md5
+# kernel, brute-force-pairs oracle). The xxhash64 path stays the
+# production operator (`operators/dedup.py::simhash_signature` /
+# `simhash_candidate_pairs` defaults) and is exact-method tested in
+# tests/test_llm_ops.py — the SURVEY §5.2 rows-only policy, minus the
+# ledger ambiguity.
 
 
 def simhash_md5_sig_cte(bits: int = 60) -> str:

@@ -596,6 +596,26 @@ def test_neardup_suppress_matches_batch_twin(spark, sf_dir):
     assert 0 < len(suppressed) < docs.count()
 
 
+def test_neardup_suppress_capped_query_superset_and_binding(spark, sf_dir):
+    """The certified capped query (state_cap=1) must admit a STRICT
+    superset of the uncapped admitted set on the fixture: superset by
+    the top-k retention monoid (a capped bucket is a subset of the full
+    bucket, so hits can only be missed), STRICT so the r16
+    certification is non-vacuous — the oracle is exercising the capped
+    semantics, not re-proving the uncapped ones. (Binding counts at
+    sf0.001/0.01/0.1: 1 / 1 / 154 extra admissions.)"""
+    from energi_data_etl_spark.queries.streaming import (
+        streaming_neardup_suppress,
+        streaming_neardup_suppress_capped,
+    )
+
+    kept_capped = {(r["doc_id"], r["simhash"]) for r in streaming_neardup_suppress_capped(spark, sf_dir).collect()}
+    kept_uncapped = {(r["doc_id"], r["simhash"]) for r in streaming_neardup_suppress(spark, sf_dir).collect()}
+    assert kept_uncapped < kept_capped, (
+        f"expected strict superset: capped {len(kept_capped)} vs uncapped {len(kept_uncapped)}"
+    )
+
+
 def _drain_suppress_verdicts(spark, parts, base, state_cap=None):
     """Drain (doc_id, simhash) frames through neardup_suppress_stream
     (one part per micro-batch) and reduce the per-chunk verdicts to the
