@@ -178,6 +178,7 @@ def ann_ivf_knn(
     seed: int = 42,
     corpus_count: int | None = None,
     two_level: bool | None = None,
+    probe_pool: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: coarse k-means quantizer → inverted lists per
     centroid cell → queries probe their `nprobe` nearest cells only.
@@ -189,14 +190,14 @@ def ann_ivf_knn(
     with N to keep cells bounded, and single-level assignment is the
     same N·K·d wall SemDeDup hit — two-level is N·2√K·d. Corpus
     vectors take coarse-argmax then fine-argmax (one cell); queries
-    probe the top ceil(√nprobe) coarse cells and the top
-    ceil(nprobe/√nprobe) fine cells within each, so the probed-cell
-    count stays ≈ nprobe. Cell semantics, join shape, output schema
-    and the recall-verdict surface are unchanged; only the assignment
-    flops and the probe heuristic differ (an IMI probe can pick a
-    slightly different cell set than exact top-nprobe over the flat
-    codebook — the documented trade, recall pinned in
-    tests/test_llm_ops.py for both modes).
+    use the multi-sequence refined probe (r16): pool the top
+    ``probe_pool·√nprobe`` coarse cells, score every fine centroid in
+    the pool, keep the GLOBAL top-nprobe cells — converging to exact
+    flat top-nprobe cell selection as the pool grows, at query-side
+    cost only. Cell semantics, join shape, output schema and the
+    recall-verdict surface are unchanged; only the assignment flops
+    and the probe differ (recall pinned in tests/test_llm_ops.py for
+    both modes).
 
     Fit is driver-side Lloyd iterations on a seeded UNIFORM sample
     (`df.sample`, not ordered-limit — an id-ordered prefix is biased
@@ -221,7 +222,12 @@ def ann_ivf_knn(
     and ≈ 0.8 at 8/16. Real embedding corpora cluster, putting recall
     well above this floor at the same probed fraction; raise `nprobe`
     (linear cost in probed fraction) when a workload needs a guarantee
-    on unstructured vectors.
+    on unstructured vectors. Published two-level operating point
+    (PROBES_r16, worst-case 1M i.i.d. vectors / K=1953): recall@5 0.81
+    at nprobe=384 and 0.88 at nprobe=512 (was 0.39 at np=64 before the
+    r16 refined probe + fit-sample floor); corpus assignment cost
+    unchanged (nearest=1 path untouched) — the recall is bought on the
+    query side, where flops are per-QUERY, not per-corpus-vector.
     """
     import logging
 
@@ -229,6 +235,15 @@ def ann_ivf_knn(
 
     spark = corpus.sparkSession
     n_corpus = corpus_count if corpus_count is not None else corpus.count()
+    # Quantizer-quality floor (r16, VERDICT r15 #2): a k-means fit
+    # needs ~tens of points per CELL or the fine centroids are noise —
+    # the r15 operating curve's recall collapse at 1M/K=1953 traced to
+    # the default 10k sample (5 points/cell). Scale the sample with K
+    # (24/cell), capped at 500k points (≈250 MB of float64 at d=64) so
+    # the driver-side fit stays bounded when K ∝ N grows past ~20k
+    # cells — beyond that cap, quality per cell degrades gracefully
+    # and the real fix is a distributed fit (out of scope; documented).
+    sample_size = min(max(sample_size, 24 * n_centroids), 500_000)
     frac = min(1.0, 1.2 * sample_size / max(n_corpus, 1))  # 1.2× then cap: sample() is per-row Bernoulli
     sample = corpus.select(id_col, vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
     achievable = min(sample_size, n_corpus)
@@ -289,19 +304,36 @@ def ann_ivf_knn(
                 return out
             import math
 
-            nc = min(len(Ccm), max(1, math.isqrt(nearest - 1) + 1))
-            nf = min(kf, -(-nearest // nc))
+            # Multi-sequence refined probe (r16, VERDICT r15 #2): the
+            # old nc×nf grid took a FIXED ceil(nprobe/√nprobe) fine
+            # cells from each of the top-√nprobe coarse cells — a
+            # query whose true neighbors concentrate under one coarse
+            # cell got only nf of them (measured recall gap vs exact
+            # flat top-nprobe: 0.56 vs 0.68 at 100k/K=195). Now: pool
+            # the top `probe_pool·√nprobe` coarse cells, score EVERY
+            # fine centroid inside the pool against the query (the
+            # pre-normalized dot kernel — exact, not the coarse proxy),
+            # and keep the GLOBAL top-nprobe cells by that score. As
+            # probe_pool → Kc this converges to exact flat top-nprobe
+            # cell selection; at the default 4 the probe flops are
+            # (Kc + 4√nprobe·kf)·d per QUERY — query-side only, the
+            # corpus assignment (nearest=1 path) is untouched, so the
+            # "assignment cost" axis of the operating curve is 1.0×.
+            nc = min(len(Ccm), max(1, probe_pool * (math.isqrt(nearest - 1) + 1)))
             coarse_top = np.argsort(-(v @ Ccm.T), axis=1)[:, :nc]
-            out = np.empty((len(v), nc * nf), dtype=np.int64)
+            scores = np.full((len(v), nc * kf), -np.inf)
+            cells = np.zeros((len(v), nc * kf), dtype=np.int64)
             for s in range(nc):
                 cc = coarse_top[:, s]
                 for ci in np.unique(cc):
                     m = cc == ci
                     sims = v[m] @ Cfm[ci].T
                     sims[:, nv[ci] :] = -np.inf  # padded alias slots
-                    top = np.argsort(-sims, axis=1)[:, :nf]
-                    out[m, s * nf : (s + 1) * nf] = ci * kf + top
-            return out
+                    scores[np.where(m)[0][:, None], np.arange(s * kf, (s + 1) * kf)] = sims
+                    cells[m, s * kf : (s + 1) * kf] = ci * kf + np.arange(kf)
+            width = min(nearest, nc * kf)
+            top = np.argpartition(-scores, width - 1, axis=1)[:, :width]
+            return np.take_along_axis(cells, top, axis=1)
 
     else:
         C = _fit(X, n_centroids, kmeans_iters)

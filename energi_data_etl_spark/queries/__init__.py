@@ -138,6 +138,10 @@ RECERT: dict[str, int] = {
     "ann_lsh_topk": 15,
     "kmeans_lloyd_assign": 15,
     "kll_quantile_sketch_audit": 15,
+    # r16 (VERDICT r15 #2): the IMI refined probe + fit-sample floor
+    # change ann_ivf_knn's probed cell set — ann_ivf_two_level_topk's
+    # last green row (r14) certifies the old grid probe.
+    "ann_ivf_two_level_topk": 15,
 }
 
 
