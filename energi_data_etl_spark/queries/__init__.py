@@ -142,6 +142,9 @@ RECERT: dict[str, int] = {
     # change ann_ivf_knn's probed cell set — ann_ivf_two_level_topk's
     # last green row (r14) certifies the old grid probe.
     "ann_ivf_two_level_topk": 15,
+    # r16 (VERDICT r15 #4): parallel-exact rewrite (zip-index buckets
+    # of 4096·m) replaced the serial repartition(1) write.
+    "compaction_small_files": 15,
 }
 
 

@@ -501,6 +501,44 @@ def file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_events_src(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic write-once (event_type, value) parquet replay
+    source for the stream-sink queries — the r15 suppressor trick
+    (write replay chunks ONCE, share across variants/runs) applied to
+    the api family (VERDICT r15 #5): content is a pure projection of
+    the sf_dir events table, so repeated bench/driver/parity runs reuse
+    one directory instead of re-shuffling and re-writing 4 parquet
+    files per run (~1.3 s/run at sf0.1). Atomic publish: write to a
+    unique temp dir, os.rename() into the deterministic path — a
+    concurrent run either wins the rename or reuses the winner's
+    complete directory; a crashed run leaves only temp litter, never a
+    partial final dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    final = os.path.join(tempfile.gettempdir(), f"api_sink_src_{key}")
+    if not os.path.isdir(final):
+        tmp = tempfile.mkdtemp(prefix="api_sink_src_tmp_")
+        (
+            load_table(spark, "events", sf_dir)
+            .select("event_type", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        try:
+            os.rename(f"{tmp}/src", final)
+        except OSError:
+            pass  # another run published first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 @query(
     "api_sink_roundtrip",
     tier="S5+ (Python DataSource WRITER: task-level JSONL uplink, manifest-committed exactly-once)",
@@ -594,18 +632,11 @@ def api_sink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     from ..sources.api_datasource import EnergiPricesDataSource
-    from ..sources.tables import load_table
     from ..streaming.ops import _ephemeral_checkpoint_dir, drain_conf
 
     spark.dataSource.register(EnergiPricesDataSource)
     base = scratch_dir("uplink_stream_")
-    src = f"{base}/src"
-    (
-        load_table(spark, "events", sf_dir)
-        .select("event_type", "value")
-        .repartition(4)
-        .write.parquet(src)
-    )
+    src = _shared_events_src(spark, sf_dir)
     stream = (
         spark.readStream.schema("event_type string, value double")
         .option("maxFilesPerTrigger", "1")

@@ -1143,19 +1143,50 @@ def compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout on the Spark side and pinned TRUE by the oracle — the
     sketch-family verdict recipe applied to a storage op.
 
-    The single-partition write is what makes ⌈n/4096⌉ exact (Spark
-    rolls a new file precisely at the record cap within a task); the
-    100 TB form repartitions to ⌈bytes/target_size⌉ tasks first and
-    bounds per-task files the same way — per-file exactness becomes
-    per-task, the auditable invariant (no file above cap) is
-    unchanged. Compaction is the everyday answer to streaming sinks'
-    small-file problem (see streaming_rollup_parquet).
+    r16 plan (VERDICT r15 #4): the r12 version serialized the whole
+    rewrite through ``repartition(1)`` — exact but one task forever
+    (measured 27 s at 5M rows, a pure serial wall at volume). Now the
+    write is PARALLEL and still exact: a zip-index (the
+    `global_row_index` recipe — range exchange, per-partition counts
+    to the driver, prefix-sum offsets back) buckets rows into
+    contiguous groups of exactly 4096·m, and any task composition of
+    whole buckets holds a multiple of 4096 rows except the single
+    global tail — Spark rolls files at precisely the record cap
+    within a task, so Σ⌈rows_task/4096⌉ = ⌈n/4096⌉ and
+    max_rows_per_file stays 4096, value-identical to the serial plan
+    (same oracle, same hash). m sizes each task at ~⌈n/(4096·P)⌉
+    files so the rewrite uses the cluster; this IS the 100 TB form,
+    not a documented aspiration. Compaction is the everyday answer to
+    streaming sinks' small-file problem (see streaming_rollup_parquet).
     """
 
     ev = load_table(spark, "events", sf_dir)
     base = scratch_dir("compact_")
+    parts = min(spark.sparkContext.defaultParallelism, 32)
+    ranged = (
+        ev.repartitionByRange(parts, "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {r["pid"]: r["c"] for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    m = max(1, -(-acc // (4096 * max(parts, 1))))  # files per task ≈ ceil(n / (4096·P))
+    offset_df = F.broadcast(
+        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "pid int, off bigint")
+    )
+    w = Window.partitionBy("pid").orderBy("event_id")
+    bucketed = (
+        ranged.join(offset_df, "pid")
+        .withColumn("__idx", F.col("off") + F.row_number().over(w) - 1)
+        .withColumn("__bucket", F.expr(f"__idx div {4096 * m}"))
+        .drop("pid", "off", "__idx")
+    )
     (
-        ev.repartition(1)
+        bucketed.repartition("__bucket")
+        .drop("__bucket")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 4096)
         .parquet(f"{base}/out")
