@@ -1,0 +1,92 @@
+"""Exact-method tests for the JDBC warehouse shim (sources/jdbc.py) —
+the SURVEY §2.1 external-store gap (VERDICT r15 item 6). Runs against
+the Derby EMBEDDED driver that ships in Spark's own jars (in-JVM, no
+network, no extra dependency), which is exactly the no-proprietary-dep
+contract: any real warehouse swaps the URL + driver name only.
+
+No declared-query oracle: DuckDB cannot see into a Derby database, so
+per SURVEY §5.2 this surface is carried by exact-method tests (the
+same policy as the retry/backoff infra rows)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from energi_data_etl_spark.sources.jdbc import (
+    latest_watermark_jdbc,
+    read_jdbc,
+    write_jdbc,
+)
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+# one in-memory database per test module; Derby memory: DBs live for
+# the JVM (shared driver/executor JVM in local mode, so tasks see it)
+URL = "jdbc:derby:memory:energi_test;create=true"
+
+
+@pytest.fixture(scope="module")
+def fact_table(spark):
+    """Write a small fact table through the shim once, reuse across tests."""
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("day_no"),
+        (F.col("id") % 4).cast("int").alias("zone_id"),
+        (F.col("id") * 10).cast("double").alias("avg_price"),
+    )
+    write_jdbc(df, URL, "fact_daily", mode="overwrite", driver=DRIVER)
+    return "fact_daily"
+
+
+def test_roundtrip_values_exact(spark, fact_table):
+    back = read_jdbc(spark, URL, fact_table, driver=DRIVER)
+    assert back.count() == 100
+    got = {(r.day_no, r.zone_id, r.avg_price) for r in back.collect()}
+    assert got == {(i, i % 4, float(i * 10)) for i in range(100)}
+
+
+def test_partitioned_read_covers_all_rows_and_fans_out(spark, fact_table):
+    """Bounds shape the slices; rows OUTSIDE the bounds must still
+    arrive (first/last slice are unbounded) and the scan must plan
+    num_partitions tasks — the 100 TB fan-out contract."""
+    back = read_jdbc(
+        spark, URL, fact_table, driver=DRIVER,
+        partition_column="day_no", lower_bound=10, upper_bound=90, num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100  # bounds are not filters
+    assert back.agg(F.sum("avg_price")).first()[0] == sum(i * 10 for i in range(100))
+
+
+def test_partitioned_read_requires_full_bounds(spark, fact_table):
+    with pytest.raises(ValueError, match="partitioned JDBC read"):
+        read_jdbc(spark, URL, fact_table, driver=DRIVER, partition_column="day_no")
+
+
+def test_filter_pushdown_reaches_warehouse(spark, fact_table):
+    """A filter on the frame must appear as a pushed predicate (the
+    warehouse answers it, not Spark) — PushedFilters in the scan node."""
+    back = read_jdbc(spark, URL, fact_table, driver=DRIVER).filter(F.col("day_no") >= 95)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "day_no" in plan.split("PushedFilters")[1][:200]
+    assert back.count() == 5
+
+
+def test_watermark_pushdown_and_cold_start(spark, fact_table):
+    """The reference watermark read (energy_etl.py:24-37): MAX pushed
+    down as a subquery table; missing table -> None (cold start :42-46)."""
+    assert latest_watermark_jdbc(spark, URL, fact_table, '"day_no"', driver=DRIVER) == 99
+    assert latest_watermark_jdbc(spark, URL, "no_such_table", '"day_no"', driver=DRIVER) is None
+
+
+def test_incremental_append_resumes_from_watermark(spark, fact_table):
+    """The full reference lifecycle loop (:39-84) against the JDBC
+    store: append only the rows past the watermark, watermark advances."""
+    wm = latest_watermark_jdbc(spark, URL, fact_table, '"day_no"', driver=DRIVER)
+    fresh = spark.range(int(wm) + 1, int(wm) + 11).select(
+        F.col("id").cast("int").alias("day_no"),
+        (F.col("id") % 4).cast("int").alias("zone_id"),
+        (F.col("id") * 10).cast("double").alias("avg_price"),
+    )
+    write_jdbc(fresh, URL, fact_table, mode="append", driver=DRIVER)
+    assert latest_watermark_jdbc(spark, URL, fact_table, '"day_no"', driver=DRIVER) == 109
+    assert read_jdbc(spark, URL, fact_table, driver=DRIVER).count() == 110
