@@ -105,16 +105,18 @@ def main() -> int:
             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
         )
         if refs:
-            ref_doc = json.load(open(refs[-1]))
+            with open(refs[-1]) as fh:
+                ref_doc = json.load(fh)
             # the ratios are only meaningful at the reference's scale
             # factor — at any other SF every query is legitimately
             # slower and the hint would cry wolf on the whole suite
             ref_medians = ref_doc.get("medians", {}) if ref_doc.get("sf") == sf else {}
             flagged = sorted(
                 (
-                    (round(t / ref_medians[k], 1), k)
+                    (round(ratio, 1), k)
                     for k, t in timings.items()
-                    if t >= 1.0 and ref_medians.get(k, 0) > 0 and t / ref_medians[k] >= 3.0
+                    if t >= 1.0 and ref_medians.get(k, 0) > 0
+                    and (ratio := t / ref_medians[k]) >= 3.0
                 ),
                 reverse=True,
             )

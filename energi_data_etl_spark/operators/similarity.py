@@ -60,9 +60,22 @@ def unit_vector(a: Column) -> Column:
     """Normalize once so every subsequent pair comparison is a single
     dot-product fold instead of dot + 2 norms (≈3× per-pair work — the
     difference between 72 s and 24 s on the all-pairs bench, and the
-    same factor on a 1000-executor run)."""
-    n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    same factor on a 1000-executor run).
+
+    The norm is BOUND once per row through a 1-element-array transform
+    (ADVICE r15): higher-order-function lambda bodies get no common-
+    subexpression elimination, so writing ``transform(a, x -> x /
+    l2_norm(a))`` re-evaluates the O(d) fold per ELEMENT — O(d²) per
+    vector. Binding it as an outer lambda variable keeps the exact same
+    fold (same summation order, bit-identical quotients) evaluated
+    exactly once."""
+    return F.element_at(
+        F.transform(
+            F.array(l2_norm(a)),
+            lambda n: F.transform(a, lambda x: x.cast("double") / n),
+        ),
+        1,
+    )
 
 
 def exact_knn(

@@ -535,7 +535,9 @@ def probe_state_decomp(spark, docs_small: int, docs_big: int,
     for label, n_docs in (("small", docs_small), ("big", docs_big)):
         sigs = spark.range(n_docs).select(
             F.col("id").alias("doc_id"),
-            (F.abs(F.xxhash64("id", F.lit(77))) % (1 << 60)).alias("simhash"),
+            # pmod, not abs+mod: ANSI abs(Long.MIN_VALUE) throws
+            # (ADVICE r15 — a ~n/2^64 lottery ticket, but avoidable)
+            F.pmod(F.xxhash64("id", F.lit(77)), F.lit(1 << 60)).alias("simhash"),
         )
         step = (n_docs + 4) // 5
         parts = [
