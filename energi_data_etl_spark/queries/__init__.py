@@ -145,6 +145,10 @@ RECERT: dict[str, int] = {
     # r16 (VERDICT r15 #4): parallel-exact rewrite (zip-index buckets
     # of 4096·m) replaced the serial repartition(1) write.
     "compaction_small_files": 15,
+    # r16 follow-through on the tier-worst list: the 3-key window
+    # ceiling replaced by a distributed prefix sum (range exchange +
+    # per-partition offsets) — bit-identical integer cumsums.
+    "weighted_median_by_flag": 15,
 }
 
 

@@ -895,8 +895,17 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, one min-case rollup.
 
     100 TB: the fact table reduces to distinct (flag, price) rows in a
-    map-side-combined groupBy; the window and rollup run on the
-    reduced frame. The 100 TB relaxation is approx_percentile over
+    map-side-combined groupBy — but prices are near-unique, so the
+    frame stays ~|fact| and a window PARTITIONed by the 3-value flag
+    is three single-reducer sorts forever (the r08 TWAP ceiling; this
+    query measured 3.9-4.3× at 5× data because of it). r16 plan: the
+    cumulative sum is DISTRIBUTED — range-exchange on (flag, price),
+    per-(partition, flag) weight sums to the driver (bounded: P×|flags|
+    rows), exclusive prefix offsets broadcast back, then the running
+    sum is a window over each RANGE PARTITION (every task sorts only
+    its slice) plus its offset. Integer weights make the split
+    cumulative sums bit-identical to the single-sort plan — same
+    oracle, same hash. The 100 TB relaxation is approx_percentile over
     exploded weights or a two-pass bisection; this exact form is the
     correctness baseline.
     """
@@ -904,10 +913,29 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
         F.sum(F.floor("l_quantity")).alias("w")
     )
-    wf = Window.partitionBy("l_returnflag")
-    c = b.withColumn(
-        "cum", F.sum("w").over(wf.orderBy("price").rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("tot", F.sum("w").over(wf))
+    parts = min(li.sparkSession.sparkContext.defaultParallelism, 32)
+    ranged = (
+        b.repartitionByRange(parts, "l_returnflag", "price")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    psums = ranged.groupBy("pid", "l_returnflag").agg(F.sum("w").alias("pw")).collect()
+    offsets: dict[tuple[int, str], int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(psums, key=lambda r: r["pid"]):
+        key = (r["pid"], r["l_returnflag"])
+        offsets[key] = totals.get(r["l_returnflag"], 0)
+        totals[r["l_returnflag"]] = offsets[key] + int(r["pw"])
+    off_df = F.broadcast(
+        li.sparkSession.createDataFrame(
+            [(p, f, off, totals[f]) for (p, f), off in offsets.items()],
+            "pid int, l_returnflag string, off bigint, tot bigint",
+        )
+    )
+    wf = Window.partitionBy("pid", "l_returnflag").orderBy("price")
+    c = ranged.join(off_df, ["pid", "l_returnflag"]).withColumn(
+        "cum", F.col("off") + F.sum("w").over(wf.rowsBetween(Window.unboundedPreceding, 0))
+    )
     return c.groupBy("l_returnflag").agg(
         F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))).alias(
             "weighted_median_price"
