@@ -30,7 +30,9 @@ def _events_path(sf_dir: str) -> str:
     return f"{sf_dir}/events.parquet"
 
 
-def _chunked_file_stream(spark: SparkSession, parts: list[DataFrame], base: str):
+def _chunked_file_stream(
+    spark: SparkSession, parts: list[DataFrame], base: str, cache_key: str | None = None
+):
     """Replay a partitioned bounded frame as a file stream: each part
     becomes one single-file chunk opened with maxFilesPerTrigger=1 —
     one part per micro-batch. Spark's FileStreamSource orders files by
@@ -39,28 +41,70 @@ def _chunked_file_stream(spark: SparkSession, parts: list[DataFrame], base: str)
     order — sequential write order alone could tie on a coarse-mtime
     filesystem and silently reorder the replay (ADVICE r14). The
     ordering contract every replay harness below relies on lives here
-    and nowhere else."""
+    and nowhere else.
+
+    ``cache_key`` (r16): when the chunk CONTENT is a pure function of
+    the key — a deterministic projection/split of an immutable fixture
+    table — the chunks are published once to a deterministic directory
+    (atomic rename, the `_shared_events_src` recipe) and every later
+    query/run streams from it instead of re-writing ~1 s of coalesced
+    parquet per drain (the r15 write-replay-chunks-ONCE lesson; the
+    suppressor pair shares one key, so the second drain pays zero
+    setup). Checkpoints stay per-query — sharing SOURCE files across
+    streaming queries is always safe."""
     import glob
+    import hashlib
     import os
     import shutil
 
-    src = f"{base}/src"
-    os.makedirs(src)
-    for i, part in enumerate(parts):
-        tmp_i = f"{base}/tmp{i}"
-        part.coalesce(1).write.parquet(tmp_i)
-        dst = f"{src}/{i:02d}.parquet"
-        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], dst)
-        t = 1_700_000_000 + i  # strictly increasing, 1 s apart
-        os.utime(dst, (t, t))
+    def build(src: str) -> None:
+        os.makedirs(src)
+        for i, part in enumerate(parts):
+            tmp_i = f"{src}.__part{i}"
+            part.coalesce(1).write.parquet(tmp_i)
+            dst = f"{src}/{i:02d}.parquet"
+            shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], dst)
+            shutil.rmtree(tmp_i, ignore_errors=True)
+            t = 1_700_000_000 + i  # strictly increasing, 1 s apart
+            os.utime(dst, (t, t))
+
+    if cache_key is None:
+        src = f"{base}/src"
+        build(src)
+    else:
+        src = _replay_cache_path(cache_key)
+        if not os.path.isdir(src):
+            stage = f"{base}/src_stage"
+            build(stage)  # mtimes survive the rename
+            try:
+                os.rename(stage, src)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)  # another run won
     return spark.readStream.schema(parts[0].schema).option("maxFilesPerTrigger", 1).parquet(src)
 
 
-def _id_chunked_stream(spark: SparkSession, df: DataFrame, base: str, n_chunks: int = 3):
+def _replay_cache_path(cache_key: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(cache_key.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"replay_{key}")
+
+
+def _id_chunked_stream(
+    spark: SparkSession, df: DataFrame, base: str, n_chunks: int = 3, cache_key: str | None = None
+):
     """Id-ordered replay: split on doc_id ranges so ids arrive
     non-decreasing across micro-batches — the certification harness for
     arrival-ordered streaming semantics (neardup suppression,
     blocklist guards)."""
+    import os
+
+    if cache_key is not None and os.path.isdir(_replay_cache_path(cache_key)):
+        # cache hit: skip the bounds collect entirely (2 Spark jobs) —
+        # filters don't change the schema, so stream straight off it
+        return _chunked_file_stream(spark, [df], base, cache_key=cache_key)
     bounds = df.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]  # bounded driver scalars
     mn, mx = int(bounds[0]), int(bounds[1])
     step = (mx - mn + n_chunks) // n_chunks  # ceil of the id span
@@ -68,10 +112,10 @@ def _id_chunked_stream(spark: SparkSession, df: DataFrame, base: str, n_chunks: 
         df.filter((F.col("doc_id") >= mn + i * step) & (F.col("doc_id") < mn + (i + 1) * step))
         for i in range(n_chunks)
     ]
-    return _chunked_file_stream(spark, parts, base)
+    return _chunked_file_stream(spark, parts, base, cache_key=cache_key)
 
 
-def _day_chunked_stream(spark: SparkSession, ev: DataFrame, base: str):
+def _day_chunked_stream(spark: SparkSession, ev: DataFrame, base: str, cache_key: str | None = None):
     """Time-ordered replay of an events-shaped frame (has a ``ts``
     timestamp): three ~10-day January chunks, one micro-batch each
     (the fixture spans Jan 1-30 at every SF)."""
@@ -79,7 +123,7 @@ def _day_chunked_stream(spark: SparkSession, ev: DataFrame, base: str):
         ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi))
         for lo, hi in [(1, 10), (11, 20), (21, 31)]
     ]
-    return _chunked_file_stream(spark, parts, base)
+    return _chunked_file_stream(spark, parts, base, cache_key=cache_key)
 
 
 @query(
@@ -658,9 +702,15 @@ def _neardup_suppress_run(spark: SparkSession, sf_dir: str, state_cap: int | Non
     from ..sources.tables import load_table
     from ..streaming.ops import neardup_suppress_stream
 
+    import os
+
     base = scratch_dir("nds_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    stream = _id_chunked_stream(spark, docs, base, n_chunks=3)
+    # pure projection+split of the immutable fixture: published once,
+    # shared by the capped/uncapped pair AND across runs
+    stream = _id_chunked_stream(
+        spark, docs, base, n_chunks=3, cache_key=f"id3docs:{os.path.abspath(sf_dir)}"
+    )
     # one file per micro-batch = ONE scan task: repartition before the
     # md5+fold signature stage (the r07 single-row-group lesson, in
     # stream form) so the per-batch kernel runs at drain parallelism.
@@ -827,8 +877,14 @@ def streaming_blocklist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(bag_fingerprint("text").alias("fp"))
         .distinct()
     )
+    import os
+
     stream = _id_chunked_stream(
-        spark, docs.filter(F.col("doc_id") >= 25), base, n_chunks=3
+        spark,
+        docs.filter(F.col("doc_id") >= 25),
+        base,
+        n_chunks=3,
+        cache_key=f"id3docs_ge25:{os.path.abspath(sf_dir)}",
     )
     admitted = (
         stream.select("doc_id", bag_fingerprint("text").alias("fp"))
@@ -895,7 +951,11 @@ def streaming_timeout_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
         .withColumn("week", ((F.dayofmonth("ts") - 1) / 7).cast("long"))
     )
-    stream = _day_chunked_stream(spark, ev, base)
+    import os
+
+    stream = _day_chunked_stream(
+        spark, ev, base, cache_key=f"day3evweek:{os.path.abspath(sf_dir)}"
+    )
     finalized = timeout_finalized_totals(
         stream, keys=["event_type", "week"], gap_ms=5 * 86400 * 1000, watermark="1 day"
     )
@@ -974,7 +1034,11 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") / 10).cast("long").alias("bkt"),
         )
     )
-    stream = _day_chunked_stream(spark, ev, base)
+    import os
+
+    stream = _day_chunked_stream(
+        spark, ev, base, cache_key=f"day3evbkt:{os.path.abspath(sf_dir)}"
+    )
     summaries = heavy_hitters_stream(stream, key="event_type", item_col="bkt", k=K)
 
     sink = f"{base}/summ"
