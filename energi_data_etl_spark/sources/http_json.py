@@ -24,11 +24,44 @@ from datetime import date as Date
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["ApiConfig", "with_retry", "fetch_plan", "fetch_to_landing", "read_landing"]
+__all__ = ["ApiConfig", "with_retry", "fetch_plan", "fetch_to_landing", "read_landing", "load_dotenv"]
 
 #: elprisetjustnu.se API shape (reference energy_etl.py:19-20)
 DEFAULT_URL_TEMPLATE = "https://www.elprisetjustnu.se/api/v1/prices/{year}/{month:02d}-{day:02d}_{zone}.json"
 DEFAULT_ZONES = ("SE1", "SE2", "SE3", "SE4")
+
+
+def load_dotenv(path: str = ".env", override: bool = False) -> dict[str, str]:
+    """Dependency-free twin of the reference's ``load_dotenv()``
+    (`energy_etl.py:10` — it reads API_TOKEN from a .env file into the
+    environment before building requests). Parses ``KEY=VALUE`` lines
+    (``#`` comments and blanks skipped, optional ``export `` prefix,
+    single/double quotes stripped), sets ``os.environ`` entries — by
+    default WITHOUT overriding variables already set (python-dotenv's
+    semantics, so real deployment env always wins over a checked-in
+    file) — and returns what it parsed. Missing file → empty dict, the
+    reference's tolerant behavior. Use with `ApiConfig.from_env()`."""
+    import os
+
+    parsed: dict[str, str] = {}
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for raw in fh:
+                line = raw.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                if line.startswith("export "):
+                    line = line[len("export "):]
+                k, v = line.split("=", 1)
+                k, v = k.strip(), v.strip()
+                if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+                    v = v[1:-1]
+                parsed[k] = v
+                if override or k not in os.environ:
+                    os.environ[k] = v
+    except OSError:
+        return {}
+    return parsed
 
 
 @dataclass(frozen=True)
@@ -42,6 +75,18 @@ class ApiConfig:
     api_token: str | None = None
     #: extra request headers as (name, value) pairs (hashable: frozen dataclass)
     extra_headers: tuple[tuple[str, str], ...] = ()
+
+    @classmethod
+    def from_env(cls, dotenv_path: str | None = ".env", **overrides) -> "ApiConfig":
+        """The reference's config path (`energy_etl.py:10-13`):
+        `load_dotenv()` then read ``API_TOKEN`` from the environment.
+        ``dotenv_path=None`` skips the file read (env-only)."""
+        import os
+
+        if dotenv_path is not None:
+            load_dotenv(dotenv_path)
+        overrides.setdefault("api_token", os.environ.get("API_TOKEN"))
+        return cls(**overrides)
 
     def headers(self) -> dict[str, str]:
         """Request headers for every fetch task: Authorization from the

@@ -203,3 +203,37 @@ def test_schema_alignment_is_case_insensitive(spark, tmp_path):
     aligned = align_to_table_schema(v2, spark, path)
     assert aligned.columns.count("zone") == 1 and "Zone" not in aligned.columns
     assert aligned.filter(F.col("zone") == "SE2").count() == 1
+
+
+def test_load_dotenv_parses_and_respects_existing_env(tmp_path, monkeypatch):
+    """The reference's load_dotenv() twin (energy_etl.py:10): KEY=VALUE
+    parsing with comments/quotes/export handled, existing environment
+    NEVER overridden by default, missing file tolerated."""
+    import os
+
+    from energi_data_etl_spark.sources.http_json import ApiConfig, load_dotenv
+
+    env = tmp_path / ".env"
+    env.write_text(
+        "# comment\n"
+        "API_TOKEN='from-file'\n"
+        'export EXTRA_FLAG="quoted value"\n'
+        "PLAIN=bare\n"
+        "\n"
+        "not a kv line\n"
+    )
+    monkeypatch.delenv("API_TOKEN", raising=False)
+    monkeypatch.setenv("PLAIN", "preexisting")
+    parsed = load_dotenv(str(env))
+    assert parsed == {"API_TOKEN": "from-file", "EXTRA_FLAG": "quoted value", "PLAIN": "bare"}
+    assert os.environ["API_TOKEN"] == "from-file"
+    assert os.environ["EXTRA_FLAG"] == "quoted value"
+    assert os.environ["PLAIN"] == "preexisting"  # no override by default
+    monkeypatch.delenv("API_TOKEN", raising=False)
+    monkeypatch.delenv("EXTRA_FLAG", raising=False)
+    assert load_dotenv(str(tmp_path / "missing.env")) == {}
+
+    monkeypatch.setenv("API_TOKEN", "from-env")
+    cfg = ApiConfig.from_env(dotenv_path=str(env))
+    assert cfg.api_token == "from-env"  # deployment env wins over the file
+    assert cfg.headers()["Authorization"] == "Bearer from-env"
