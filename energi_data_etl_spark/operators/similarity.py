@@ -255,8 +255,10 @@ def ann_ivf_knn(
     # (24/cell), capped at 500k points (≈250 MB of float64 at d=64) so
     # the driver-side fit stays bounded when K ∝ N grows past ~20k
     # cells — beyond that cap, quality per cell degrades gracefully
-    # and the real fix is a distributed fit (out of scope; documented).
-    sample_size = min(max(sample_size, 24 * n_centroids), 500_000)
+    # and the real fix is the distributed fit (fit_centroids_distributed).
+    # The 500k cap binds only the AUTO-raised 24/cell floor: an
+    # explicitly larger sample_size is honored as passed (ADVICE r16).
+    sample_size = max(sample_size, min(24 * n_centroids, 500_000))
     frac = min(1.0, 1.2 * sample_size / max(n_corpus, 1))  # 1.2× then cap: sample() is per-row Bernoulli
     sample = corpus.select(id_col, vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
     achievable = min(sample_size, n_corpus)

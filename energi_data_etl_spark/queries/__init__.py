@@ -128,72 +128,71 @@ PRIORITY = [
 #: once re-certified (they become harmless no-ops, but the list should
 #: reflect the live backlog).
 RECERT: dict[str, int] = {
-    # r13-vintage entries re-certified in CORRECTNESS_r14 and removed.
-    # r15 stale-tier probe rewrites (each landed after the query's last
-    # green row, r10): ann_lsh_knn now pre-normalizes and scores with a
-    # single dot fold (35.5 -> 13.7 s at 250k vectors);
-    # kmeans_lloyd_assign's argmin is min(struct(d, cid)) instead of a
-    # sort window (36x at 5x fixed); kll_quantile_sketch_audit's exact
-    # p50 + rank audit run on the histogram plan (23.8x at 5x fixed).
-    "ann_lsh_topk": 15,
-    "kmeans_lloyd_assign": 15,
-    "kll_quantile_sketch_audit": 15,
-    # r16 (VERDICT r15 #2): the IMI refined probe + fit-sample floor
-    # change ann_ivf_knn's probed cell set — ann_ivf_two_level_topk's
-    # last green row (r14) certifies the old grid probe.
-    "ann_ivf_two_level_topk": 15,
-    # r16 (VERDICT r15 #4): parallel-exact rewrite (zip-index buckets
-    # of 4096·m) replaced the serial repartition(1) write.
-    "compaction_small_files": 15,
-    # r16 follow-through on the tier-worst list: the 3-key window
-    # ceiling replaced by a distributed prefix sum (range exchange +
-    # per-partition offsets) — bit-identical integer cumsums.
-    "weighted_median_by_flag": 15,
+    # All six r15/r16-vintage entries (ann_lsh_topk, kmeans_lloyd_assign,
+    # kll_quantile_sketch_audit, ann_ivf_two_level_topk,
+    # compaction_small_files, weighted_median_by_flag) re-certified green
+    # in CORRECTNESS_r16 and removed per the policy note above. Add
+    # name -> missed-round whenever a certified query's PLAN is rewritten
+    # after its last green row.
 }
 
 
-def certified_rounds() -> dict[str, int]:
+def certified_rounds(ledgers=None) -> dict[str, int]:
     """name -> latest round with a fully-green driver row (rows+schema+
     hash), read from the committed CORRECTNESS_r*.json artifacts at the
-    repo root. Empty on any read problem — the window then degrades to
-    pure PRIORITY order, never to an import failure."""
+    repo root. LATEST-ROW-WINS (VERDICT r16 item 8): a query whose most
+    recent ledger row is an error/mismatch is treated as never-certified
+    — an old green row does not certify a query the driver has since
+    seen fail. Empty on any read problem — the window then degrades to
+    pure PRIORITY order, never to an import failure.
+
+    ``ledgers``: optional ``[(round, {name: row})]`` for unit tests;
+    default reads the repo-root artifacts."""
     import json
     import re
     from pathlib import Path
 
-    green: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     try:
-        root = Path(__file__).resolve().parents[2]
-        for f in sorted(root.glob("CORRECTNESS_r*.json")):
-            m = re.search(r"r(\d+)", f.name)
-            if not m:
-                continue
-            rnd = int(m.group(1))
-            try:
-                data = json.loads(f.read_text())
-            except (OSError, ValueError):
-                continue
+        if ledgers is None:
+            ledgers = []
+            root = Path(__file__).resolve().parents[2]
+            for f in sorted(root.glob("CORRECTNESS_r*.json")):
+                m = re.search(r"r(\d+)", f.name)
+                if not m:
+                    continue
+                try:
+                    data = json.loads(f.read_text())
+                except (OSError, ValueError):
+                    continue
+                ledgers.append((int(m.group(1)), data))
+        for rnd, data in ledgers:
             if not isinstance(data, dict):
                 continue
             for name, row in data.items():
-                if (
-                    isinstance(row, dict)
-                    and row.get("hash_match")
+                if not isinstance(row, dict):
+                    continue
+                ok = bool(
+                    row.get("hash_match")
                     and row.get("rows_match")
                     and row.get("schema_match")
-                ):
-                    green[name] = max(green.get(name, 0), rnd)
+                )
+                prev = latest.get(name)
+                if prev is None or rnd >= prev[0]:
+                    latest[name] = (rnd, ok)
     except Exception:
         return {}
-    return green
+    return {n: rnd for n, (rnd, ok) in latest.items() if ok}
 
 
-def compute_first_50(green: dict[str, int]) -> list[str]:
+def compute_first_50(green: dict[str, int], recert: dict[str, int] | None = None) -> list[str]:
     """Pure selection rule (unit-tested on synthetic ledgers): canary,
     then never-certified oracled queries in PRIORITY order (unknown
     names last, registration order), then RECERT entries whose latest
     green row predates their plan rewrite, then certified
-    stalest-first."""
+    stalest-first. ``recert`` overrides the module RECERT for tests."""
+    if recert is None:
+        recert = RECERT
     reg = {n: i for i, n in enumerate(QUERIES)}
     pri = {n: i for i, n in enumerate(PRIORITY)}
     oracled = [n for n, q in QUERIES.items() if q.oracle is not None and n != CANARY]
@@ -202,8 +201,8 @@ def compute_first_50(green: dict[str, int]) -> list[str]:
     # plan-changed tier: certified, but the green row predates the
     # rewrite (green round <= the round the rewrite missed)
     recert = [
-        n for n in RECERT
-        if n in oracled and n in green and green[n] <= RECERT[n]
+        n for n in recert
+        if n in oracled and n in green and green[n] <= recert[n]
     ]
     window = [CANARY] + never[:49]
     window += [n for n in recert if n not in window][: 50 - len(window)]

@@ -519,11 +519,19 @@ def _shared_events_src(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from ..sources.tables import load_table
+    from .streaming import _cache_root, fixture_fingerprint
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    final = os.path.join(tempfile.gettempdir(), f"api_sink_src_{key}")
+    # content fingerprint + projection folded into the key (ADVICE r16):
+    # a regenerated fixture or a changed column list mints a new cache
+    # dir instead of silently serving stale rows; the root is
+    # user-owned, not the world-writable temp dir.
+    key = hashlib.md5(
+        f"api_sink_src:{fixture_fingerprint(sf_dir, 'events')}|cols=event_type,value".encode()
+    ).hexdigest()[:12]
+    final = os.path.join(_cache_root(), f"api_sink_src_{key}")
     if not os.path.isdir(final):
-        tmp = tempfile.mkdtemp(prefix="api_sink_src_tmp_")
+        # stage INSIDE the cache root: rename must not cross filesystems
+        tmp = tempfile.mkdtemp(prefix="api_sink_src_tmp_", dir=_cache_root())
         (
             load_table(spark, "events", sf_dir)
             .select("event_type", "value")
@@ -534,7 +542,11 @@ def _shared_events_src(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.rename(f"{tmp}/src", final)
         except OSError:
-            pass  # another run published first — use theirs
+            # trust "another run won" only if the winner's dir exists;
+            # otherwise (permissions, EXDEV) serve this run's complete
+            # staging dir instead of a confusing missing-path read later
+            if not os.path.isdir(final):
+                return f"{tmp}/src"
         shutil.rmtree(tmp, ignore_errors=True)
     return final
 

@@ -53,7 +53,6 @@ def _chunked_file_stream(
     setup). Checkpoints stay per-query — sharing SOURCE files across
     streaming queries is always safe."""
     import glob
-    import hashlib
     import os
     import shutil
 
@@ -72,24 +71,72 @@ def _chunked_file_stream(
         src = f"{base}/src"
         build(src)
     else:
-        src = _replay_cache_path(cache_key)
+        # fold the projection into the hashed key so a changed column
+        # list can never silently serve a stale cache (ADVICE r16);
+        # callers fold the source-content fingerprint + chunking params
+        # in via fixture_fingerprint and their key tag.
+        src = _resolved_cache_path(cache_key, parts[0].schema)
         if not os.path.isdir(src):
-            stage = f"{base}/src_stage"
+            # stage NEXT TO the final path (same filesystem — a rename
+            # from the per-run temp scratch into ~/.cache could EXDEV)
+            stage = f"{src}.__stage_{os.getpid()}"
+            shutil.rmtree(stage, ignore_errors=True)
             build(stage)  # mtimes survive the rename
             try:
                 os.rename(stage, src)
             except OSError:
-                shutil.rmtree(stage, ignore_errors=True)  # another run won
+                # another run won the publish — but only trust that if
+                # the winner's directory actually exists; otherwise the
+                # rename failed for a real reason (permissions, EXDEV)
+                # and this run streams its own complete stage dir
+                # (ADVICE r16).
+                if os.path.isdir(src):
+                    shutil.rmtree(stage, ignore_errors=True)
+                else:
+                    src = stage
     return spark.readStream.schema(parts[0].schema).option("maxFilesPerTrigger", 1).parquet(src)
 
 
+def fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """abspath + mtime_ns + size of a fixture parquet — folded into
+    replay-cache keys so a REGENERATED fixture at the same path can
+    never silently serve stale chunks (ADVICE r16)."""
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    try:
+        st = os.stat(p)
+        return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return p
+
+
+def _resolved_cache_path(cache_key: str, schema) -> str:
+    """The full replay-cache path for a (caller key, projection) pair —
+    the schema suffix keeps the hit-check in _id_chunked_stream and the
+    build in _chunked_file_stream on one key."""
+    return _replay_cache_path(f"{cache_key}|schema={schema.simpleString()}")
+
+
 def _replay_cache_path(cache_key: str) -> str:
+    """Deterministic cache dir under a USER-OWNED root (not the
+    world-writable temp dir, where another user could squat the name —
+    ADVICE r16). Override with SPARK_GRAFT_CACHE_DIR."""
     import hashlib
     import os
-    import tempfile
 
     key = hashlib.md5(cache_key.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"replay_{key}")
+    return os.path.join(_cache_root(), f"replay_{key}")
+
+
+def _cache_root() -> str:
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "energi_data_etl_spark"
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def _id_chunked_stream(
@@ -101,7 +148,7 @@ def _id_chunked_stream(
     blocklist guards)."""
     import os
 
-    if cache_key is not None and os.path.isdir(_replay_cache_path(cache_key)):
+    if cache_key is not None and os.path.isdir(_resolved_cache_path(cache_key, df.schema)):
         # cache hit: skip the bounds collect entirely (2 Spark jobs) —
         # filters don't change the schema, so stream straight off it
         return _chunked_file_stream(spark, [df], base, cache_key=cache_key)
@@ -709,7 +756,7 @@ def _neardup_suppress_run(spark: SparkSession, sf_dir: str, state_cap: int | Non
     # pure projection+split of the immutable fixture: published once,
     # shared by the capped/uncapped pair AND across runs
     stream = _id_chunked_stream(
-        spark, docs, base, n_chunks=3, cache_key=f"id3docs:{os.path.abspath(sf_dir)}"
+        spark, docs, base, n_chunks=3, cache_key=f"id3docs:{fixture_fingerprint(sf_dir, 'documents')}"
     )
     # one file per micro-batch = ONE scan task: repartition before the
     # md5+fold signature stage (the r07 single-row-group lesson, in
@@ -884,7 +931,7 @@ def streaming_blocklist_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 25),
         base,
         n_chunks=3,
-        cache_key=f"id3docs_ge25:{os.path.abspath(sf_dir)}",
+        cache_key=f"id3docs_ge25:{fixture_fingerprint(sf_dir, 'documents')}",
     )
     admitted = (
         stream.select("doc_id", bag_fingerprint("text").alias("fp"))
@@ -954,7 +1001,7 @@ def streaming_timeout_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     stream = _day_chunked_stream(
-        spark, ev, base, cache_key=f"day3evweek:{os.path.abspath(sf_dir)}"
+        spark, ev, base, cache_key=f"day3evweek:{fixture_fingerprint(sf_dir, 'events')}"
     )
     finalized = timeout_finalized_totals(
         stream, keys=["event_type", "week"], gap_ms=5 * 86400 * 1000, watermark="1 day"
@@ -1037,7 +1084,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     stream = _day_chunked_stream(
-        spark, ev, base, cache_key=f"day3evbkt:{os.path.abspath(sf_dir)}"
+        spark, ev, base, cache_key=f"day3evbkt:{fixture_fingerprint(sf_dir, 'events')}"
     )
     summaries = heavy_hitters_stream(stream, key="event_type", item_col="bkt", k=K)
 

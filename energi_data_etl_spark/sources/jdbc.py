@@ -135,7 +135,17 @@ def latest_watermark_jdbc(
         row = read_jdbc(
             spark, url, sub, driver=driver, properties=properties
         ).first()
-    except Exception:  # noqa: BLE001 — table does not exist yet: cold start
+    except Exception as exc:  # noqa: BLE001 — table does not exist yet: cold start
+        # Log before falling back (ADVICE r16): a silent None makes a
+        # transient auth/driver failure indistinguishable from cold
+        # start, and the incremental caller would re-ingest history.
+        # The reference's fallback prints too (energy_etl.py:42-46).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "latest_watermark_jdbc(%s): treating as cold start after %s: %s",
+            table, type(exc).__name__, exc,
+        )
         return None
     # positional: case-folding engines rename the unquoted alias
     # (Derby reports Row(WM=...)), and the frame has exactly one column

@@ -108,15 +108,17 @@ def test_recert_entries_are_registered_oracled_queries():
 
 def test_recert_tier_drops_out_once_recertified():
     """A RECERT entry green in a round LATER than its rewrite round is
-    no longer selected ahead of staleness (the tier self-empties)."""
-    from energi_data_etl_spark.queries import CANARY, RECERT, compute_first_50
+    no longer selected ahead of staleness (the tier self-empties).
+    Exercised with a synthetic RECERT dict — the live one is empty
+    whenever there is no plan-rewrite backlog (r16 cleared all six)."""
+    from energi_data_etl_spark.queries import CANARY, compute_first_50
 
-    assert RECERT, "seeded with percentile_disc_surface in r13"
-    name, changed = next(iter(RECERT.items()))
     oracled = [n for n, q in QUERIES.items() if q.oracle is not None]
+    name, changed = "join_star_revenue", 15
+    synth_recert = {name: changed}
     # all green at changed+1 -> nothing never-certified, nothing due
     green = {n: changed + 1 for n in oracled}
-    w = compute_first_50(green)
+    w = compute_first_50(green, recert=synth_recert)
     assert w[0] == CANARY
     # the recert entry appears only at its registration-order stale slot,
     # not at the head of the body
@@ -125,8 +127,32 @@ def test_recert_tier_drops_out_once_recertified():
     # green exactly AT the rewrite round -> due (plan never met driver)
     green_due = dict(green)
     green_due[name] = changed
-    w_due = compute_first_50(green_due)
+    w_due = compute_first_50(green_due, recert=synth_recert)
     assert w_due[1] == name
+
+
+def test_certified_rounds_latest_row_wins():
+    """VERDICT r16 item 8: a green row followed by a LATER error row
+    de-certifies the query (it re-enters the never-certified tier); a
+    later green row re-certifies at the new round."""
+    from energi_data_etl_spark.queries import certified_rounds
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    ledgers = [
+        (5, {"a": ok, "b": ok, "c": bad}),
+        (8, {"a": bad, "c": ok}),
+    ]
+    green = certified_rounds(ledgers=ledgers)
+    # a: green r5 then err r8 -> never-certified (latest row wins)
+    assert "a" not in green
+    # b: green r5, untouched since -> certified at 5
+    assert green["b"] == 5
+    # c: err r5 then green r8 -> certified at 8
+    assert green["c"] == 8
+    # out-of-order delivery must not change the verdict
+    green_rev = certified_rounds(ledgers=list(reversed(ledgers)))
+    assert green_rev == green
 
 
 def test_entry_smoke(spark, sf_dir):
