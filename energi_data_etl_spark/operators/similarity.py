@@ -34,10 +34,28 @@ __all__ = [
     "ann_lsh_knn",
     "ann_lsh_bucket_stats",
     "ann_ivf_knn",
+    "fit_centroids_distributed",
     "semdedup_prune",
     "gram_partials",
     "covariance_matrix",
 ]
+
+#: Above this many required fit points (24 pts/cell × K) the sampled
+#: driver-side k-means can no longer deliver its per-cell floor under
+#: the 500k collect cap — auto-switch to the distributed fit.
+DISTRIBUTED_FIT_THRESHOLD = 500_000
+
+
+def _use_distributed_fit(fit_mode: str | None, n_centroids: int, pts_per_cell: int = 24) -> bool:
+    """Fit-path selection (VERDICT r16 item 1), exposed for tests:
+    explicit ``fit_mode`` wins; auto switches to the distributed fit
+    exactly where the sampled fit's 24/cell quality floor collides with
+    its 500k driver-collect cap (K > ~20.8k cells)."""
+    if fit_mode is not None:
+        if fit_mode not in ("sample", "distributed"):
+            raise ValueError(f"fit_mode must be 'sample' | 'distributed' | None, got {fit_mode!r}")
+        return fit_mode == "distributed"
+    return pts_per_cell * n_centroids > DISTRIBUTED_FIT_THRESHOLD
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -178,6 +196,318 @@ def neardup_pairs_matmul(
     return expanded.groupBy("bi", "bj").applyInPandas(score, "a long, b long, cos_sim double")
 
 
+def _local_spherical_kmeans(pts, k: int, iters: int, rng):
+    """Seeded Lloyd iterations on an in-memory (n, d) unit-norm array —
+    the kernel shared by the driver-side sampled fit and the per-cell
+    fine fits inside the distributed fit's applyInPandas stage."""
+    import numpy as np
+
+    k = max(1, min(k, len(pts)))
+    cm = pts[rng.choice(len(pts), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(pts @ cm.T, axis=1)
+        for j in range(len(cm)):
+            members = pts[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cm[j] = c / (np.linalg.norm(c) or 1.0)
+    return cm
+
+
+def fit_centroids_distributed(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    pts_per_cell: int = 24,
+    corpus_count: int | None = None,
+    two_level: bool = False,
+):
+    """Distributed spherical k-means quantizer fit (VERDICT r16 item 1)
+    — removes the last data-proportional driver-side compute in the
+    engine: the sampled fit collects up to 500k vectors to the driver,
+    which starves K > ~20k cells of its 24-points-per-cell quality
+    floor. Here the fit set is a DISTRIBUTED seeded sample sized
+    ``pts_per_cell × K`` with no cap (it lives on executors), and the
+    driver only ever sees quantizer-sized data (K × d centroids).
+
+    Shape per Lloyd iteration (the mapInPandas-partials + groupBy
+    re-estimation recipe):
+
+    * broadcast current centroids (K×d float64);
+    * ``mapInPandas`` over the persisted fit frame: per task, argmax
+      cosine assignment, then a sort + ``np.add.reduceat`` scatter-add
+      into per-cell partial sums — each task emits at most K rows of
+      (cell, partial sum, count): the map-side combine that keeps the
+      shuffle O(tasks × K), never O(sample);
+    * ``groupBy(cell).applyInPandas`` sums the partials to one row per
+      cell; the driver collects K rows, renormalizes, re-broadcasts.
+
+    ``two_level=True`` returns the IMI quantizer ``(Cc, Cf, k_fine,
+    n_valid)`` in the exact broadcast layout ann_ivf_knn / semdedup
+    use: the coarse level is fit with the distributed Lloyd above
+    (√K centroids — cheap), corpus-sample points are then assigned to
+    their coarse cell ONCE, and each coarse cell's fine centroids are
+    fit LOCALLY inside ``groupBy(coarse).applyInPandas`` — K local fits
+    of ~pts_per_cell × √K points each, fully parallel, never on the
+    driver. Per-cell fine fits subsample to a bounded point budget so a
+    skewed coarse cell cannot blow task memory.
+
+    Single-level (``two_level=False``) returns a (K, d) ndarray. Both
+    shapes drop straight into the existing broadcast + probe code.
+
+    Determinism: given fixed partitioning the assignment argmaxes are
+    deterministic; cross-partition float summation order in the
+    re-estimation can differ between runs at the last ulp — callers
+    needing a bit-replayable quantizer (the certified fixed-K oracle
+    twins) use the sampled fit, which this function deliberately does
+    not replace below the cap (see _use_distributed_fit).
+    """
+    import math
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    sc = spark.sparkContext
+    n_corpus = corpus_count if corpus_count is not None else corpus.count()
+    target = pts_per_cell * max(n_centroids, 1)
+    frac = min(1.0, 1.2 * target / max(n_corpus, 1))
+
+    def _normalize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf.iloc[:, 0].to_numpy()).astype(np.float64, copy=False)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({"v": list(v)})
+
+    npart = max(sc.defaultParallelism, 8)
+    fit = (
+        corpus.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .repartition(npart)  # fixture files are single-row-group: spread the matmuls
+        .mapInPandas(_normalize, "v array<double>")
+        .withColumn("i", F.monotonically_increasing_id())
+        .persist()
+    )
+    try:
+        n_fit = fit.count()  # materializes the persist (pins the row ids too)
+
+        def _u01(ids, salt: int):
+            # splitmix64 on the pinned row id: deterministic per-point
+            # uniforms with no driver round-trip (numpy-vectorized)
+            z = (ids.astype(np.uint64) + np.uint64(salt & 0xFFFFFFFFFFFFFFFF)) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+            return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+        def _init(k: int) -> "np.ndarray":
+            # k-means‖-style init (Bahmani et al. 2012, public): a
+            # random init merges/splits clusters into local optima the
+            # Lloyd iterations can't escape. Rounds of distance-
+            # weighted oversampling (each point joins the candidate
+            # set w.p. min(1, k·d²/φ), d² = 1 − max cosine) spread the
+            # candidates across the data; weight-proportional draw
+            # then picks k of them. Everything data-sized stays on
+            # executors; only the ~2k+1 candidates reach the driver.
+            first = fit.sample(fraction=min(1.0, 16.0 / max(n_fit, 1)), seed=seed + 3).limit(1).collect()
+            if not first:
+                first = fit.limit(1).collect()
+            C0 = np.vstack([first[0]["v"]]).astype(np.float64)
+            for rnd in range(2):
+                b0 = sc.broadcast(C0)
+
+                def dist2(batches, _b=b0, _with_id=False, _p=None, _salt=0):
+                    import pandas as pd
+
+                    Cm = _b.value
+                    for pdf in batches:
+                        if not len(pdf):
+                            continue
+                        v = np.vstack(pdf["v"].to_numpy())
+                        d2 = np.clip(1.0 - (v @ Cm.T).max(axis=1), 0.0, None)
+                        if _p is None:
+                            yield pd.DataFrame({"phi": [float(d2.sum())]})
+                        else:
+                            u = _u01(pdf["i"].to_numpy(), _salt)
+                            keep = u < np.minimum(1.0, _p * d2)
+                            if keep.any():
+                                yield pd.DataFrame({"v": pdf["v"].to_numpy()[keep]})
+
+                phi_rows = fit.mapInPandas(lambda b, _b=b0: dist2(b, _b), "phi double").collect()
+                phi = sum(r["phi"] for r in phi_rows) or 1e-12
+                cand = fit.mapInPandas(
+                    lambda b, _b=b0, _pp=float(k) / phi, _s=seed * 1000 + rnd: dist2(
+                        b, _b, _p=_pp, _salt=_s
+                    ),
+                    "v array<double>",
+                ).collect()
+                if cand:
+                    C0 = np.vstack([C0] + [np.asarray(r["v"], dtype=np.float64) for r in cand])
+                b0.destroy()
+            if len(C0) <= k:
+                # tiny corpora / degenerate φ: top up with a seeded draw
+                f2 = min(1.0, 3.0 * k / max(n_fit, 1))
+                rows = fit.sample(fraction=f2, seed=seed + 7).limit(k).collect()
+                extra = np.vstack([r["v"] for r in rows]) if rows else C0
+                C0 = np.vstack([C0, extra])
+                return C0[: max(k, 1)]
+            # weight each candidate by its basin size (one counting
+            # pass), then draw k without replacement ∝ weight — undoes
+            # the d²-bias toward outliers that raw candidates carry.
+            bc = sc.broadcast(C0)
+
+            def counts(batches, _b=bc):
+                import pandas as pd
+
+                Cm = _b.value
+                cnt = np.zeros(len(Cm), dtype=np.int64)
+                seen = False
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    seen = True
+                    v = np.vstack(pdf["v"].to_numpy())
+                    cnt += np.bincount(np.argmax(v @ Cm.T, axis=1), minlength=len(Cm))
+                if seen:
+                    nz = np.flatnonzero(cnt)
+                    yield pd.DataFrame({"cell": nz.astype(np.int32), "n": cnt[nz]})
+
+            w = np.zeros(len(C0), dtype=np.float64)
+            for r in fit.mapInPandas(counts, "cell int, n long").collect():
+                w[r["cell"]] += r["n"]
+            bc.destroy()
+            w += 1e-9  # zero-basin candidates stay drawable as a tiebreak
+            rng0 = np.random.RandomState(seed + 11)
+            pick = rng0.choice(len(C0), size=k, replace=False, p=w / w.sum())
+            return C0[pick]
+
+        def _lloyd_distributed(k: int) -> "np.ndarray":
+            C = _init(k)
+            k = len(C)  # tiny corpora: fewer points than cells
+            for _ in range(kmeans_iters):
+                b = sc.broadcast(C)
+
+                def partials(batches, _b=b):
+                    import pandas as pd
+
+                    Cm = _b.value
+                    S = np.zeros_like(Cm)
+                    cnt = np.zeros(len(Cm), dtype=np.int64)
+                    seen = False
+                    for pdf in batches:
+                        if not len(pdf):
+                            continue
+                        seen = True
+                        v = np.vstack(pdf["v"].to_numpy())
+                        a = np.argmax(v @ Cm.T, axis=1)
+                        order = np.argsort(a, kind="stable")
+                        va, aa = v[order], a[order]
+                        starts = np.r_[0, np.flatnonzero(np.diff(aa)) + 1]
+                        S[aa[starts]] += np.add.reduceat(va, starts, axis=0)
+                        cnt += np.bincount(a, minlength=len(Cm))
+                    if seen:
+                        nz = np.flatnonzero(cnt)
+                        yield pd.DataFrame(
+                            {"cell": nz.astype(np.int32), "s": list(S[nz]), "n": cnt[nz]}
+                        )
+
+                def reduce_cell(key, pdf):
+                    import pandas as pd
+
+                    s = np.vstack(pdf["s"].to_numpy()).sum(axis=0)
+                    return pd.DataFrame(
+                        {"cell": [key[0]], "s": [list(s)], "n": [int(pdf["n"].sum())]}
+                    )
+
+                rows = (
+                    fit.mapInPandas(partials, "cell int, s array<double>, n long")
+                    .groupBy("cell")
+                    .applyInPandas(reduce_cell, "cell int, s array<double>, n long")
+                    .collect()
+                )
+                newC = C.copy()
+                for r in rows:
+                    s = np.asarray(r["s"], dtype=np.float64)
+                    nn = np.linalg.norm(s)
+                    if nn > 0.0:
+                        newC[r["cell"]] = s / nn
+                C = newC  # empty cells keep their previous centroid
+                b.destroy()
+            return C
+
+        if not two_level:
+            return _lloyd_distributed(min(n_centroids, max(n_fit, 1)))
+
+        k_coarse = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(K))
+        k_fine = max(1, -(-n_centroids // k_coarse))  # ceil(K / Kc)
+        Cc = _lloyd_distributed(min(k_coarse, max(n_fit, 1)))
+        k_coarse = len(Cc)
+        b_cc = sc.broadcast(Cc)
+
+        def assign_coarse(batches):
+            import pandas as pd
+
+            Ccm = b_cc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.vstack(pdf["v"].to_numpy())
+                yield pd.DataFrame(
+                    {"coarse": np.argmax(v @ Ccm.T, axis=1).astype(np.int32), "v": pdf["v"]}
+                )
+
+        cap = 60 * k_fine  # bounded task memory even under coarse-cell skew
+
+        def fit_fine(key, pdf):
+            import pandas as pd
+
+            pts = np.vstack(pdf["v"].to_numpy())
+            rng = np.random.RandomState(seed + 13 * int(key[0]) + 1)
+            if len(pts) > cap:
+                pts = pts[rng.choice(len(pts), size=cap, replace=False)]
+            cm = _local_spherical_kmeans(pts, k_fine, kmeans_iters, rng)
+            return pd.DataFrame(
+                {
+                    "coarse": np.full(len(cm), int(key[0]), dtype=np.int32),
+                    "fidx": np.arange(len(cm), dtype=np.int32),
+                    "c": list(cm),
+                }
+            )
+
+        fine_rows = (
+            fit.mapInPandas(assign_coarse, "coarse int, v array<double>")
+            .groupBy("coarse")
+            .applyInPandas(fit_fine, "coarse int, fidx int, c array<double>")
+            .collect()
+        )
+        b_cc.destroy()
+        d = Cc.shape[1]
+        Cf = np.zeros((k_coarse, k_fine, d), dtype=np.float64)
+        n_valid = np.zeros(k_coarse, dtype=np.int64)
+        for r in fine_rows:
+            Cf[r["coarse"], r["fidx"]] = np.asarray(r["c"], dtype=np.float64)
+            n_valid[r["coarse"]] = max(n_valid[r["coarse"]], r["fidx"] + 1)
+        for ci in range(k_coarse):
+            # pad unfilled fine slots by aliasing a valid centroid (an
+            # empty coarse cell aliases the coarse centroid itself) —
+            # same contract as the sampled fit: padded slots never win a
+            # strict argmax and are masked -inf on the probe side.
+            if n_valid[ci] == 0:
+                Cf[ci, 0] = Cc[ci]
+                n_valid[ci] = 1
+            Cf[ci, n_valid[ci]:] = Cf[ci, 0]
+        return Cc, Cf, k_fine, n_valid
+    finally:
+        fit.unpersist()
+
+
 def ann_ivf_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -192,6 +522,7 @@ def ann_ivf_knn(
     corpus_count: int | None = None,
     two_level: bool | None = None,
     probe_pool: int = 4,
+    fit_mode: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse k-means quantizer → inverted lists per
     centroid cell → queries probe their `nprobe` nearest cells only.
@@ -248,64 +579,75 @@ def ann_ivf_knn(
 
     spark = corpus.sparkSession
     n_corpus = corpus_count if corpus_count is not None else corpus.count()
-    # Quantizer-quality floor (r16, VERDICT r15 #2): a k-means fit
-    # needs ~tens of points per CELL or the fine centroids are noise —
-    # the r15 operating curve's recall collapse at 1M/K=1953 traced to
-    # the default 10k sample (5 points/cell). Scale the sample with K
-    # (24/cell), capped at 500k points (≈250 MB of float64 at d=64) so
-    # the driver-side fit stays bounded when K ∝ N grows past ~20k
-    # cells — beyond that cap, quality per cell degrades gracefully
-    # and the real fix is the distributed fit (fit_centroids_distributed).
-    # The 500k cap binds only the AUTO-raised 24/cell floor: an
-    # explicitly larger sample_size is honored as passed (ADVICE r16).
-    sample_size = max(sample_size, min(24 * n_centroids, 500_000))
-    frac = min(1.0, 1.2 * sample_size / max(n_corpus, 1))  # 1.2× then cap: sample() is per-row Bernoulli
-    sample = corpus.select(id_col, vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
-    achievable = min(sample_size, n_corpus)
-    if len(sample) < 0.8 * achievable:
-        logging.getLogger(__name__).warning(
-            "ann_ivf_knn: k-means fit sample has %d rows (< 80%% of the %d targeted) — quantizer quality may suffer",
-            len(sample), achievable,
-        )
-    X = np.array([r[1] for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-
-    def _fit(pts, k, iters):  # spherical k-means: cosine assignment
-        k = max(1, min(k, len(pts)))
-        cm = pts[rng.choice(len(pts), size=k, replace=False)].copy()
-        for _ in range(iters):
-            assign = np.argmax(pts @ cm.T, axis=1)
-            for j in range(len(cm)):
-                members = pts[assign == j]
-                if len(members):
-                    c = members.mean(axis=0)
-                    cm[j] = c / (np.linalg.norm(c) or 1.0)
-        return cm
 
     if two_level is None:
         two_level = n_centroids > 256  # measured crossover, BASELINE.md r11
 
-    if two_level:
-        import math
+    if _use_distributed_fit(fit_mode, n_centroids):
+        # VERDICT r16 item 1: past ~20k cells the sampled fit's 500k
+        # driver collect starves the 24/cell floor — fit distributedly
+        # (the sample never leaves the executors; driver sees K×d only).
+        fitted = fit_centroids_distributed(
+            corpus,
+            n_centroids,
+            vec_col=vec_col,
+            kmeans_iters=kmeans_iters,
+            seed=seed,
+            corpus_count=n_corpus,
+            two_level=two_level,
+        )
+    else:
+        # Quantizer-quality floor (r16, VERDICT r15 #2): a k-means fit
+        # needs ~tens of points per CELL or the fine centroids are noise —
+        # the r15 operating curve's recall collapse at 1M/K=1953 traced to
+        # the default 10k sample (5 points/cell). Scale the sample with K
+        # (24/cell), capped at 500k points (≈250 MB of float64 at d=64) so
+        # the driver-side fit stays bounded; the auto-switch above hands
+        # anything needing more to fit_centroids_distributed.
+        # The 500k cap binds only the AUTO-raised 24/cell floor: an
+        # explicitly larger sample_size is honored as passed (ADVICE r16).
+        sample_size = max(sample_size, min(24 * n_centroids, 500_000))
+        frac = min(1.0, 1.2 * sample_size / max(n_corpus, 1))  # 1.2× then cap: sample() is per-row Bernoulli
+        sample = corpus.select(id_col, vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
+        achievable = min(sample_size, n_corpus)
+        if len(sample) < 0.8 * achievable:
+            logging.getLogger(__name__).warning(
+                "ann_ivf_knn: k-means fit sample has %d rows (< 80%% of the %d targeted) — quantizer quality may suffer",
+                len(sample), achievable,
+            )
+        X = np.array([r[1] for r in sample], dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.RandomState(seed)
 
-        k_coarse = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(K))
-        k_fine = max(1, -(-n_centroids // k_coarse))  # ceil(K / Kc)
-        Cc = _fit(X, k_coarse, kmeans_iters)
-        k_coarse = len(Cc)
-        coarse_of = np.argmax(X @ Cc.T, axis=1)
-        Cf = np.zeros((k_coarse, k_fine, X.shape[1]), dtype=np.float64)
-        n_valid = np.ones(k_coarse, dtype=np.int64)
-        for ci in range(k_coarse):
-            members = X[coarse_of == ci]
-            fine = _fit(members, k_fine, kmeans_iters) if len(members) else Cc[ci : ci + 1]
-            # pad unfilled fine slots by aliasing the first fine
-            # centroid: padded slots never win a strict argmax (corpus
-            # side) and are masked -inf on the probe side, keeping the
-            # array rectangular for one fused matmul per coarse group.
-            Cf[ci, : len(fine)] = fine
-            Cf[ci, len(fine) :] = fine[0]
-            n_valid[ci] = len(fine)
+        def _fit(pts, k, iters):  # spherical k-means: cosine assignment
+            return _local_spherical_kmeans(pts, k, iters, rng)
+
+        if two_level:
+            import math
+
+            k_coarse = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(K))
+            k_fine = max(1, -(-n_centroids // k_coarse))  # ceil(K / Kc)
+            Cc = _fit(X, k_coarse, kmeans_iters)
+            k_coarse = len(Cc)
+            coarse_of = np.argmax(X @ Cc.T, axis=1)
+            Cf = np.zeros((k_coarse, k_fine, X.shape[1]), dtype=np.float64)
+            n_valid = np.ones(k_coarse, dtype=np.int64)
+            for ci in range(k_coarse):
+                members = X[coarse_of == ci]
+                fine = _fit(members, k_fine, kmeans_iters) if len(members) else Cc[ci : ci + 1]
+                # pad unfilled fine slots by aliasing the first fine
+                # centroid: padded slots never win a strict argmax (corpus
+                # side) and are masked -inf on the probe side, keeping the
+                # array rectangular for one fused matmul per coarse group.
+                Cf[ci, : len(fine)] = fine
+                Cf[ci, len(fine) :] = fine[0]
+                n_valid[ci] = len(fine)
+            fitted = (Cc, Cf, k_fine, n_valid)
+        else:
+            fitted = _fit(X, n_centroids, kmeans_iters)
+
+    if two_level:
+        Cc, Cf, k_fine, n_valid = fitted
         b_C = spark.sparkContext.broadcast((Cc, Cf, k_fine, n_valid))
 
         def _probe(v, nearest):  # -> (n, width>=nearest) distinct cell ids
@@ -351,8 +693,7 @@ def ann_ivf_knn(
             return np.take_along_axis(cells, top, axis=1)
 
     else:
-        C = _fit(X, n_centroids, kmeans_iters)
-        b_C = spark.sparkContext.broadcast(C)
+        b_C = spark.sparkContext.broadcast(fitted)
 
         def _probe(v, nearest):
             sims = v @ b_C.value.T
@@ -723,6 +1064,7 @@ def semdedup_prune(
     corpus_count: int | None = None,
     two_level: bool | None = None,
     eager: bool = False,
+    fit_mode: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public) — the LINEAR-at-scale path
     that queries/llm.py::semdedup_cell_prune's fixture-certified twin
@@ -780,28 +1122,6 @@ def semdedup_prune(
     spark = corpus.sparkSession
     n_corpus = corpus_count if corpus_count is not None else corpus.count()
     n_centroids = max(32, n_corpus // target_cell)
-    frac = min(1.0, 1.2 * max(sample_size, 2 * n_centroids) / max(n_corpus, 1))
-    sample = (
-        corpus.select(vec_col)
-        .sample(fraction=frac, seed=seed)
-        .limit(max(sample_size, 2 * n_centroids))
-        .collect()
-    )
-    X = np.array([r[0] for r in sample], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-
-    def _spherical_kmeans(pts, k, iters):
-        k = max(1, min(k, len(pts)))
-        cm = pts[rng.choice(len(pts), size=k, replace=False)].copy()
-        for _ in range(iters):
-            asg = np.argmax(pts @ cm.T, axis=1)
-            for j in range(k):
-                members = pts[asg == j]
-                if len(members):
-                    c = members.mean(axis=0)
-                    cm[j] = c / (np.linalg.norm(c) or 1.0)
-        return cm
 
     if two_level is None:
         # measured crossover (BASELINE.md r11): two-level already wins
@@ -810,25 +1130,60 @@ def semdedup_prune(
         # and skips one quantization stage (marginally better recall).
         two_level = n_centroids > 256
 
-    if two_level:
-        import math
+    if _use_distributed_fit(fit_mode, n_centroids):
+        # VERDICT r16 item 1: with K ∝ N the sampled fit's driver-side
+        # collect cap becomes the quantizer-quality wall past ~20k
+        # cells (N ≈ 10M rows at the default target_cell) — fit
+        # distributedly; only K×d centroid bytes reach the driver.
+        fitted = fit_centroids_distributed(
+            corpus,
+            n_centroids,
+            vec_col=vec_col,
+            kmeans_iters=kmeans_iters,
+            seed=seed,
+            corpus_count=n_corpus,
+            two_level=two_level,
+        )
+    else:
+        frac = min(1.0, 1.2 * max(sample_size, 2 * n_centroids) / max(n_corpus, 1))
+        sample = (
+            corpus.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .limit(max(sample_size, 2 * n_centroids))
+            .collect()
+        )
+        X = np.array([r[0] for r in sample], dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        rng = np.random.RandomState(seed)
 
-        k_coarse = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(K))
-        k_fine = max(1, -(-n_centroids // k_coarse))  # ceil(K / Kc)
-        Cc = _spherical_kmeans(X, k_coarse, kmeans_iters)
-        k_coarse = len(Cc)
-        coarse_of = np.argmax(X @ Cc.T, axis=1)
-        d = X.shape[1]
-        Cf = np.zeros((k_coarse, k_fine, d), dtype=np.float64)
-        for c in range(k_coarse):
-            members = X[coarse_of == c]
-            fine = _spherical_kmeans(members, k_fine, kmeans_iters) if len(members) else Cc[c : c + 1]
-            # pad unfilled fine slots by repeating the first fine
-            # centroid: padded slots ALIAS a valid cell, never win a
-            # strict argmax over distinct vectors, and keep the array
-            # rectangular for one fused matmul per coarse group.
-            Cf[c, : len(fine)] = fine
-            Cf[c, len(fine) :] = fine[0]
+        def _spherical_kmeans(pts, k, iters):
+            return _local_spherical_kmeans(pts, k, iters, rng)
+
+        if two_level:
+            import math
+
+            k_coarse = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(K))
+            k_fine = max(1, -(-n_centroids // k_coarse))  # ceil(K / Kc)
+            Cc = _spherical_kmeans(X, k_coarse, kmeans_iters)
+            k_coarse = len(Cc)
+            coarse_of = np.argmax(X @ Cc.T, axis=1)
+            d = X.shape[1]
+            Cf = np.zeros((k_coarse, k_fine, d), dtype=np.float64)
+            for c in range(k_coarse):
+                members = X[coarse_of == c]
+                fine = _spherical_kmeans(members, k_fine, kmeans_iters) if len(members) else Cc[c : c + 1]
+                # pad unfilled fine slots by repeating the first fine
+                # centroid: padded slots ALIAS a valid cell, never win a
+                # strict argmax over distinct vectors, and keep the array
+                # rectangular for one fused matmul per coarse group.
+                Cf[c, : len(fine)] = fine
+                Cf[c, len(fine) :] = fine[0]
+            fitted = (Cc, Cf, k_fine, None)
+        else:
+            fitted = _spherical_kmeans(X, n_centroids, kmeans_iters)
+
+    if two_level:
+        Cc, Cf, k_fine = fitted[0], fitted[1], fitted[2]
         b_C = spark.sparkContext.broadcast((Cc, Cf, k_fine))
 
         def _cells(v, payload):
@@ -841,8 +1196,7 @@ def semdedup_prune(
             return cells
 
     else:
-        C = _spherical_kmeans(X, n_centroids, kmeans_iters)
-        b_C = spark.sparkContext.broadcast(C)
+        b_C = spark.sparkContext.broadcast(fitted)
 
         def _cells(v, payload):
             return np.argmax(v @ payload.T, axis=1).astype(np.int32)

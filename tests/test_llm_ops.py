@@ -559,3 +559,123 @@ def test_ann_imi_operating_point_floor(spark):
     e.unpersist()
     recall = len(got & exact) / len(exact)
     assert recall >= 0.7, f"IMI recall at 250k/K=488/nprobe=128: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# fit_centroids_distributed — the distributed quantizer fit (VERDICT r16 #1):
+# removes the 500k driver-collect cap that starved K > ~20k cells of fit
+# quality. These tests pin the selection rule, the fit's cluster recovery on
+# structured data, and end-to-end parity of the fit_mode="distributed" path
+# through ann_ivf_knn and semdedup_prune.
+# ---------------------------------------------------------------------------
+
+
+def test_use_distributed_fit_selection():
+    """Explicit mode wins; auto flips exactly where 24 pts/cell exceeds
+    the 500k sampled-fit collect cap (K > ~20.8k)."""
+    assert S._use_distributed_fit("sample", 10**9) is False
+    assert S._use_distributed_fit("distributed", 2) is True
+    assert S._use_distributed_fit(None, 16) is False
+    assert S._use_distributed_fit(None, 20_833) is False  # 24*K = 499,992
+    assert S._use_distributed_fit(None, 20_834) is True   # 24*K = 500,016
+    with pytest.raises(ValueError):
+        S._use_distributed_fit("bogus", 16)
+
+
+def _clustered_corpus(spark, n_clusters=8, per_cluster=250, dim=16, noise=0.15, seed=7):
+    """Mixture-of-Gaussians corpus with KNOWN centers: cluster c's center
+    is a deterministic pseudo-random unit vector, members = center +
+    noise. Returns (df, centers ndarray)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, per_cluster, axis=0) + noise * rng.randn(
+        n_clusters * per_cluster, dim
+    )
+    pdf = __import__("pandas").DataFrame(
+        {
+            "vec_id": np.arange(len(X)),
+            "embedding": [[float(v) for v in r] for r in X],
+        }
+    )
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>"), centers
+
+
+def test_fit_centroids_distributed_recovers_clusters(spark):
+    """On a K-cluster mixture, the distributed Lloyd fit lands one unit
+    centroid near every true center (min best-cosine per centroid and
+    per-center coverage both bounded)."""
+    import numpy as np
+
+    df, centers = _clustered_corpus(spark)
+    C = S.fit_centroids_distributed(df, 8, kmeans_iters=5, seed=1, two_level=False)
+    assert C.shape == (8, centers.shape[1])
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    sims = C @ centers.T
+    # every fitted centroid sits inside some true cluster...
+    assert sims.max(axis=1).min() > 0.8
+    # ...and every true center is represented by some centroid
+    assert sims.max(axis=0).min() > 0.8
+
+
+def test_fit_centroids_distributed_two_level_shape_contract(spark):
+    """The two-level return drops into the existing broadcast layout:
+    (Cc, Cf, k_fine, n_valid), rectangular Cf with alias padding, all
+    rows unit-norm, ceil(sqrt(K)) coarse cells."""
+    import numpy as np
+
+    df, _ = _clustered_corpus(spark)
+    K = 9
+    Cc, Cf, k_fine, n_valid = S.fit_centroids_distributed(
+        df, K, kmeans_iters=4, seed=1, two_level=True
+    )
+    k_coarse = Cc.shape[0]
+    assert k_coarse == 3 and k_fine == 3  # ceil(sqrt(9)), ceil(9/3)
+    assert Cf.shape == (k_coarse, k_fine, Cc.shape[1])
+    assert n_valid.shape == (k_coarse,) and (n_valid >= 1).all() and (n_valid <= k_fine).all()
+    assert np.allclose(np.linalg.norm(Cc, axis=1), 1.0)
+    assert np.allclose(np.linalg.norm(Cf.reshape(-1, Cf.shape[2]), axis=1), 1.0)
+    for ci in range(k_coarse):
+        for fi in range(int(n_valid[ci]), k_fine):  # padded slots alias slot 0
+            assert np.array_equal(Cf[ci, fi], Cf[ci, 0])
+
+
+def test_ann_ivf_distributed_fit_recall_matches_sampled(spark):
+    """fit_mode='distributed' through the full ann_ivf_knn path: same
+    output contract, and recall vs exact within noise of the sampled
+    fit on a clustered corpus (both quantizers recover the mixture)."""
+    df, _ = _clustered_corpus(spark)
+    q = df.filter(F.col("vec_id") % 250 < 2)  # 16 queries, 2 per cluster
+    exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, df, k=5).collect()}
+
+    def recall(mode):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ann_ivf_knn(
+                q, df, k=5, n_centroids=8, nprobe=2, corpus_count=2000,
+                two_level=False, fit_mode=mode,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_sample, r_dist = recall("sample"), recall("distributed")
+    assert r_dist >= 0.85, f"distributed-fit recall {r_dist}"
+    assert r_dist >= r_sample - 0.1, f"distributed {r_dist} vs sampled {r_sample}"
+
+
+def test_semdedup_prune_distributed_fit_planted_recall(spark):
+    """semdedup_prune with the distributed fit keeps the partition
+    property and the planted-duplicate recall bar of the sampled path."""
+    n_base, n_dups = 400, 40
+    corpus = _planted_corpus(spark, n_base, n_dups)
+    out = S.semdedup_prune(
+        corpus, threshold=0.95, target_cell=64, fit_mode="distributed"
+    ).toPandas()
+    assert len(out) == n_base + n_dups
+    assert out["vec_id"].is_unique
+    dup_rows = out[out["vec_id"] >= n_base]
+    assert int(dup_rows["pruned"].sum()) >= 0.9 * n_dups
+    originals = out[out["vec_id"] < n_dups]
+    assert int(originals["pruned"].sum()) == 0
