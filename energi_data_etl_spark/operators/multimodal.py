@@ -23,7 +23,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["attach_payload", "PAYLOAD_META_SCHEMA", "decode_features", "frame_sample", "resize_stub"]
+__all__ = [
+    "attach_payload",
+    "PAYLOAD_META_SCHEMA",
+    "decode_features",
+    "frame_sample",
+    "resize_stub",
+    "has_image_codec",
+]
 
 #: Typed metadata carried next to every binary payload.
 PAYLOAD_META_SCHEMA = T.StructType(
@@ -53,6 +60,53 @@ def attach_payload(df: DataFrame, source_col: str = "text", media_type: str = "a
 FEATURES_SCHEMA = "doc_id long, n_bytes long, mean_byte double, feature_dim int, features array<float>"
 
 
+def has_image_codec() -> bool:
+    """True when a real image codec (PIL/Pillow) is importable — the
+    capability gate for decode-kernel selection (VERDICT r16 item 4).
+    Checked lazily so a cluster that ships Pillow gets real features
+    with zero code change, while this container's stub path stays the
+    certified default."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_real(payload: bytes, dim: int) -> list[float]:
+    """Real decode kernel, selected when Pillow is importable: decode
+    the payload as an image, grayscale, nearest-resize to a dim×1 strip,
+    emit the normalized pixel row. Non-image payloads (the fixtures
+    carry text bytes) fall back PER PAYLOAD to the deterministic stub —
+    a mixed corpus degrades row-by-row instead of aborting the batch."""
+    import io
+
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            strip = img.convert("L").resize((dim, 1), PIL.Image.NEAREST)
+            return [float(p) / 255.0 for p in strip.getdata()]
+    except Exception:  # noqa: BLE001 — undecodable bytes: not an image
+        return _decode_stub(payload, dim)
+
+
+def _select_decode_kernel(kernel: str | None):
+    """'stub' | 'real' | None (auto: real iff the codec is importable).
+    The @query surface pins 'stub' — the certified deterministic path —
+    so oracle replays cannot diverge on a codec-bearing cluster."""
+    if kernel is None:
+        kernel = "real" if has_image_codec() else "stub"
+    if kernel == "stub":
+        return _decode_stub
+    if kernel == "real":
+        if not has_image_codec():
+            raise ImportError("decode kernel 'real' requires Pillow (PIL.Image)")
+        return _decode_real
+    raise ValueError(f"kernel must be 'stub' | 'real' | None, got {kernel!r}")
+
+
 def _decode_stub(payload: bytes, dim: int) -> list[float]:
     """STUB decode kernel — deterministic fake 'pixel features'.
 
@@ -67,13 +121,20 @@ def _decode_stub(payload: bytes, dim: int) -> list[float]:
     return [float(payload[min(i * step, len(payload) - 1)]) / 255.0 for i in range(dim)]
 
 
-def decode_features(df: DataFrame, dim: int = 8) -> DataFrame:
+def decode_features(df: DataFrame, dim: int = 8, kernel: str | None = None) -> DataFrame:
     """Arrow-batched decode → feature vectors via mapInPandas.
 
     Each pandas batch decodes payloads vectorized-ish in Python; at
     scale this parallelizes per input partition with zero shuffle.
-    """
+
+    ``kernel``: 'stub' (deterministic fake — the certified path),
+    'real' (Pillow decode, per-payload stub fallback for non-image
+    bytes), or None to auto-select 'real' whenever Pillow is
+    importable. The kernel is RESOLVED on the driver so a misconfigured
+    cluster fails at plan build, not per-task."""
     import pandas as pd  # local import: executors need it, driver import cheap
+
+    decode = _select_decode_kernel(kernel)
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -84,7 +145,7 @@ def decode_features(df: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": payloads.map(len),
                     "mean_byte": payloads.map(lambda b: float(sum(b)) / len(b) if len(b) else 0.0),
                     "feature_dim": dim,
-                    "features": payloads.map(lambda b: _decode_stub(b, dim)),
+                    "features": payloads.map(lambda b: decode(b, dim)),
                 }
             )
 

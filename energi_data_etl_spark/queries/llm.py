@@ -939,7 +939,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd multiple of 5e-5 (20000k even vs 255(2j+1) odd), and the nearest
     boundary is ≥1.9e-7 away while float32 error here is <6e-8."""
     d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
-    feats = M.decode_features(M.attach_payload(d))
+    # kernel pinned to the certified deterministic stub: on a cluster
+    # that ships Pillow, auto-selection would swap in the real decoder
+    # and break the byte-replay oracle (r17 capability gate).
+    feats = M.decode_features(M.attach_payload(d), kernel="stub")
     return feats.select(
         "doc_id",
         "n_bytes",

@@ -167,6 +167,59 @@ def test_decode_features_schema_and_determinism(spark, sf_dir):
         assert rows[k].features == rows2[k].features
 
 
+def test_decode_kernel_capability_selection(monkeypatch):
+    """The r17 capability gate (VERDICT r16 item 4): auto-selection
+    resolves to the real Pillow kernel iff PIL.Image imports, the stub
+    otherwise; explicit pins always win; asking for 'real' without the
+    codec fails at plan build. Exercised by planting a fake PIL in
+    sys.modules — no codec ships in this container."""
+    import sys
+    import types
+
+    # this container has no Pillow: auto must resolve to the stub
+    assert M.has_image_codec() is False
+    assert M._select_decode_kernel(None) is M._decode_stub
+    assert M._select_decode_kernel("stub") is M._decode_stub
+    with pytest.raises(ImportError):
+        M._select_decode_kernel("real")
+    with pytest.raises(ValueError):
+        M._select_decode_kernel("jpeg")
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image = types.ModuleType("PIL.Image")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+    assert M.has_image_codec() is True
+    assert M._select_decode_kernel(None) is M._decode_real
+    assert M._select_decode_kernel("real") is M._decode_real
+    # explicit stub pin (the @query surface) survives a codec-bearing env
+    assert M._select_decode_kernel("stub") is M._decode_stub
+
+
+def test_decode_real_falls_back_per_payload(monkeypatch):
+    """Non-image bytes through the real kernel degrade row-by-row to
+    the deterministic stub instead of aborting the batch (mixed-corpus
+    contract). Faked PIL: open() raises the way Pillow does on
+    undecodable bytes."""
+    import sys
+    import types
+
+    fake_image = types.ModuleType("PIL.Image")
+
+    def _open(_buf):
+        raise OSError("cannot identify image file")
+
+    fake_image.open = _open
+    fake_image.NEAREST = 0
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+    payload = b"definitely not a JPEG"
+    assert M._decode_real(payload, 8) == M._decode_stub(payload, 8)
+
+
 def test_frame_sample_plumbing(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir).limit(5)
     framed = M.frame_sample(M.attach_payload(d), n_frames=4, frame_bytes=16)
