@@ -586,6 +586,110 @@ def probe_state_decomp(spark, docs_small: int, docs_big: int,
     return out
 
 
+def _embedding_corpus(spark, n_vec: int, clustered: bool = False,
+                      n_clusters: int = 1000, noise: float = 0.15):
+    """Persisted synthetic embedding frame. ``clustered=False`` is the
+    worst-case i.i.d. generator every prior ANN probe used (recall
+    floors). ``clustered=True`` plants a mixture: cluster c = id mod
+    n_clusters, center components from xxhash64(c, j), member = center
+    + noise·xxhash64(id, j) — the operating-curve shape real embedding
+    corpora have (VERDICT r16 item 5). All JVM-side, deterministic."""
+    d = scratch_dir("ann_corpus_")
+    if clustered:
+        emb = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                (F.xxhash64(F.pmod(F.col("id"), F.lit(n_clusters)), i) % 2001) / 1000.0
+                + F.lit(noise) * ((F.xxhash64("id", i, F.lit(31)) % 2001) / 1000.0)
+            ).cast("float"),
+        )
+    else:
+        emb = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.xxhash64("id", i) % 2001) / 1000.0).cast("float"),
+        )
+    (
+        spark.range(n_vec)
+        .repartition(64)
+        .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+        .write.mode("overwrite")
+        .parquet(f"{d}/embeddings.parquet")
+    )
+    e = spark.read.parquet(f"{d}/embeddings.parquet").persist()
+    e.count()
+    return e
+
+
+def probe_fit_compare(spark, n_vec: int, target_cell: int, nprobe: int,
+                      n_queries: int, clustered: bool, n_clusters: int,
+                      noise: float = 0.15) -> dict:
+    """VERDICT r16 item 1 'done' gate: at corpus-scaled K past the
+    sampled fit's 500k collect cap, measure recall@5 + wall time for
+    fit_mode='sample' (starved pts/cell) vs 'distributed' (24/cell,
+    uncapped) through the full ann_ivf_knn two-level path."""
+    from energi_data_etl_spark.operators import similarity as S
+
+    e = _embedding_corpus(spark, n_vec, clustered, n_clusters, noise)
+    q = e.filter(F.col("vec_id") < n_queries)
+    k_centroids = max(32, n_vec // target_cell)
+    sampled_pts_per_cell = round(min(500_000, n_vec) / k_centroids, 1)
+    exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
+    out: dict[str, dict] = {}
+    for mode in ("sample", "distributed"):
+        t0 = time.time()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ann_ivf_knn(
+                q, e, k=5, n_centroids=k_centroids, nprobe=nprobe,
+                corpus_count=n_vec, two_level=True, fit_mode=mode,
+            ).collect()
+        }
+        sec = round(time.time() - t0, 2)
+        recall = round(len(got & exact) / max(len(exact), 1), 3)
+        out[mode] = {"sec": sec, "recall": recall}
+        print(f"[fit {mode}] K={k_centroids} nprobe={nprobe} {sec}s recall {recall}",
+              flush=True)
+    e.unpersist()
+    return {"n_vec": n_vec, "k_centroids": k_centroids, "nprobe": nprobe,
+            "clustered": clustered, "noise": noise, "n_queries": n_queries,
+            "sampled_pts_per_cell": sampled_pts_per_cell, "modes": out}
+
+
+def probe_heavy_hitters(spark, ev_small: int, ev_big: int) -> dict:
+    """VERDICT r16 item 3 (streaming-tier 10× screen): drain the
+    SpaceSaving heavy-hitters stateful op at volume under both state
+    providers. State must be FLAT (k counters × |keys| rows, period) —
+    that is the operator's whole claim vs groupBy(item).count()."""
+    from energi_data_etl_spark.queries.streaming import _chunked_file_stream
+    from energi_data_etl_spark.sources.tables import load_table
+    from energi_data_etl_spark.streaming.ops import heavy_hitters_stream
+
+    tmp = scratch_dir("hh_probe_")
+    out: dict = {}
+    for label, n_ev in (("small", ev_small), ("big", ev_big)):
+        d = f"{tmp}/ev_{label}"
+        gen_tables(spark, n_ev, d, {"events"})
+        ev = load_table(spark, "events", d).select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") / 10).cast("long").alias("bkt"),
+        )
+        parts = [
+            ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= hi))
+            for lo, hi in [(1, 10), (11, 20), (21, 31)]
+        ]
+        stream = _chunked_file_stream(spark, parts, f"{tmp}/hh_{label}")
+        row: dict = {"n_events": n_ev}
+        for provider in ("heap", "rocksdb"):
+            with _with_provider(spark, provider):
+                row[provider] = _drain_with_state_metrics(
+                    heavy_hitters_stream(stream, key="event_type", item_col="bkt", k=8)
+                )
+            print(f"[heavy_hitters {label}] {provider}: {row[provider]}", flush=True)
+        out[label] = row
+    return out
+
+
 def probe_ann_ivf(spark, n_vec: int, target_cell: int, nprobe: int, n_queries: int) -> dict:
     """VERDICT r13 item 7: at 100 TB the IVF codebook scales K ∝ N, and
     single-level assignment is N·K·d flops — the same wall semdedup hit
@@ -638,7 +742,9 @@ def probe_ann_ivf(spark, n_vec: int, target_cell: int, nprobe: int, n_queries: i
             "n_queries": n_queries, "modes": out}
 
 
-def probe_ann_sweep(spark, n_vec: int, target_cell: int, nprobes: list[int], n_queries: int) -> dict:
+def probe_ann_sweep(spark, n_vec: int, target_cell: int, nprobes: list[int], n_queries: int,
+                    clustered: bool = False, n_clusters: int = 1000,
+                    noise: float = 0.15) -> dict:
     """VERDICT r14 #6: the IMI operating curve — corpus recall@k vs
     nprobe at corpus-scaled K, so a deployer can pick an operating
     point (the r05 IVF envelope, redone for the two-level quantizer).
@@ -648,22 +754,7 @@ def probe_ann_sweep(spark, n_vec: int, target_cell: int, nprobes: list[int], n_q
     cost is dominated by assignment, which is the thing being dialed)."""
     from energi_data_etl_spark.operators import similarity as S
 
-    d = scratch_dir("ann_sweep_")
-    (
-        spark.range(n_vec)
-        .repartition(64)
-        .select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda i: ((F.xxhash64("id", i) % 2001) / 1000.0).cast("float"),
-            ).alias("embedding"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{d}/embeddings.parquet")
-    )
-    e = spark.read.parquet(f"{d}/embeddings.parquet").persist()
-    e.count()
+    e = _embedding_corpus(spark, n_vec, clustered, n_clusters, noise)
     q = e.filter(F.col("vec_id") < n_queries)
     k_centroids = max(32, n_vec // target_cell)
     exact = {(r.query_id, r.neighbor_id) for r in S.exact_knn(q, e, k=5).collect()}
@@ -683,7 +774,7 @@ def probe_ann_sweep(spark, n_vec: int, target_cell: int, nprobes: list[int], n_q
         print(f"[sweep] K={k_centroids} nprobe={nprobe} {sec}s recall {recall}", flush=True)
     e.unpersist()
     return {"n_vec": n_vec, "k_centroids": k_centroids, "n_queries": n_queries,
-            "mode": "two_level", "curve": curve}
+            "mode": "two_level", "clustered": clustered, "noise": noise, "curve": curve}
 
 
 def main() -> int:
@@ -693,6 +784,17 @@ def main() -> int:
                     help="probe ann_ivf_knn single- vs two-level quantizer at corpus-scaled K")
     ap.add_argument("--ann-sweep", action="store_true",
                     help="IMI recall-vs-nprobe operating curve at corpus-scaled K")
+    ap.add_argument("--fit-compare", action="store_true",
+                    help="sampled vs distributed quantizer fit: recall + time at K past the 500k cap")
+    ap.add_argument("--heavy-hitters", action="store_true",
+                    help="drain the SpaceSaving stateful op at volume (heap vs RocksDB)")
+    ap.add_argument("--clustered", action="store_true",
+                    help="use the mixture-of-Gaussians corpus for --fit-compare/--ann-sweep")
+    ap.add_argument("--n-clusters", type=int, default=1000,
+                    help="mixture components for --clustered")
+    ap.add_argument("--noise", type=float, default=0.15,
+                    help="per-member noise scale for --clustered (0.15 = tight "
+                         "clusters/recall ~1.0; ~0.5 = partial overlap)")
     ap.add_argument("--nprobes", default="8,16,32,64",
                     help="comma-separated nprobe values for --ann-sweep")
     ap.add_argument("--api-epochs", action="store_true",
@@ -730,7 +832,14 @@ def main() -> int:
         result = probe_ann_ivf(spark, args.vecs, args.target_cell, args.nprobe, args.nq)
     elif args.ann_sweep:
         nprobes = [int(x) for x in args.nprobes.split(",")]
-        result = probe_ann_sweep(spark, args.vecs, args.target_cell, nprobes, args.nq)
+        result = probe_ann_sweep(spark, args.vecs, args.target_cell, nprobes, args.nq,
+                                 clustered=args.clustered, n_clusters=args.n_clusters,
+                                 noise=args.noise)
+    elif args.fit_compare:
+        result = probe_fit_compare(spark, args.vecs, args.target_cell, args.nprobe,
+                                   args.nq, args.clustered, args.n_clusters, args.noise)
+    elif args.heavy_hitters:
+        result = probe_heavy_hitters(spark, args.small, args.big)
     elif args.api_epochs:
         result = probe_api_epochs(spark, args.days)
     elif args.session_drain:
