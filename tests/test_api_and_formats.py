@@ -443,3 +443,148 @@ def test_python_datasource_days_per_epoch_bounds_and_resumes(spark, tmp_path):
     assert drain() == 4  # caught up: re-reads nothing
     rows = spark.read.parquet(str(tmp_path / "out")).orderBy("date").collect()
     assert [r.SEK_per_kWh for r in rows] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_failed_write_job_is_invisible_to_manifest_reads(spark, tmp_path):
+    """T7 under FAILURE, end-to-end: a write job that dies from a real
+    executor-side exception mid-plan — after other tasks have already
+    produced their documents — must leave committed state EXACTLY as
+    before: manifest byte-identical, read-back value-identical. The
+    protocol test above drives commit/abort directly; this one lets
+    Spark fail the job for real and asserts the reader-visible
+    invariant the manifest-first design exists for. At cluster scale
+    this is the task-retry/speculation argument: failed or duplicate
+    attempts only ever ADD orphan files; publication is solely the
+    driver's commit() over successful attempts' messages — so any
+    retry storm is read-invisible until a job completes.
+    """
+    import json
+    import os
+
+    from energi_data_etl_spark.sources.api_datasource import EnergiPricesDataSource
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    uplink = str(tmp_path / "uplink")
+
+    good = spark.range(0, 400, 1, 4).selectExpr("id", "id * 2 AS v")
+    good.write.format("energi_prices").option("uplink_dir", uplink).mode("append").save()
+    manifest_path = os.path.join(uplink, "manifest.json")
+    before_bytes = open(manifest_path, "rb").read()
+    before_rows = sorted(
+        (r.id, r.v)
+        for r in spark.read.schema("id long, v long")
+        .json(json.loads(before_bytes)["files"])
+        .collect()
+    )
+    assert len(before_rows) == 400
+
+    def _poison(s):
+        if (s == 10_777).any():
+            raise RuntimeError("injected mid-write task failure")
+        return s
+
+    # explicit call form: the file's `from __future__ import annotations`
+    # stringifies hints, which the decorator's eval-type inference rejects
+    poison = F.pandas_udf(_poison, "long", F.PandasUDFType.SCALAR)
+
+    # distinct value range (10k+) so any leak into read-back is visible;
+    # only the partition holding 10_777 dies — the others' write() tasks
+    # complete and return commit messages that commit() never publishes
+    bad = spark.range(10_000, 10_800, 1, 4).select(poison(F.col("id")).alias("id")).selectExpr(
+        "id", "id * 2 AS v"
+    )
+    with pytest.raises(Exception, match="injected mid-write task failure"):
+        bad.write.format("energi_prices").option("uplink_dir", uplink).mode("append").save()
+
+    assert open(manifest_path, "rb").read() == before_bytes  # nothing published
+    after = sorted(
+        (r.id, r.v)
+        for r in spark.read.schema("id long, v long")
+        .json(json.loads(open(manifest_path, "rb").read())["files"])
+        .collect()
+    )
+    assert after == before_rows  # reader-visible state unchanged
+    # the failed job may leave orphan documents on disk — every one must
+    # be OUTSIDE the manifest (invisible), never half-referenced
+    manifest_files = set(json.loads(before_bytes)["files"])
+    on_disk = {
+        os.path.join(uplink, f) for f in os.listdir(uplink) if f.startswith("doc-")
+    }
+    assert manifest_files <= on_disk
+
+
+def test_stream_writer_failed_epoch_retries_exactly_once(spark, tmp_path):
+    """T7's retry story end-to-end with a REAL failure and a REAL
+    checkpoint restart: epoch 1 dies executor-side mid-write on the
+    first run (sentinel-gated poison), the query fails with epoch 0
+    already committed; clearing the sentinel and restarting the SAME
+    checkpoint re-runs the failed epoch and drains to completion. The
+    epoch manifest must then hold every source row exactly once —
+    the failed attempt's documents stay orphaned, the retried epoch's
+    entry is fresh, nothing double-counts. This is the claim the
+    protocol test simulates with a forced double-commit, here driven
+    by the actual engine recovery path."""
+    import glob
+    import json
+    import os
+
+    from energi_data_etl_spark.sources.api_datasource import EnergiPricesDataSource
+
+    spark.dataSource.register(EnergiPricesDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    # three single-file chunks -> three epochs under maxFilesPerTrigger=1
+    for c in range(3):
+        spark.range(c * 100, (c + 1) * 100, 1, 1).selectExpr(
+            "id", "id * 3 AS v"
+        ).coalesce(1).write.parquet(str(src / f"chunk{c}"))
+    sentinel = str(tmp_path / "poison_armed")
+    open(sentinel, "w").close()
+
+    def _poison(s):
+        if (s == 155).any() and os.path.exists(sentinel):
+            raise RuntimeError("injected epoch failure")
+        return s
+
+    poison = F.pandas_udf(_poison, "long", F.PandasUDFType.SCALAR)
+    uplink = str(tmp_path / "uplink")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "chunk*"))
+            .select(poison(F.col("id")).alias("id"), "v")
+        )
+        q = (
+            stream.writeStream.format("energi_prices")
+            .option("uplink_dir", uplink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    with pytest.raises(Exception, match="injected epoch failure"):
+        drain()
+    manifest = os.path.join(uplink, "stream_manifest.json")
+    mid = json.load(open(manifest, encoding="utf-8"))["epochs"]
+    assert all(int(e) < 3 for e in mid)  # only pre-failure epochs committed
+    committed_mid = {f for e in mid.values() for f in e["files"]}
+
+    os.remove(sentinel)  # disarm: the retried epoch now succeeds
+    drain()
+
+    final = json.load(open(manifest, encoding="utf-8"))["epochs"]
+    assert sum(e["n_rows"] for e in final.values()) == 300
+    files = [f for e in final.values() for f in e["files"]]
+    assert all(os.path.exists(f) for f in files)
+    back = spark.read.schema("id long, v long").json(files)
+    ids = [r.id for r in back.collect()]
+    assert sorted(ids) == list(range(300))  # every row exactly once
+    assert {r.v for r in back.collect()} == {i * 3 for i in range(300)}
+    # epoch 0's pre-failure entry survived the restart untouched, and
+    # any leftover docs outside the final manifest are pure orphans
+    assert committed_mid <= set(files)
+    orphans = set(glob.glob(os.path.join(uplink, "epochdoc-*.jsonl"))) - set(files)
+    assert not (orphans & committed_mid)
