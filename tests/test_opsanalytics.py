@@ -537,3 +537,32 @@ def test_shortest_path_bounded_edge_build_on_large_graph(spark, tmp_path):
     want = con.execute(q.oracle).df()
     r = compare_frames("shortest_path_large_graph", got, want)
     assert r.ok, r.detail
+
+
+def test_triangle_census_exact_on_planted_graph(spark, tmp_path):
+    """graph_triangle_census on a hand-computed graph: order 1 is the
+    clique K5 on parts {1..5} (10 triangles), order 3 overlays K4 on
+    {3,4,5,6} (adds vertex 6 → 3 new triangles, 3 new edges; {3,4,5}
+    must NOT double-count), order 2 is a bare edge {10,11}. Duplicate
+    lineitem rows and the pair repeated across orders exercise both
+    dedup layers. Expected: 14 edges; wedges Σ C(d,2) = 2·C(4,2) +
+    3·C(5,2) + C(3,2) = 45; 13 triangles; clustering_ppm =
+    ⌊3·13·10⁶/45⌋ = 866666 via the staged-div form."""
+    from energi_data_etl_spark.queries.opsanalytics import graph_triangle_census
+
+    rows = []
+    for ok, parts in [(1, [1, 2, 3, 4, 5]), (2, [10, 11]), (3, [3, 4, 5, 6])]:
+        rows += [(ok, p) for p in parts]
+    # (1,3) duplicates an order-1 item; order 4 repeats the {3,4,5}
+    # clique wholesale — every edge it implies already exists, so the
+    # census must not change at all
+    rows += [(1, 3), (4, 3), (4, 4), (4, 5)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = graph_triangle_census(spark, str(tmp_path)).collect()[0]
+    assert (got.n_edges, got.n_wedges, got.n_triangles, got.clustering_ppm) == (
+        14,
+        45,
+        13,
+        866666,
+    )
