@@ -1845,6 +1845,83 @@ def shortest_path_layered_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """(edges, deg, directed, adj) of the part co-purchase graph —
+    the shared skeleton of the triangle queries. edges: distinct
+    undirected (p1 < p2) pairs co-occurring in an order (bounded-clique
+    build: one groupBy(orderkey), in-place JVM pair expansion). deg:
+    undirected degrees. directed: every edge oriented from its
+    lower-(degree, id) endpoint — out-degrees O(√E) under any skew.
+    adj: sorted out-neighbor lists. All four localCheckpointed (each is
+    consumed by 2+ downstream frames in every caller)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    order_sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ps") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ps") - 1),
+                lambda j: F.struct(
+                    F.get("ps", i).alias("p1"), F.get("ps", j).alias("p2")
+                ),
+            ),
+        )
+    )
+    edges = (
+        order_sets.select(F.explode(pair_structs).alias("e"))
+        .select("e.p1", "e.p2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    directed = (
+        edges.join(deg.select(F.col("v").alias("p1"), F.col("d").alias("d1")), "p1")
+        .join(deg.select(F.col("v").alias("p2"), F.col("d").alias("d2")), "p2")
+        .select(
+            F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    adj = directed.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    return edges, deg, directed, adj
+
+
+def _edge_intersections(directed, adj):
+    """Per directed edge (src, dst): the sorted set ws = N⁺(src) ∩
+    N⁺(dst) — each w ∈ ws closes the triangle {src, dst, w} exactly
+    once (src is its lowest-rank corner)."""
+    return (
+        directed.join(
+            adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u"),
+        )
+        .join(
+            adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("w"),
+            "left",
+        )
+        .select(
+            "src",
+            "dst",
+            F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), F.array())).alias("ws"),
+        )
+    )
+
+
 @query(
     "graph_triangle_census",
     tier="EXT graph (exact triangle count + global clustering, degree-oriented edge iterator)",
@@ -1899,59 +1976,10 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 2⁶³ while T < 9.2e12 (r11 three-factor-overflow rule).
     All-BIGINT output on both engines.
     """
-    li = load_table(spark, "lineitem", sf_dir)
-    order_sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .filter(F.size("ps") > 1)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ps") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ps") - 1),
-                lambda j: F.struct(
-                    F.get("ps", i).alias("p1"), F.get("ps", j).alias("p2")
-                ),
-            ),
-        )
-    )
-    edges = (
-        order_sets.select(F.explode(pair_structs).alias("e"))
-        .select("e.p1", "e.p2")
-        .distinct()
-        .localCheckpoint(eager=False)  # consumed by count, degrees, orientation
-    )
-    deg = (
-        edges.select(F.col("p1").alias("v"))
-        .unionAll(edges.select(F.col("p2").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)  # consumed by wedge sum + two orientation joins
-    )
-    lower_first = (F.col("d1") < F.col("d2")) | (
-        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
-    )
-    directed = (
-        edges.join(deg.select(F.col("v").alias("p1"), F.col("d").alias("d1")), "p1")
-        .join(deg.select(F.col("v").alias("p2"), F.col("d").alias("d2")), "p2")
-        .select(
-            F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
-            F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-        )
-        .localCheckpoint(eager=False)  # consumed by adjacency build + edge iterate
-    )
-    adj = directed.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    edges, deg, directed, adj = _copurchase_graph(spark, sf_dir)
     tri = (
-        directed.join(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
-                      F.col("src") == F.col("u"))
-        .join(adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nv")),
-              F.col("dst") == F.col("w"), "left")
-        .select(
-            F.size(
-                F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), F.array()))
-            ).alias("c")
-        )
+        _edge_intersections(directed, adj)
+        .select(F.size("ws").alias("c"))
         .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -1966,4 +1994,85 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + ((n_triangles * 1000000L % n_wedges) * 3) div n_wedges"
             ).cast("long"),
         )
+    )
+
+
+@query(
+    "graph_local_clustering_topk",
+    tier="EXT graph (per-vertex triangle participation + local clustering, top-5 corners)",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS p1,
+                            GREATEST(a.l_partkey, b.l_partkey) AS p2
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT p1 AS v FROM pairs UNION ALL SELECT p2 AS v FROM pairs
+            ) GROUP BY v
+        ), tris AS (
+            SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c FROM pairs e1
+            JOIN pairs e2 ON e2.p1 = e1.p2
+            JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        ), corners AS (
+            SELECT a AS v FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ), tv AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY v
+        )
+        SELECT tv.v AS part_key,
+               CAST(deg.d AS BIGINT) AS degree,
+               tv.n_triangles,
+               CAST(tv.n_triangles * 1000000 // (deg.d * (deg.d - 1) // 2)
+                    AS BIGINT) AS local_ppm
+        FROM tv JOIN deg ON deg.v = tv.v
+        ORDER BY tv.n_triangles DESC, tv.v
+        LIMIT 5
+    """,
+)
+def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation over the same co-purchase
+    graph: the five parts sitting in the most triangles, with their
+    degree and LOCAL clustering coefficient (triangles ÷ C(d,2), ppm,
+    exact integer div — a triangle corner always has d ≥ 2, so the
+    denominator is never zero). Corner counts fall out of the oriented
+    edge iterator at no extra shuffle cost: each directed edge's
+    intersection set ws closes |ws| triangles whose corners are src,
+    dst, and every w ∈ ws — one union of three projections of the SAME
+    intersection frame (localCheckpointed: computed once), then a
+    single groupBy(vertex). At 100 TB the top-k is a partial-aggregated
+    count + a 5-row ordered take, never a global sort of all vertices;
+    the deterministic (n_triangles DESC, part_key) tie-break keeps
+    LIMIT stable on both engines. Oracle replays corners from the
+    3-way-join triangle list (certification twin)."""
+    _edges, deg, directed, adj = _copurchase_graph(spark, sf_dir)
+    inter = _edge_intersections(directed, adj).localCheckpoint(eager=False)
+    corners = (
+        inter.select(F.col("src").alias("v"), F.size("ws").alias("c"))
+        .unionAll(inter.select(F.col("dst").alias("v"), F.size("ws").alias("c")))
+        .unionAll(inter.select(F.explode("ws").alias("v"), F.lit(1).alias("c")))
+    )
+    # drop the c=0 rows that zero-intersection edges contribute for their
+    # endpoints: tv must hold triangle CORNERS only (as the oracle's
+    # triangle-list replay does) — a degree-1 endpoint would otherwise
+    # reach the local_ppm division with C(d,2) = 0
+    tv = (
+        corners.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
+    )
+    return (
+        tv.join(deg, "v")
+        .select(
+            F.col("v").alias("part_key"),
+            F.col("d").cast("long").alias("degree"),
+            "n_triangles",
+            F.expr("(n_triangles * 1000000L) div (d * (d - 1L) div 2)")
+            .cast("long")
+            .alias("local_ppm"),
+        )
+        .orderBy(F.desc("n_triangles"), "part_key")
+        .limit(5)
     )

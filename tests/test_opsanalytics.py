@@ -566,3 +566,21 @@ def test_triangle_census_exact_on_planted_graph(spark, tmp_path):
         13,
         866666,
     )
+
+    # per-corner counts on the same graph: K5 members sit in C(4,2)=6
+    # triangles each; {3,4,5} gain 2 more from vertex 6's K4 overlay
+    # (v6 itself: 3). Top-5 by (triangles DESC, id): 3,4,5 then 1,2.
+    # local_ppm: 8e6 // C(5,2) = 800000 and 6e6 // C(4,2) = 1000000.
+    from energi_data_etl_spark.queries.opsanalytics import graph_local_clustering_topk
+
+    top = [
+        (r.part_key, r.degree, r.n_triangles, r.local_ppm)
+        for r in graph_local_clustering_topk(spark, str(tmp_path)).collect()
+    ]
+    assert top == [
+        (3, 5, 8, 800000),
+        (4, 5, 8, 800000),
+        (5, 5, 8, 800000),
+        (1, 4, 6, 1000000),
+        (2, 4, 6, 1000000),
+    ]
