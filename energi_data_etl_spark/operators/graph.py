@@ -120,6 +120,12 @@ def pagerank(
         e.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .repartition(sc_parallelism, "src")
+        # cache SORTED on the join key: the per-iteration sort-merge join
+        # then satisfies its ordering requirement from the cached layout
+        # instead of re-sorting |E| rows every round (r17 opt, guide §2.4 —
+        # "two operations keyed the same way share one exchange"; the sort
+        # is likewise paid once)
+        .sortWithinPartitions("src")
         .persist()
     )
     nodes = (

@@ -134,6 +134,10 @@ RECERT: dict[str, int] = {
     # in CORRECTNESS_r16 and removed per the policy note above. Add
     # name -> missed-round whenever a certified query's PLAN is rewritten
     # after its last green row.
+    # r17 optimization-round plan rewrites (value-identical, verified vs
+    # oracle at sf0.01+sf0.1 in-session; listed here so the next driver
+    # window re-certifies them):
+    "pagerank_integer_twin": 17,
 }
 
 

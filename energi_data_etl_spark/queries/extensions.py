@@ -169,9 +169,17 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("l_suppkey") * 2).alias("s"), (F.col("l_partkey") * 2 + 1).alias("p"))
         .distinct()
     )
-    edges = supply.select(F.col("s").alias("src"), F.col("p").alias("dst")).union(
-        supply.select(F.col("p").alias("src"), F.col("s").alias("dst"))
-    )
+    # both directions via ONE explode pass — the union form duplicated the
+    # whole repartition+distinct subtree into each branch (r17 opt, guide
+    # §2.4: the persisted edge frame's one-time materialization halves)
+    edges = supply.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # undirected-by-construction: every node appears as a src, so no
     # dangling-mass branch is needed; supply is already distinct and the
     # two directions cannot collide (even vs odd ids), so the operator's

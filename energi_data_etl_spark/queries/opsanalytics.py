@@ -1423,13 +1423,25 @@ def pagerank_integer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are |V| rows, edges shuffled once into `ed`.
     """
     li = load_table(spark, "lineitem", sf_dir)
+    # r17 opt (guide §2.3/§2.4): the iterations used to join on "S123"/
+    # "P456" STRING ids and re-join the raw edge list every round (an |E|
+    # shuffle per iteration). Now: integer node encoding (2s / 2p+1 —
+    # injective, the float twin's scheme) so join keys are bigints, outdeg
+    # pre-attached to the edges ONCE and the weighted edge frame
+    # hash-partitioned+sorted on the join key ONCE — each iteration
+    # shuffles only the |V|-row rank frame. The rank algebra is untouched
+    # (per-edge `rank div outdeg` is computed from the same integers, and
+    # integer sums are order-independent), so every rank_fp is identical;
+    # the string ids are rebuilt only for the final 20-row projection,
+    # which also keeps the (rank DESC, node) tie-break order identical.
+    sc_parallelism = spark.sparkContext.defaultParallelism
     ed = (
         li.select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("a"),
-            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("b"),
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("l_partkey") * 2 + 1).alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # feeds nodes, deg, and every iteration's join
+        .localCheckpoint(eager=False)  # feeds nodes, deg, and the edge-weight build
     )
     nodes = (
         ed.select(F.col("a").alias("id"))
@@ -1439,6 +1451,13 @@ def pagerank_integer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ed.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
         eager=False
+    )
+    edw = (
+        ed.join(deg.withColumnRenamed("id", "a"), "a")
+        .select("a", "b", "outdeg")
+        .repartition(sc_parallelism, "a")
+        .sortWithinPartitions("a")
+        .localCheckpoint(eager=False)  # feeds every iteration's contrib join
     )
     n = nodes.count()  # bounded driver scalar: |distinct nodes|
     init = _PR_SCALE // n
@@ -1452,11 +1471,9 @@ def pagerank_integer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         contribs = (
-            ranks.join(deg, "id")
-            .select("id", F.expr("rank div outdeg").alias("per_edge"))
-            .join(ed, F.col("id") == F.col("a"))
+            edw.join(ranks.withColumnRenamed("id", "a"), "a")
             .groupBy(F.col("b").alias("id"))
-            .agg(F.sum("per_edge").alias("inc"))
+            .agg(F.sum(F.expr("rank div outdeg")).alias("inc"))
         )
         ranks = (
             nodes.join(contribs, "id", "left")
@@ -1469,10 +1486,14 @@ def pagerank_integer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("rank"),
             )
         )
+    node_str = F.concat(
+        F.when(F.col("id") % 2 == 0, F.lit("S")).otherwise(F.lit("P")),
+        F.expr("id div 2").cast("string"),
+    )
     return (
-        ranks.orderBy(F.col("rank").desc(), F.col("id"))
+        ranks.select(node_str.alias("node"), F.col("rank").alias("rank_fp"))
+        .orderBy(F.col("rank_fp").desc(), F.col("node"))
         .limit(20)
-        .select(F.col("id").alias("node"), F.col("rank").alias("rank_fp"))
     )
 
 
