@@ -1876,8 +1876,16 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     adj: sorted out-neighbor lists. All four localCheckpointed (each is
     consumed by 2+ downstream frames in every caller)."""
     li = load_table(spark, "lineitem", sf_dir)
+    # r17 opt: the fixture parquet is single-row-group (1 scan task), so an
+    # immediate groupBy ran its collect_set PARTIAL agg single-threaded in
+    # the scan stage. Key-only repartition first: the groupBy reuses the
+    # exchange (one shuffle total, r13 lesson) and the set-build runs on
+    # all shuffle partitions; projection to the two needed columns keeps
+    # the exchange narrow (guide §2.3).
     order_sets = (
-        li.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") > 1)
     )
