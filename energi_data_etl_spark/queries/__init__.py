@@ -138,6 +138,10 @@ RECERT: dict[str, int] = {
     # oracle at sf0.01+sf0.1 in-session; listed here so the next driver
     # window re-certifies them):
     "pagerank_integer_twin": 17,
+    "source_overlap_matrix": 17,
+    "contamination_ngram_overlap": 17,
+    "bm25_topk_search": 17,
+    "hybrid_retrieval_rrf": 17,
 }
 
 

@@ -148,15 +148,22 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 shingle hash — still linear in total shingles (the join key
     is already a uniform hash, so no skew), just one extra shuffle of
     the exploded train side. Nothing else in the query changes."""
+    # r17 opt: shingle expression exploded INLINE in each branch — the
+    # withColumn+explode form made InferFiltersFromGenerate clone the
+    # whole tokenize+hash pipeline into a pushed-down size(..)>0 filter
+    # (evaluated twice per branch, once single-threaded below the
+    # repartition); inline, no filter is inferred and each branch hashes
+    # its slice exactly once, post-shuffle
+    sh = P.shingle_hashes("text", k=3, hash_fn="xxhash64")
     d = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).withColumn("hs", P.shingle_hashes("text", k=3, hash_fn="xxhash64"))
+    )
     bench = (
         d.filter(F.col("doc_id") < 25)
-        .select(F.explode("hs").alias("h"))
+        .select(F.explode(sh).alias("h"))
         .distinct()
     )
-    train = d.filter(F.col("doc_id") >= 25).select("doc_id", F.explode("hs").alias("h"))
+    train = d.filter(F.col("doc_id") >= 25).select("doc_id", F.explode(sh).alias("h"))
     return (
         train.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
@@ -704,11 +711,18 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of shared distinct shingles, which any collision-free hash
     reproduces — the md5 kernel's hex-parse was this query's hot-path
     cost."""
+    # r17 opt: explode the shingle expression INLINE — explode of a
+    # withColumn'd array column makes InferFiltersFromGenerate clone the
+    # whole tokenize+hash pipeline into a size(..)>0 filter that Catalyst
+    # pushes below the repartition (heavy expression evaluated twice, the
+    # filter copy single-threaded in the 1-task scan stage); with the
+    # expression inline no filter is inferred and it runs once,
+    # post-shuffle (plans/r17/source_overlap_matrix_{before,after}.txt)
     d = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).withColumn("hs", P.shingle_hashes("text", k=3, hash_fn="xxhash64"))
+    )
     per_h = (
-        d.select("source", F.explode("hs").alias("h"))
+        d.select("source", F.explode(P.shingle_hashes("text", k=3, hash_fn="xxhash64")).alias("h"))
         .groupBy("h")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .filter(F.size("ss") > 1)

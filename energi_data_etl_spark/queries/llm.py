@@ -1370,8 +1370,17 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(terms))
+        # r17 opt: filter INSIDE the array, then explode the inline
+        # expression — the explode("t")+row-filter form (a) made
+        # InferFiltersFromGenerate clone the whole tokenize into a
+        # size(..)>0 filter in the 1-task scan stage and (b) generated
+        # one row per token only to drop all but the query terms;
+        # explode(filter(t, in-set)) tokenizes once and generates only
+        # matching tokens (multiplicity identical, tokens non-null)
+        toks.select(
+            "doc_id",
+            F.explode(F.filter(F.col("t"), lambda x: x.isin(terms))).alias("term"),
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     ).localCheckpoint(eager=False)
@@ -1477,8 +1486,17 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(terms))
+        # r17 opt: filter INSIDE the array, then explode the inline
+        # expression — the explode("t")+row-filter form (a) made
+        # InferFiltersFromGenerate clone the whole tokenize into a
+        # size(..)>0 filter in the 1-task scan stage and (b) generated
+        # one row per token only to drop all but the query terms;
+        # explode(filter(t, in-set)) tokenizes once and generates only
+        # matching tokens (multiplicity identical, tokens non-null)
+        toks.select(
+            "doc_id",
+            F.explode(F.filter(F.col("t"), lambda x: x.isin(terms))).alias("term"),
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     ).localCheckpoint(eager=False)
