@@ -142,6 +142,8 @@ RECERT: dict[str, int] = {
     "contamination_ngram_overlap": 17,
     "bm25_topk_search": 17,
     "hybrid_retrieval_rrf": 17,
+    "market_basket_pairs": 17,
+    "association_rules_lift": 17,
 }
 
 

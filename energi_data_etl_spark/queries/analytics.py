@@ -142,16 +142,31 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, deterministic top-20 (full tie-break so LIMIT is stable
     cross-engine). Spark plans the top-k as TakeOrderedAndProject —
     per-partition heaps, no global sort."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    # r17 opt (guide §2.4, the co-purchase-skeleton shape): the previous
+    # distinct + orderkey self-join shuffled the distinct frame twice and
+    # recomputed it per join side; one key-only repartition + groupBy
+    # (exchange reused — one shuffle) builds each order's sorted part set
+    # and the p1<p2 pairs expand in place in the JVM, multiplicity
+    # identical (collect_set == the old distinct). Per-order fan-out is
+    # bounded by line count (~4-7), as before.
+    order_sets = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
     )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ps") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ps") - 1),
+                lambda j: F.struct(F.get("ps", i).alias("part_a"), F.get("ps", j).alias("part_b")),
+            ),
+        )
+    )
+    pairs = order_sets.select(F.explode(pair_structs).alias("p")).select("p.part_a", "p.part_b")
     counts = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("n_orders"))
     return counts.orderBy(
         F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
@@ -451,22 +466,38 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint'd, read once); the metric joins attach part
     counts to 20 rows — the tiny side broadcasts, the part-counts
     table is never shuffled twice."""
-    li = (
+    # r17 opt (guide §2.4, same rewrite as market_basket_pairs): one
+    # key-only repartition + groupBy builds each order's sorted distinct
+    # part set (collect_set == the old distinct, so tot/parts/pairs all
+    # derive from this ONE shuffled frame); the p1<p2 pairs expand in
+    # place instead of a self-join that shuffled the distinct frame twice.
+    order_sets = (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=False)  # consumed by tot/parts/pairs
     )
-    tot = li.agg(F.count_distinct("l_orderkey").alias("n"))
-    parts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
-    a, b = li.alias("a"), li.alias("b")
-    top = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    tot = order_sets.agg(F.count(F.lit(1)).alias("n"))
+    parts = (
+        order_sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ps") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ps") - 1),
+                lambda j: F.struct(F.get("ps", i).alias("part_a"), F.get("ps", j).alias("part_b")),
+            ),
         )
-        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    )
+    top = (
+        order_sets.filter(F.size("ps") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .orderBy(F.col("n_ab").desc(), F.col("part_a").asc(), F.col("part_b").asc())
