@@ -144,6 +144,7 @@ RECERT: dict[str, int] = {
     "hybrid_retrieval_rrf": 17,
     "market_basket_pairs": 17,
     "association_rules_lift": 17,
+    "brand_cooccurrence_triangles": 17,
 }
 
 

@@ -304,18 +304,34 @@ def brand_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance."""
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
-    ob = (
+    # r17 opt (guide §2.4, the basket-rewrite shape): per-order sorted
+    # brand sets via ONE key-only repartition + groupBy (collect_set ==
+    # the old distinct; the part join broadcasts below it), u<v pairs
+    # expanded in place — replaces distinct + an orderkey self-join that
+    # shuffled the distinct frame twice. n_orders falls out of the same
+    # checkpointed frame (row count) instead of a second distinct pass.
+    osets = (
         li.join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
+        .repartition("o")
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
+        .localCheckpoint(eager=False)  # feeds the pair expansion + the order count
     )
-    ob = ob.localCheckpoint(eager=False)  # feeds the pair join twice + the order count
-    n_orders = ob.select("o").distinct().count()  # bounded driver scalar (one int)
-    x = ob.select(F.col("o"), F.col("b").alias("u"))
-    y = ob.select(F.col("o"), F.col("b").alias("v"))
+    n_orders = osets.count()  # bounded driver scalar (one int)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("bs") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("bs") - 1),
+                lambda j: F.struct(F.get("bs", i).alias("u"), F.get("bs", j).alias("v")),
+            ),
+        )
+    )
     edges = (
-        x.join(y, "o")
-        .filter(F.col("u") < F.col("v"))
+        osets.filter(F.size("bs") > 1)
+        .select(F.explode(pair_structs).alias("e"))
+        .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 0.022 * n_orders)
