@@ -145,6 +145,7 @@ RECERT: dict[str, int] = {
     "market_basket_pairs": 17,
     "association_rules_lift": 17,
     "brand_cooccurrence_triangles": 17,
+    "tpch_q21_waiting_supplier": 17,
 }
 
 

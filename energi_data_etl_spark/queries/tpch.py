@@ -836,14 +836,27 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     s = load_table(spark, "supplier", sf_dir)
-    pairs_all = li.select("l_orderkey", "l_suppkey").distinct()
-    pairs_r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
-    l2 = pairs_all.select(F.col("l_orderkey").alias("__o2"), F.col("l_suppkey").alias("__s2"))
-    l3 = pairs_r.select(F.col("l_orderkey").alias("__o3"), F.col("l_suppkey").alias("__s3"))
+    # r17 opt (guide §2.4): the EXISTS/NOT-EXISTS pair used two distincts
+    # over lineitem plus two shuffled semi/anti joins with inequality
+    # residuals. The correlation is per-order set logic, so two chained
+    # aggregations compute it exactly: per (order, supplier) whether any
+    # line is returned, then per order the supplier count, the returned-
+    # supplier count, and — when exactly one supplier has returns — its
+    # key. "Sole returner on a multi-supplier order" ⇔ n_supp ≥ 2 ∧
+    # n_r = 1, and the waiting pair is (order, r_supp); identical row
+    # set, one lineitem scan, no self-joins.
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per = ps.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_supp"),
+    )
     base = (
-        pairs_r.join(o, pairs_r.l_orderkey == o.o_orderkey, "left_semi")
-        .join(l2, (F.col("l_orderkey") == F.col("__o2")) & (F.col("l_suppkey") != F.col("__s2")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("__o3")) & (F.col("l_suppkey") != F.col("__s3")), "left_anti")
+        per.filter((F.col("n_supp") >= 2) & (F.col("n_r") == 1))
+        .select("l_orderkey", F.col("r_supp").alias("l_suppkey"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
     )
     return (
         base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
