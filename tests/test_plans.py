@@ -667,3 +667,70 @@ def test_row_group_granularity_bounds_scan_parallelism(spark, tmp_path):
         assert abs(a - b) <= 1e-9 * abs(a)  # summation-order ulp across task layouts
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+def test_no_inferred_generate_filter_clones_shingle_pipeline(spark, sf_dir):
+    """r17 optimization guard: exploding a withColumn'd COMPUTED array
+    makes InferFiltersFromGenerate clone the whole generator child into
+    a size(..)>0 filter that Catalyst pushes below the repartition —
+    the tokenize+hash pipeline then runs twice, once single-threaded in
+    the 1-task scan stage. The shingle queries explode the expression
+    INLINE; this pins that no Filter condition in their plans contains
+    the hash kernel."""
+    import re
+
+    for name in ("source_overlap_matrix", "contamination_ngram_overlap"):
+        txt = explain_str(QUERIES[name].fn(spark, sf_dir))
+        for cond in re.findall(r"Condition : (.*)", txt):
+            assert "xxhash64" not in cond, f"{name}: heavy expr cloned into a filter: {cond[:200]}"
+
+
+def test_basket_pair_builds_are_single_shuffle_set_expansions(spark, sf_dir):
+    """r17 optimization guard: the basket/co-occurrence pair builds must
+    stay the grouped set-expansion shape (one exchange feeding the
+    order-set aggregate, pairs generated in place) — not the old
+    distinct + self-join, which shuffled the fact projection three
+    times and recomputed the distinct per join side."""
+    plan = explain_str(QUERIES["market_basket_pairs"].fn(spark, sf_dir), mode="simple")
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
+    assert plan.count("Exchange") == 2, plan  # order-set build + pair count
+
+
+def test_q21_single_lineitem_scan_no_self_join(spark, sf_dir):
+    """r17 optimization guard: Q21's EXISTS/NOT-EXISTS correlation is
+    computed by chained per-order aggregations — exactly one lineitem
+    scan in the plan and no lineitem self-join."""
+    plan = explain_str(QUERIES["tpch_q21_waiting_supplier"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_pagerank_edge_cache_is_sorted_on_join_key(spark, monkeypatch):
+    """r17 optimization guard: pagerank's cached weighted edge frame
+    must be repartitioned AND sorted within partitions on src, so
+    per-iteration sort-merge joins take their ordering from the cache
+    instead of re-sorting |E| rows every round. The query-level plans
+    hide the operator's subtree behind checkpoints, so this intercepts
+    persist() during a real pagerank() call and inspects the cached
+    frames' plans directly."""
+    import pyspark.sql.functions as F  # noqa: PLC0415 — local to mirror file style
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from energi_data_etl_spark.operators.graph import pagerank
+
+    persisted_plans: list[str] = []
+    orig_persist = CDF.persist
+
+    def spying_persist(self, *a, **kw):
+        persisted_plans.append(explain_str(self, mode="simple"))
+        return orig_persist(self, *a, **kw)
+
+    monkeypatch.setattr(CDF, "persist", spying_persist)
+    edges = spark.range(1000).select(
+        (F.col("id") % 50).alias("src"), ((F.col("id") * 7) % 50).alias("dst")
+    )
+    pagerank(edges, iterations=1).collect()
+    ew_plans = [p for p in persisted_plans if "Sort [src" in p and "hashpartitioning(src" in p]
+    assert ew_plans, "no persisted frame is sorted+partitioned on src:\n" + "\n---\n".join(
+        p[:400] for p in persisted_plans
+    )
