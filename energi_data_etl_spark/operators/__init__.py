@@ -9,6 +9,7 @@ DataFrame call. Import the modules directly for the full surface:
     multimodal   binary payload columns + Arrow-batched decode plumbing
     graph        connected components (dedup clustering)
     skew         salted two-stage aggregation
+    arrays       sorted-set pair expansion (basket/co-occurrence)
 """
 
 from .joins import asof_join  # noqa: F401

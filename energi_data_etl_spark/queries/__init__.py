@@ -128,24 +128,36 @@ PRIORITY = [
 #: once re-certified (they become harmless no-ops, but the list should
 #: reflect the live backlog).
 RECERT: dict[str, int] = {
-    # All six r15/r16-vintage entries (ann_lsh_topk, kmeans_lloyd_assign,
-    # kll_quantile_sketch_audit, ann_ivf_two_level_topk,
-    # compaction_small_files, weighted_median_by_flag) re-certified green
-    # in CORRECTNESS_r16 and removed per the policy note above. Add
-    # name -> missed-round whenever a certified query's PLAN is rewritten
-    # after its last green row.
-    # r17 optimization-round plan rewrites (value-identical, verified vs
-    # oracle at sf0.01+sf0.1 in-session; listed here so the next driver
-    # window re-certifies them):
-    "pagerank_integer_twin": 17,
-    "source_overlap_matrix": 17,
-    "contamination_ngram_overlap": 17,
-    "bm25_topk_search": 17,
-    "hybrid_retrieval_rrf": 17,
-    "market_basket_pairs": 17,
-    "association_rules_lift": 17,
-    "brand_cooccurrence_triangles": 17,
-    "tpch_q21_waiting_supplier": 17,
+    # The nine r17 optimization-round entries (pagerank_integer_twin,
+    # source/contamination overlap, bm25/hybrid, basket trio, q21) were
+    # all inside the r17 window and re-certified green in
+    # CORRECTNESS_r17 on the final optimized tree — removed per the
+    # policy note above. Add name -> missed-round whenever a certified
+    # query's PLAN is rewritten after its last green row.
+    # r18 optimization-round plan rewrites (value-identical, verified vs
+    # oracle in-session; queued so the next driver window re-certifies):
+    # - pagerank_integer_twin: edw localCheckpoint -> persist (layout
+    #   survives into the iteration joins)
+    # - basket trio + copurchase pair (graph_*): pair expansion now the
+    #   shared sorted_pair_structs helper (embeds the size>=2 guard;
+    #   also covers ADVICE r17 #1's ask to re-confirm the r17
+    #   _copurchase_graph rewrite)
+    # - bfs: bigint recursion keys; sessionize/pipeline/doc_chunk:
+    #   single-scan / tokenize-once shapes; streaming trio: replay
+    #   chunks through the shared write-once cache
+    "pagerank_integer_twin": 18,
+    "market_basket_pairs": 18,
+    "association_rules_lift": 18,
+    "brand_cooccurrence_triangles": 18,
+    "graph_triangle_census": 18,
+    "graph_local_clustering_topk": 18,
+    "bfs_reachability_levels": 18,
+    "sessionize_incremental_merge": 18,
+    "pipeline_end_to_end": 18,
+    "doc_chunk_sliding": 18,
+    "streaming_late_data_drop": 18,
+    "streaming_update_mode_totals": 18,
+    "streaming_foreachbatch_upsert": 18,
 }
 
 

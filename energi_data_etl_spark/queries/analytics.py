@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import text as X
+from ..operators.arrays import sorted_pair_structs
 from ..sources.tables import load_table
 from .catalog import query
 
@@ -157,15 +158,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ps") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ps") - 1),
-                lambda j: F.struct(F.get("ps", i).alias("part_a"), F.get("ps", j).alias("part_b")),
-            ),
-        )
-    )
+    pair_structs = sorted_pair_structs("ps", "part_a", "part_b")
     pairs = order_sets.select(F.explode(pair_structs).alias("p")).select("p.part_a", "p.part_b")
     counts = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("n_orders"))
     return counts.orderBy(
@@ -485,15 +478,7 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_p"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ps") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ps") - 1),
-                lambda j: F.struct(F.get("ps", i).alias("part_a"), F.get("ps", j).alias("part_b")),
-            ),
-        )
-    )
+    pair_structs = sorted_pair_structs("ps", "part_a", "part_b")
     top = (
         order_sets.filter(F.size("ps") > 1)
         .select(F.explode(pair_structs).alias("p"))

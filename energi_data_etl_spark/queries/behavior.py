@@ -808,11 +808,22 @@ def sessionize_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins |users| summary rows — this is exactly why session state
     stores carry (start, end, n) per open session rather than raw
     events. All arithmetic is exact integer µs."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+        )
+        # r18 opt (VERDICT r17 #4, guide §2.4): the cut aggregate and the
+        # old/new branches each re-scanned events.parquet (3 scans).
+        # Checkpoint the 4-narrow-column projection once; all three
+        # consumers read the materialized rows (one-scan claim pinned by
+        # tests/test_plans.py::test_sessionize_single_events_scan, which
+        # intercepts the checkpoint — the final plan itself only shows
+        # the truncated ExistingRDD scans).
+        .localCheckpoint(eager=False)
     )
     cut = ev.agg((F.max("d") - INC_NEW_DAYS + 1).alias("c"))
     tagged = ev.crossJoin(F.broadcast(cut))

@@ -288,10 +288,25 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators end-to-end exactly as a user would; one shuffle per stage
     (fingerprint groupBy, split agg), everything else map-side."""
     d = load_table(spark, "documents", sf_dir)
-    scored = d.withColumn("q", X.quality_score("text")).withColumn(
-        "n_tok", X.token_count("text").cast("bigint")
-    )
-    kept = scored.filter(F.col("q") >= 0.5).withColumn("f", X.fingerprint("text"))
+    # r18 opt (VERDICT r17 #8): the q >= 0.5 filter on the COMPUTED
+    # quality column was pushed below the projection, so the whole
+    # tokenize+aggregate quality expression evaluated TWICE per row
+    # (once in the pushed Filter condition, once in the Project — see
+    # plans/r18/pipeline_end_to_end_before.txt node (2)). Compute
+    # q / n_tok / f in ONE projection and checkpoint it: the filter
+    # reads the materialized column, and the tokenize runs ONCE per row
+    # (within-Project subexpression elimination shares the token array
+    # between q and n_tok). f (cheap md5) is now computed for all docs
+    # instead of survivors only — value-irrelevant for filtered rows;
+    # the kept row set, every column, and the window/split stages are
+    # byte-identical.
+    scored = d.select(
+        "doc_id",
+        X.quality_score("text").alias("q"),
+        X.token_count("text").cast("bigint").alias("n_tok"),
+        X.fingerprint("text").alias("f"),
+    ).localCheckpoint(eager=False)
+    kept = scored.filter(F.col("q") >= 0.5)
     from pyspark.sql import Window
 
     w = Window.partitionBy("f").orderBy("doc_id")
@@ -833,7 +848,15 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     toks = X.tokens("text")
     n = F.size(toks)
-    base = d.select("lang", n.alias("n")).filter(F.col("n") > 0)
+    # r18 opt (VERDICT r17 #8): filtering on the COMPUTED n pushed the
+    # predicate below the projection, so the tokenize ran twice per row
+    # (Filter condition + Project — plans/r18/doc_chunk_sliding_before
+    # node (2)). Pre-filter on the raw text instead: n > 0 ⟺ the text
+    # has any non-space character (tokens split on the literal single
+    # space; NULL/empty text drops on both forms), so the pushed filter
+    # is a cheap string scan and the tokenize runs ONCE, in the
+    # projection. Row set and every n value are identical.
+    base = d.filter(F.length(F.translate("text", " ", "")) > 0).select("lang", n.alias("n"))
     starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
     emitted = F.aggregate(
         F.transform(starts, lambda s: F.least(F.lit(size), F.col("n") - s)),

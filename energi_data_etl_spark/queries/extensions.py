@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import text as X
+from ..operators.arrays import sorted_pair_structs
 from ..operators.graph import connected_components, pagerank
 from ..operators.skew import salted_agg
 from ..sources.tables import load_table
@@ -319,15 +320,7 @@ def brand_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds the pair expansion + the order count
     )
     n_orders = osets.count()  # bounded driver scalar (one int)
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("bs") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("bs") - 1),
-                lambda j: F.struct(F.get("bs", i).alias("u"), F.get("bs", j).alias("v")),
-            ),
-        )
-    )
+    pair_structs = sorted_pair_structs("bs", "u", "v")
     edges = (
         osets.filter(F.size("bs") > 1)
         .select(F.explode(pair_structs).alias("e"))

@@ -58,6 +58,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.arrays import sorted_pair_structs
 from ..session import scratch_dir
 from ..sources.tables import load_table
 from .catalog import query
@@ -1107,11 +1108,21 @@ def bfs_reachability_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule: never unset a conf the returned plan still needs).
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(50_000_000))
     li = load_table(spark, "lineitem", sf_dir)
+    # r18 opt (VERDICT r17 #5, guide §2.3 narrower types): the recursion
+    # used to join and aggregate on 'S123'/'P456' STRING node ids —
+    # every frontier join key and the min-level groupBy key was a
+    # variable-length string. Now the pagerank_integer_twin encoding
+    # (2s / 2p+1, injective) runs BIGINT keys through the recursive
+    # join; seeds suppkey%10==0 ⟺ a%20==0 (a=2·suppkey is even), node
+    # type 'S'/'P' ⟺ even/odd. The output only aggregates counts per
+    # (dist, type), and an injective node relabeling preserves every
+    # per-node min-level, so the emitted rows are identical — the
+    # oracle (string ids) is untouched.
     ed = (
         li.filter(F.col("l_quantity") == 1)
         .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("a"),
-            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("b"),
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("l_partkey") * 2 + 1).alias("b"),
         )
         .distinct()
         .localCheckpoint(eager=False)  # feeds both edge directions and the seed scan
@@ -1121,7 +1132,7 @@ def bfs_reachability_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT a, b FROM __bfs_ed UNION ALL SELECT b AS a, a AS b FROM __bfs_ed"
     ).createOrReplaceTempView("__bfs_bi")
     spark.sql(
-        "SELECT DISTINCT a AS node FROM __bfs_ed WHERE CAST(SUBSTRING(a, 2) AS BIGINT) % 10 = 0"
+        "SELECT DISTINCT a AS node FROM __bfs_ed WHERE a % 20 = 0"
     ).createOrReplaceTempView("__bfs_seeds")
     return spark.sql(
         """
@@ -1136,8 +1147,8 @@ def bfs_reachability_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT dist,
                CAST(COUNT(*) AS BIGINT) AS n_nodes,
-               CAST(SUM(CASE WHEN SUBSTRING(node, 1, 1) = 'S' THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
-               CAST(SUM(CASE WHEN SUBSTRING(node, 1, 1) = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_parts
+               CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts
         FROM dist GROUP BY dist
         """
     )
@@ -1457,7 +1468,20 @@ def pagerank_integer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "outdeg")
         .repartition(sc_parallelism, "a")
         .sortWithinPartitions("a")
-        .localCheckpoint(eager=False)  # feeds every iteration's contrib join
+        # r18 fix (VERDICT r17 #1): persist(), NOT localCheckpoint — a
+        # checkpointed scan reports UnknownPartitioning and no ordering,
+        # so every iteration re-exchanged AND re-sorted the |E|-row frame
+        # (the r17 after-plan showed Exchange+Sort above both join sides
+        # and the sortWithinPartitions above was dead work). persist
+        # PRESERVES the hash partitioning and the sort (graph.py:129,
+        # the float operator's proven pattern), so each iteration's
+        # sort-merge join exchanges+sorts only the |V|-row rank frame.
+        # Deliberately NOT unpersisted: the returned plan consumes the
+        # cache lazily at the driver's collect, and keeping the return
+        # lazy leaves the iteration joins visible to plan audits (one
+        # ~|E|-row cache entry per invocation — a documented exception
+        # to the r07 checkpoint-hygiene rule).
+        .persist()  # feeds every iteration's contrib join
     )
     n = nodes.count()  # bounded driver scalar: |distinct nodes|
     init = _PR_SCALE // n
@@ -1889,17 +1913,7 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ps") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ps") - 1),
-                lambda j: F.struct(
-                    F.get("ps", i).alias("p1"), F.get("ps", j).alias("p2")
-                ),
-            ),
-        )
-    )
+    pair_structs = sorted_pair_structs("ps", "p1", "p2")
     edges = (
         order_sets.select(F.explode(pair_structs).alias("e"))
         .select("e.p1", "e.p2")

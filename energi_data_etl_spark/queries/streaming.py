@@ -627,26 +627,25 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     topology: bounded state, exactly-once via sink-side idempotent
     versioning, no unbounded stream-state store at all. The oracle is
     the one-shot batch aggregate the three merges must reproduce."""
-    import glob
-    import os
-    import shutil
-
     from ..sources.tables import load_table
 
     base = scratch_dir("febatch_")
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
-    src = f"{base}/src"
-    os.makedirs(src)
-    for i in range(3):
-        tmp_i = f"{base}/tmp{i}"
-        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(tmp_i)
-        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+    # r18 opt: same deterministic pmod-3 split streaming_update_mode_
+    # totals drains — one shared replay-cache publish serves both (and
+    # this builder previously relied on move-order mtimes, which a
+    # coarse-mtime filesystem could tie and reorder; the shared builder
+    # stamps strictly-increasing mtimes explicitly, ADVICE r14).
+    stream = _chunked_file_stream(
+        spark,
+        [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)],
+        base,
+        cache_key=f"mod3ev:{fixture_fingerprint(sf_dir, 'events')}",
+    )
 
     from ..streaming.ops import foreachbatch_merge_sink
 
     upsert, state = foreachbatch_merge_sink(base, key="event_type", value="value")
-
-    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
     with drain_conf(spark):
         q = (
             stream.writeStream.foreachBatch(upsert)
@@ -1211,37 +1210,27 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the very batch where its windows get evicted is still MERGED,
     numRowsDroppedByWatermark=0), so the replay must trail the
     watermark-advancing data by two batches to exercise the drop."""
-    import os
-
     from ..sources.tables import load_table
 
     base = scratch_dir("late_drop_")
-    src = f"{base}/src"
-    os.makedirs(src)
     ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
     early = ev.filter(F.to_date("ts") <= "2024-01-20")
     middle = ev.filter(F.to_date("ts").between("2024-01-21", "2024-01-25"))
     late_replay = ev.filter(F.to_date("ts") <= "2024-01-05")
     tail = ev.filter(F.to_date("ts") >= "2024-01-26")
 
-    def _one_file(df, name: str, mtime: float) -> None:
-        import glob
-        import shutil
-
-        tmp = f"{base}/tmp_{name}"
-        df.coalesce(1).write.parquet(tmp)
-        dest = f"{src}/{name}.parquet"
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
-        os.utime(dest, (mtime, mtime))
-
-    _one_file(early, "00_early", 1_700_000_000.0)
-    _one_file(middle, "01_middle", 1_700_000_100.0)
-    _one_file(late_replay.unionByName(tail), "02_late_and_tail", 1_700_000_200.0)
-
+    # r18 opt: the three chunks are a pure deterministic split+replay of
+    # the immutable fixture — publish them once through the shared
+    # replay cache instead of re-writing ~3 coalesced parquet files per
+    # run (the r16 write-chunks-ONCE recipe; same one-file-per-batch +
+    # strictly-increasing-mtime contract the hand-rolled builder had).
     stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        _chunked_file_stream(
+            spark,
+            [early, middle, late_replay.unionByName(tail)],
+            base,
+            cache_key=f"late3ev:{fixture_fingerprint(sf_dir, 'events')}",
+        )
         .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TimestampType, not NTZ
         .withWatermark("ts", "0 seconds")
     )
@@ -1277,24 +1266,20 @@ def streaming_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. A mode that dropped a batch's contribution, or
     re-emitted unrevised keys with stale values, breaks the selection
     or the totals."""
-    import glob
-    import os
-    import shutil
-
     from ..sources.tables import load_table
 
     base = scratch_dir("updmode_")
-    src = f"{base}/src"
-    os.makedirs(src)
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
-    for i in range(3):
-        tmp_i = f"{base}/tmp{i}"
-        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(tmp_i)
-        dest = f"{src}/{i:02d}.parquet"
-        shutil.move(glob.glob(f"{tmp_i}/part-*.parquet")[0], dest)
-        os.utime(dest, (1_700_000_000.0 + i * 100, 1_700_000_000.0 + i * 100))
-
-    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    # r18 opt: deterministic pmod-3 split of the immutable fixture —
+    # published once via the shared replay cache (r16 recipe) instead of
+    # re-writing three coalesced files per run. The key is shared with
+    # streaming_foreachbatch_upsert, which drains the identical split.
+    stream = _chunked_file_stream(
+        spark,
+        [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)],
+        base,
+        cache_key=f"mod3ev:{fixture_fingerprint(sf_dir, 'events')}",
+    )
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )

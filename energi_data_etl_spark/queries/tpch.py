@@ -830,9 +830,12 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers solely responsible for returned lines on finalized
     multi-supplier orders (TPC-H Q21 shape; l_returnflag='R' stands in
     for the late-receipt predicate — the fixture has no receiptdate).
-    EXISTS → LEFT SEMI with an inequality residual on the order key
-    equi-join; NOT EXISTS → LEFT ANTI on the same shape. Both correlate
-    on l_orderkey, so each is one shuffle co-partitioned with the base."""
+    The EXISTS/NOT-EXISTS correlation is per-order set logic, computed
+    by two chained aggregations over ONE lineitem scan (r17 rewrite,
+    pinned by test_q21_single_lineitem_scan_no_self_join): per
+    (order, supplier) whether any line is returned, then per order the
+    supplier count / returned-supplier count / the sole returner's key;
+    "waiting" ⇔ n_supp ≥ 2 ∧ n_r = 1. No self-joins."""
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     s = load_table(spark, "supplier", sf_dir)

@@ -1,14 +1,16 @@
-"""Round-17 optimization inner loop: isolate queries, time them warm
-through the noop sink (guide §1.4), and dump `.explain("formatted")`
-to plans/r17/<name>_<tag>.txt (the judge's plan evidence).
+"""Optimization inner loop: isolate queries, time them warm through
+the noop sink (guide §1.4), and dump `.explain("formatted")` to
+plans/<round>/<name>_<tag>.txt (the judge's plan evidence; round
+defaults to r18, override with --plans-dir).
 
 Usage:
     python scripts/opt_time.py NAME [NAME ...] [--n 3] [--tag before]
-        [--sf /root/testdata/sf0.1] [--no-plan]
+        [--sf /root/testdata/sf0.1] [--no-plan] [--plans-dir plans/r18]
 
-Prints per-query min/median of N warm runs (first run discarded as a
-separate warmup unless --cold). Job descriptions are set per query
-(guide §1.5).
+Prints per-query min of N warm runs — all N runs are recorded and the
+reported basis is the MIN (no first-run discard; the session-level
+warmups below absorb one-time costs). Job descriptions are set per
+query (guide §1.5).
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ def main() -> int:
     n = int(_opt("--n", "3"))
     tag = _opt("--tag", None)
     sf_dir = _opt("--sf", "/root/testdata/sf0.1")
+    plans_override = _opt("--plans-dir", None)
     no_plan = "--no-plan" in args
     if no_plan:
         args.remove("--no-plan")
@@ -43,7 +46,7 @@ def main() -> int:
     from energi_data_etl_spark.queries import QUERIES
     from energi_data_etl_spark.session import get_spark
 
-    spark = get_spark("opt-time-r17")
+    spark = get_spark("opt-time")
     spark.sparkContext.setLogLevel("ERROR")
     warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else sf_dir
 
@@ -56,7 +59,9 @@ def main() -> int:
               "global_row_index", "streaming_tumbling_daily", "api_source_daily_rollup"):
         mat(QUERIES[w].fn(spark, warm_dir))
 
-    plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r17")
+    plans_dir = plans_override or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r18"
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, dict] = {}

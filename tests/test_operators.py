@@ -190,3 +190,26 @@ def test_parquet_bloom_filter_option_writes_filters(spark, sf_dir, tmp_path):
     back = spark.read.parquet(bloomed)
     assert back.count() == ev.count()
     assert back.filter("event_id = 42").count() == ev.filter("event_id = 42").count()
+
+
+def test_sorted_pair_structs_singleton_and_empty_sets_yield_no_pairs(spark):
+    """ADVICE r17 #4: the i<j pair expansion must be safe WITHOUT the
+    caller's size>1 filter — on a singleton set F.sequence(0, -1)
+    yields the descending [0, -1] and F.get returns nulls, so the raw
+    idiom emits a spurious (null, null) pair. The shared helper embeds
+    the guard; exploding it on unfiltered sets must produce exactly the
+    true i<j pairs and nothing for size<=1 rows."""
+    from energi_data_etl_spark.operators.arrays import sorted_pair_structs
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["x"]), (3, []), (4, ["m", "n"])],
+        "k int, s array<string>",
+    )
+    out = (
+        df.select("k", F.explode(sorted_pair_structs("s", "u", "v")).alias("p"))
+        .select("k", "p.u", "p.v")
+        .collect()
+    )
+    got = sorted((r.k, r.u, r.v) for r in out)
+    assert got == [(1, "a", "b"), (1, "a", "c"), (1, "b", "c"), (4, "m", "n")], got
+    assert all(u is not None and v is not None for _, u, v in got)

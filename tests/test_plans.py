@@ -237,10 +237,13 @@ def test_transition_matrix_jvm_only(spark, sf_dir):
 
 
 def test_market_basket_topk_and_bounded_join(spark, sf_dir):
-    """Pair generation must be the orderkey equi-self-join (bounded by
-    per-order line count), never a cartesian, and the deterministic
-    top-20 must plan as TakeOrderedAndProject (per-partition heaps,
-    no global sort)."""
+    """Pair generation is the r17 grouped set-expansion (collect_set +
+    in-place sorted-array pair explode — see
+    test_basket_pair_builds_are_single_shuffle_set_expansions, which
+    pins Join OUT of the plan); this guard keeps the complementary
+    invariants: never a cartesian, and the deterministic top-20 must
+    plan as TakeOrderedAndProject (per-partition heaps, no global
+    sort)."""
     plan = explain_str(QUERIES["market_basket_pairs"].fn(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
@@ -734,3 +737,102 @@ def test_pagerank_edge_cache_is_sorted_on_join_key(spark, monkeypatch):
     assert ew_plans, "no persisted frame is sorted+partitioned on src:\n" + "\n---\n".join(
         p[:400] for p in persisted_plans
     )
+
+
+def _checkpoint_plans(monkeypatch, fn):
+    """Run fn() with DataFrame.localCheckpoint intercepted; returns
+    (result, [formatted plan of each frame at its checkpoint moment]).
+    Checkpoint truncation hides these subtrees from every later explain
+    (CLAUDE.md r17 lesson: sweep pre-checkpoint frames, not just final
+    plans), so guards on checkpointed pipelines capture them here."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    captured: list[str] = []
+    orig = CDF.localCheckpoint
+
+    def spying(self, *a, **kw):
+        captured.append(explain_str(self))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(CDF, "localCheckpoint", spying)
+    try:
+        out = fn()
+    finally:
+        monkeypatch.undo()
+    return out, captured
+
+
+def test_sessionize_single_events_scan(spark, sf_dir, monkeypatch):
+    """r18 guard (VERDICT r17 #4): sessionize_incremental_merge must
+    scan events.parquet exactly ONCE — the narrow 4-column projection
+    is checkpointed and the cut/old/new branches consume the
+    materialized rows. The checkpoint truncates the final plan, so the
+    scan count is asserted on the intercepted pre-checkpoint frames."""
+    df, captured = _checkpoint_plans(
+        monkeypatch, lambda: QUERIES["sessionize_incremental_merge"].fn(spark, sf_dir)
+    )
+    scans = sum(p.count("events.parquet") for p in captured)
+    assert scans == 1, f"expected exactly 1 events scan across checkpointed frames, got {scans}"
+    assert "events.parquet" not in explain_str(df), "final plan re-scans events.parquet"
+
+
+def test_no_inferred_generate_filter_in_bm25_hybrid_tf(spark, sf_dir, monkeypatch):
+    """r18 guard (VERDICT r17 #2): bm25/hybrid must tokenize once — no
+    optimizer rule may clone the tokenize pipeline into a Filter
+    condition (InferFiltersFromGenerate, the r17 shingle-query bug).
+    Their tf/dl frames sit behind localCheckpoints, invisible to the
+    final explain, so every pre-checkpoint frame is intercepted and its
+    Filter conditions swept for the tokenize kernel."""
+    import re
+
+    for name in ("bm25_topk_search", "hybrid_retrieval_rrf"):
+        df, captured = _checkpoint_plans(
+            monkeypatch, lambda n=name: QUERIES[n].fn(spark, sf_dir)
+        )
+        for plan in captured + [explain_str(df)]:
+            for cond in re.findall(r"Condition : (.*)", plan):
+                assert "split(" not in cond and "xxhash64" not in cond, (
+                    f"{name}: tokenize kernel cloned into a filter: {cond[:200]}"
+                )
+
+
+def test_pagerank_twin_edge_cache_preserves_layout(spark, sf_dir, monkeypatch):
+    """r18 guard (VERDICT r17 #1): the integer twin's weighted edge
+    frame must be persist()ed repartitioned + sorted on the join key
+    'a' (localCheckpoint DISCARDS partitioning and ordering, so every
+    iteration re-exchanged and re-sorted |E| rows), and the returned
+    plan's visible iteration join must consume the cache: an
+    InMemoryTableScan with NO exchange or sort of the edge side — the
+    only hashpartitioning(a...) exchange left is the |V|-row rank
+    frame meeting the cache in place."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    persisted_plans: list[str] = []
+    orig_persist = CDF.persist
+
+    def spying_persist(self, *a, **kw):
+        persisted_plans.append(explain_str(self, mode="simple"))
+        return orig_persist(self, *a, **kw)
+
+    monkeypatch.setattr(CDF, "persist", spying_persist)
+    df = QUERIES["pagerank_integer_twin"].fn(spark, sf_dir)
+    monkeypatch.undo()
+    ew_plans = [p for p in persisted_plans if "Sort [a#" in p and "hashpartitioning(a#" in p]
+    assert ew_plans, (
+        "no persisted frame is sorted+partitioned on a:\n"
+        + "\n---\n".join(p[:400] for p in persisted_plans)
+    )
+    final = explain_str(df, mode="simple")
+    assert "InMemoryTableScan" in final, final
+    # The only exchanges on the edge key are the ONE-TIME cache build
+    # (REPARTITION_BY_NUM, printed inside the InMemoryRelation body —
+    # initial + AQE-final copies). The old localCheckpoint shape put an
+    # ENSURE_REQUIREMENTS exchange (+ sort) on `a` above the edge scan
+    # in EVERY iteration; at fixture scale the fixed plan broadcasts
+    # the cache instead (BHJ), so no ENSURE_REQUIREMENTS exchange on
+    # `a` may remain at all.
+    ex_a = [
+        ln for ln in final.splitlines() if "Exchange hashpartitioning(a#" in ln
+    ]
+    assert ex_a, final  # the cache build itself must be hash-partitioned on a
+    assert all("REPARTITION_BY_NUM" in ln for ln in ex_a), ex_a
