@@ -1939,7 +1939,15 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint(eager=False)
     )
-    adj = directed.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    adj = (
+        directed.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        # r18 opt (guide §2.4, the r07 consumed-2+-times rule):
+        # _edge_intersections joins adj for BOTH edge endpoints — without
+        # the checkpoint the |E|-row exchange + collect_list aggregation
+        # ran once per join side (two identical ObjectHashAggregate
+        # subtrees in the r18 before-plan)
+        .localCheckpoint(eager=False)
+    )
     return edges, deg, directed, adj
 
 
