@@ -153,7 +153,8 @@ RECERT: dict[str, int] = {
     "graph_local_clustering_topk": 18,
     "bfs_reachability_levels": 18,
     "sessionize_incremental_merge": 18,
-    "pipeline_end_to_end": 18,
+    # (pipeline_end_to_end's V8 rewrite was measured and REVERTED —
+    # its plan is back to the last-certified shape, so no entry)
     "doc_chunk_sliding": 18,
     "streaming_late_data_drop": 18,
     "streaming_update_mode_totals": 18,

@@ -288,25 +288,22 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators end-to-end exactly as a user would; one shuffle per stage
     (fingerprint groupBy, split agg), everything else map-side."""
     d = load_table(spark, "documents", sf_dir)
-    # r18 opt (VERDICT r17 #8): the q >= 0.5 filter on the COMPUTED
-    # quality column was pushed below the projection, so the whole
-    # tokenize+aggregate quality expression evaluated TWICE per row
-    # (once in the pushed Filter condition, once in the Project — see
-    # plans/r18/pipeline_end_to_end_before.txt node (2)). Compute
-    # q / n_tok / f in ONE projection and checkpoint it: the filter
-    # reads the materialized column, and the tokenize runs ONCE per row
-    # (within-Project subexpression elimination shares the token array
-    # between q and n_tok). f (cheap md5) is now computed for all docs
-    # instead of survivors only — value-irrelevant for filtered rows;
-    # the kept row set, every column, and the window/split stages are
-    # byte-identical.
-    scored = d.select(
-        "doc_id",
-        X.quality_score("text").alias("q"),
-        X.token_count("text").cast("bigint").alias("n_tok"),
-        X.fingerprint("text").alias("f"),
-    ).localCheckpoint(eager=False)
-    kept = scored.filter(F.col("q") >= 0.5)
+    # r18 note (VERDICT r17 #8, MEASURED AND DECLINED): the q >= 0.5
+    # filter on the computed quality column is pushed below the
+    # projection, so the tokenize+aggregate quality expression evaluates
+    # twice per row (Filter clone + Project). The checkpoint-the-scored-
+    # frame rewrite that removes the duplication was implemented and
+    # measured — warm interleaved it wins ~13%, but the checkpoint's
+    # extra materialization job costs ~+0.4 s on every COLD run (the
+    # bench's single-shot shape), it is absolutely slower at 250k docs
+    # (probe 0.88/0.79 s vs 0.60/0.63), and at 100k × 300-token docs the
+    # two shapes tie (1.494 vs 1.496 s min, same session). No measured
+    # scale wins the extra job back, so the pushdown duplication stays —
+    # see OPTIMIZATION_r18.md §V8 for the full numbers.
+    scored = d.withColumn("q", X.quality_score("text")).withColumn(
+        "n_tok", X.token_count("text").cast("bigint")
+    )
+    kept = scored.filter(F.col("q") >= 0.5).withColumn("f", X.fingerprint("text"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("f").orderBy("doc_id")
